@@ -117,6 +117,11 @@ def accepts_kwarg(fn: Callable, kwarg: str) -> bool:
         p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values())
 
 
+#: constructor parameters never treated as config hyperparameters
+#: (flax.linen plumbing fields)
+_NON_CONFIG_PARAMS = frozenset({"parent", "name", "args", "kwargs"})
+
+
 def _signature_defaults(constructor: Callable) -> dict:
     try:
         sig = inspect.signature(constructor)
@@ -124,7 +129,10 @@ def _signature_defaults(constructor: Callable) -> dict:
         return {}
     return {k: p.default for k, p in sig.parameters.items()
             if p.default is not inspect.Parameter.empty
-            and p.default is not None}
+            and p.default is not None
+            and not isinstance(p.default, (type(...),))
+            and k not in _NON_CONFIG_PARAMS
+            and type(p.default).__module__.split(".")[0] != "flax"}
 
 
 def fill_spec(config_dict: ConfigDict, key: Optional[str] = None,

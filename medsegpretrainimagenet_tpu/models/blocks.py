@@ -1,0 +1,635 @@
+"""Convolutional building blocks (NHWC, flax.linen).
+
+Capability parity with ``/root/reference/src/segmentation/models/blocks.py``
+(ConvBlock, UpConvBlock, ResNeXt/InvertedBottleneck/ConvNeXt blocks,
+residual-connection zoo, mixing blocks, LayerScale) plus the ``torch.nn.*``
+layer aliases the shipped configs use for stems/heads.  Everything is
+channels-last and static-shaped so XLA tiles convs straight onto the MXU and
+fuses the BN/activation epilogues.
+
+Design notes (TPU-first, not a translation):
+* Layout is NHWC; "channel" always means the last axis.
+* BatchNorm under a data-sharded ``jit`` computes global batch statistics
+  (XLA inserts the cross-chip reductions), i.e. sync-BN semantics — strictly
+  stronger than the reference's per-replica DataParallel BN.
+* Stochastic depth / dropout draw from the ``'dropout'`` PRNG collection.
+* Blocks carry their config-time channel sizes as static fields so
+  parameter shapes are fully determined before tracing.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigDict, register
+from ..config.registry import get_kwargs, resolve
+from .activations import ACTIVATIONS, fill_activation_spec, make_activation
+
+__all__ = [
+    "Conv2d", "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d", "Flatten",
+    "Linear", "LayerNorm", "Identity", "Upsample", "ConvBlock", "UpConvBlock",
+    "ResNeXtBlock", "InvertedBottleneckBlock", "ConvNeXtBlock",
+    "ChannelwiseLayerNorm", "LayerScale", "ResConnection", "ConcatBlock",
+    "AttentionBlock", "ConcatLinearBlock", "drop_path", "make_block_builder",
+    "block_accepts", "mixing_out_channels",
+]
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def _padding(pad, kernel_size) -> Any:
+    """Translate torch-style padding specs to lax conv padding."""
+    if pad in ("same", "SAME"):
+        return "SAME"
+    if pad in ("valid", "VALID"):
+        return "VALID"
+    if isinstance(pad, int):
+        return ((pad, pad), (pad, pad))
+    if isinstance(pad, (tuple, list)):
+        return tuple((p, p) for p in pad)
+    raise ValueError(f"Unsupported padding {pad!r}")
+
+
+def drop_path(module: nn.Module, x: jax.Array, rate: float,
+              train: bool) -> jax.Array:
+    """Per-sample stochastic depth (reference ``unet_models.py:14-22``)."""
+    if rate == 0.0 or not train:
+        return x
+    keep = 1.0 - rate
+    key = module.make_rng("dropout")
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# torch.nn.* layer aliases (so reference configs run unchanged)
+# ---------------------------------------------------------------------------
+
+@register("torch.nn.Conv2d", "nn.Conv2d", "conv2d")
+class Conv2d(nn.Module):
+    in_channels: int = 0  # informational; flax infers from input
+    out_channels: int = 0
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Any = 0
+    bias: bool = True
+    groups: int = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.Conv(
+            features=self.out_channels,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.stride),
+            padding=_padding(self.padding, self.kernel_size),
+            use_bias=self.bias,
+            feature_group_count=self.groups,
+            kernel_dilation=_pair(self.dilation),
+        )(x)
+
+
+@register("torch.nn.MaxPool2d", "max_pool2d")
+class MaxPool2d(nn.Module):
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    stride: Optional[Union[int, Tuple[int, int]]] = None
+    padding: int = 0
+
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.kernel_size)
+        s = _pair(self.stride) if self.stride is not None else k
+        pad = _padding(self.padding, k)
+        if pad == "VALID" or self.padding == 0:
+            pad = "VALID"
+        return nn.max_pool(x, window_shape=k, strides=s, padding=pad)
+
+
+@register("torch.nn.AvgPool2d", "avg_pool2d")
+class AvgPool2d(nn.Module):
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    stride: Optional[Union[int, Tuple[int, int]]] = None
+    padding: int = 0
+
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.kernel_size)
+        s = _pair(self.stride) if self.stride is not None else k
+        return nn.avg_pool(x, window_shape=k, strides=s, padding="VALID"
+                           if self.padding == 0 else _padding(self.padding, k))
+
+
+@register("torch.nn.AdaptiveAvgPool2d", "adaptive_avg_pool2d")
+class AdaptiveAvgPool2d(nn.Module):
+    output_size: int = 1
+
+    def __call__(self, x, train: bool = False):
+        if self.output_size != 1:
+            b, h, w, c = x.shape
+            o = _pair(self.output_size)
+            x = x.reshape(b, o[0], h // o[0], o[1], w // o[1], c)
+            return x.mean(axis=(2, 4))
+        return x.mean(axis=(1, 2), keepdims=True)
+
+
+@register("torch.nn.Flatten", "flatten")
+class Flatten(nn.Module):
+    def __call__(self, x, train: bool = False):
+        return x.reshape(x.shape[0], -1)
+
+
+@register("torch.nn.Linear", "linear_layer")
+class Linear(nn.Module):
+    in_features: int = 0
+    out_features: int = 0
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.Dense(self.out_features, use_bias=self.bias)(x)
+
+
+@register("torch.nn.LayerNorm", "layer_norm")
+class LayerNorm(nn.Module):
+    normalized_shape: int = 0
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.LayerNorm(epsilon=self.eps)(x)
+
+
+@register("torch.nn.Identity", "identity")
+class Identity(nn.Module):
+    def __call__(self, x, train: bool = False):
+        return x
+
+
+@register("torch.nn.Upsample", "upsample")
+class Upsample(nn.Module):
+    scale_factor: int = 2
+
+    def __call__(self, x, train: bool = False):
+        s = int(self.scale_factor)
+        x = jnp.repeat(x, s, axis=1)
+        return jnp.repeat(x, s, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# core conv blocks
+# ---------------------------------------------------------------------------
+
+def _batch_norm(train: bool) -> nn.Module:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5)
+
+
+@register("segmentation.models.blocks.ConvBlock", "conv_block")
+class ConvBlock(nn.Module):
+    """``size`` x (conv k×k -> BN -> act), optional stride-2 tail + dropout.
+
+    Parity: reference ``blocks.py:419-492``.
+    """
+
+    in_channels: int = 0
+    out_channels: int = 0
+    size: int = 2
+    kernel_size: int = 3
+    padding: Any = 1
+    activations: Any = "relu"
+    dropout: Any = False
+    stride: Optional[int] = None
+    downsample_in_block: bool = False
+
+    PARAMS = {
+        "activations": "relu",
+        "size": 2,
+        "padding": 1,
+        "kernel_size": 3,
+        "dropout": False,
+        "stride": None,
+    }
+    DROPOUT_RATE = 0.5
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        fill_activation_spec(config_dict, "activations")
+        if config_dict.get("dropout"):
+            config_dict.get_or_update("dropout/rate", ConvBlock.DROPOUT_RATE)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.size):
+            downsampling = self.downsample_in_block and i == self.size - 1
+            stride = self.stride or (2 if downsampling else 1)
+            x = nn.Conv(self.out_channels, _pair(self.kernel_size),
+                        strides=_pair(stride),
+                        padding=_padding(self.padding, self.kernel_size))(x)
+            x = _batch_norm(train)(x)
+            x = make_activation(self.activations)(x)
+        if self.dropout:
+            rate = self.dropout["rate"] if not isinstance(self.dropout, bool) \
+                else self.DROPOUT_RATE
+            x = nn.Dropout(rate=rate, deterministic=not train)(x)
+        return x
+
+
+@register("segmentation.models.blocks.UpConvBlock", "up_conv_block")
+class UpConvBlock(nn.Module):
+    """Upsample(x2 nearest) -> conv -> act (reference ``blocks.py:495-539``)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    activation: Any = "relu"
+    kernel_size: int = 2
+    scale_factor: int = 2
+    channel_decrease_ratio: float = 0.5  # consumed by the decoder
+
+    PARAMS = {
+        "activation": "relu",
+        "kernel_size": 2,
+        "scale_factor": 2,
+    }
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        fill_activation_spec(config_dict, "activation")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Upsample(scale_factor=self.scale_factor)(x)
+        x = nn.Conv(self.out_channels, _pair(self.kernel_size),
+                    padding="SAME")(x)
+        return make_activation(self.activation)(x)
+
+
+@register("segmentation.models.blocks.ChannelwiseLayerNorm",
+          "channelwise_layer_norm")
+class ChannelwiseLayerNorm(nn.Module):
+    """LayerNorm over the channel axis (NHWC: a plain last-axis LN —
+    the reference's NCHW permute dance (``blocks.py:775-784``) is free here).
+    """
+
+    num_features: int = 0
+    smoothing_term: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.LayerNorm(epsilon=self.smoothing_term)(x)
+
+
+@register("segmentation.models.blocks.LayerScale", "layer_scale")
+class LayerScale(nn.Module):
+    n_channels: int = 0
+    init_value: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scale = self.param("scale", nn.initializers.constant(self.init_value),
+                           (self.n_channels,))
+        return x * scale
+
+
+def _bottleneck_triple(x, mid, out, kernel_size, activations, train):
+    """1x1 -> depthwise kxk -> 1x1, each conv+BN+act."""
+    act = lambda y: make_activation(activations)(y)  # noqa: E731
+    x = nn.Conv(mid, (1, 1), padding="SAME")(x)
+    x = _batch_norm(train)(x)
+    x = act(x)
+    x = nn.Conv(mid, _pair(kernel_size), padding="SAME",
+                feature_group_count=mid)(x)
+    x = _batch_norm(train)(x)
+    x = act(x)
+    x = nn.Conv(out, (1, 1), padding="SAME")(x)
+    x = _batch_norm(train)(x)
+    return act(x)
+
+
+@register("segmentation.models.blocks.ResNeXtBlock", "resnext_block")
+class ResNeXtBlock(nn.Module):
+    """(1x1 C->C/4) -> (dw kxk) -> (1x1 C/4->C); reference ``blocks.py:786-847``."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    kernel_size: int = 3
+    activations: Any = "relu"
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        fill_activation_spec(config_dict, "activations")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _bottleneck_triple(x, self.out_channels // 4,
+                                  self.out_channels, self.kernel_size,
+                                  self.activations, train)
+
+
+@register("segmentation.models.blocks.InvertedBottleneckBlock",
+          "inverted_bottleneck_block")
+class InvertedBottleneckBlock(nn.Module):
+    """(1x1 C->4C) -> (dw kxk) -> (1x1 4C->C); reference ``blocks.py:849-908``."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    kernel_size: int = 3
+    activations: Any = "relu"
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        fill_activation_spec(config_dict, "activations")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _bottleneck_triple(x, self.out_channels * 4,
+                                  self.out_channels, self.kernel_size,
+                                  self.activations, train)
+
+
+@register("segmentation.models.blocks.ConvNeXtBlock", "convnext_block")
+class ConvNeXtBlock(nn.Module):
+    """dw conv -> norm -> 1x1 (4x) -> act -> 1x1; reference ``blocks.py:910-981``."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    kernel_size: int = 3
+    activations: Any = "gelu"
+    normalisation: Any = "segmentation.models.blocks.ChannelwiseLayerNorm"
+    reduce_number_of_activations: bool = True
+    reduce_number_of_norm_layers: bool = True
+    channel_change_index: int = 1
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        fill_activation_spec(config_dict, "activations")
+
+    def _norm(self, num_features) -> nn.Module:
+        cfg = self.normalisation
+        if isinstance(cfg, str):
+            name, params = cfg, ConfigDict()
+        else:
+            name, params = cfg.item()
+        constructor = resolve(name)
+        kwargs = get_kwargs(constructor, params)
+        for field in ("num_features", "normalized_shape"):
+            if field in constructor.__dataclass_fields__:
+                kwargs[field] = num_features
+                break
+        return constructor(**kwargs)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.channel_change_index not in (1, 2, 3):
+            raise ValueError("channel_change_index should be in (1, 2, 3)")
+        i = self.channel_change_index
+        channels = (self.in_channels,) * (i - 1) + (self.out_channels,) * (3 - i)
+        act = lambda y: make_activation(self.activations)(y)  # noqa: E731
+
+        x = nn.Conv(channels[0], _pair(self.kernel_size), padding="SAME",
+                    feature_group_count=min(self.in_channels, channels[0]))(x)
+        x = self._norm(channels[0])(x)
+        if not self.reduce_number_of_activations:
+            x = act(x)
+
+        x = nn.Conv(4 * channels[1], (1, 1), padding="SAME")(x)
+        if not self.reduce_number_of_norm_layers:
+            x = self._norm(4 * channels[1])(x)
+        x = act(x)
+
+        x = nn.Conv(self.out_channels, (1, 1), padding="SAME")(x)
+        if not self.reduce_number_of_norm_layers:
+            x = self._norm(self.out_channels)(x)
+        if not self.reduce_number_of_activations:
+            x = act(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# residual connections (reference ``blocks.py:654-772``)
+# ---------------------------------------------------------------------------
+
+class ResConnection(nn.Module):
+    """Shortcut branch: identity (zero-fill / repeat / add / cut-off channel
+    adaptation) or a 1x1-conv projection with optional BN/ReLU."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    downsampling: bool = False
+    type_config: Any = "identity"
+
+    CONV_PARAMS = {"kernel_size": 1, "batch_norm": True, "activation": False}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.type_config
+        if isinstance(cfg, str):
+            kind, params = cfg, ConfigDict()
+        else:
+            kind, params = cfg.item()
+            if not isinstance(params, ConfigDict):
+                params = ConfigDict()
+
+        cin, cout = self.in_channels, self.out_channels
+        if kind == "identity":
+            if self.downsampling:
+                raise NotImplementedError(
+                    "identity shortcut with spatial downsampling")
+            if cin == cout:
+                return x
+            if cin < cout:
+                method = params.get_str("expand_method") \
+                    if params.has("expand_method") else "fill_with_zeros"
+                if method == "fill_with_zeros":
+                    pad = jnp.zeros(x.shape[:-1] + (cout - cin,), x.dtype)
+                    return jnp.concatenate([x, pad], axis=-1)
+                if method == "repeat":
+                    if cout % cin:
+                        raise ValueError("repeat expand needs divisibility")
+                    return jnp.concatenate([x] * (cout // cin), axis=-1)
+                raise ValueError(f"unknown expand_method {method!r}")
+            method = params.get_str("contract_method") \
+                if params.has("contract_method") else "add"
+            if method == "add":
+                if cin % cout:
+                    raise ValueError("add contract needs divisibility")
+                return x.reshape(x.shape[:-1] + (cin // cout, cout)).sum(-2)
+            if method == "cut_off":
+                return x[..., :cout]
+            raise ValueError(f"unknown contract_method {method!r}")
+
+        if kind in ("conv", "convolution"):
+            merged = dict(self.CONV_PARAMS)
+            merged.update({k.replace(" ", "_"): v
+                           for k, v in params.trim().to_dict().items()})
+            y = nn.Conv(cout, _pair(merged["kernel_size"]),
+                        strides=(2, 2) if self.downsampling else (1, 1),
+                        padding="VALID" if merged["kernel_size"] == 1
+                        else "SAME")(x)
+            if merged["batch_norm"]:
+                y = _batch_norm(train)(y)
+            if merged["activation"]:
+                y = nn.relu(y)
+            return y
+        raise ValueError(f"shortcut type must be identity/convolution, "
+                         f"got {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# mixing blocks (decoder skip-connection aggregation)
+# ---------------------------------------------------------------------------
+
+@register("segmentation.models.blocks.ConcatBlock", "concatenate")
+class ConcatBlock(nn.Module):
+    """Channel concat of upsampled path and skip value."""
+
+    @staticmethod
+    def get_out_ch(x_channels, x_up_channels, skip_channels,
+                   level_out_channels):
+        return x_up_channels + skip_channels
+
+    def __call__(self, x, x_up, skip_val, train: bool = False):
+        return jnp.concatenate([x_up, skip_val], axis=-1)
+
+
+@register("segmentation.models.blocks.ConcatLinearBlock",
+          "concat_linear_block")
+class ConcatLinearBlock(nn.Module):
+    """Token-axis concat + linear projection (Swin decoder mixing,
+    reference ``blocks.py:639-651``); operates on (B, L, C) sequences."""
+
+    x_channels: int = 0
+    x_up_channels: int = 0
+    skip_channels: int = 0
+    level_out_channels: int = 0
+
+    @staticmethod
+    def get_out_ch(x_channels, x_up_channels, skip_channels,
+                   level_out_channels):
+        return level_out_channels
+
+    @nn.compact
+    def __call__(self, x, x_up, skip_val, train: bool = False):
+        y = jnp.concatenate([x_up, skip_val], axis=-1)
+        return nn.Dense(self.level_out_channels)(y)
+
+
+@register("segmentation.models.blocks.AttentionBlock", "attention_block")
+class AttentionBlock(nn.Module):
+    """Attention-U-Net gate (arXiv:1804.03999); reference ``blocks.py:554-628``.
+
+    Gating signal from the coarse path reweights the skip tensor before the
+    usual concat.
+    """
+
+    x_channels: int = 0
+    x_up_channels: int = 0
+    skip_channels: int = 0
+    level_out_channels: int = 0
+    gating_signal: Any = None
+
+    PARAMS = {
+        "gating signal": {
+            "argument name": "gating_signal",
+            "default": {"segmentation.models.blocks.ConvBlock": {
+                "size": 1, "kernel size": 1, "padding": 0}},
+        },
+        "halve_channels": False,
+    }
+    halve_channels: bool = False
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        from ..config.registry import fill_spec
+        fill_spec(config_dict, "gating signal")
+
+    @staticmethod
+    def get_out_ch(x_channels, x_up_channels, skip_channels,
+                   level_out_channels):
+        return x_up_channels + skip_channels
+
+    @nn.compact
+    def __call__(self, x, x_up, skip_val, train: bool = False):
+        gs_cfg = self.gating_signal
+        if gs_cfg is None:
+            gs_cfg = ConfigDict(
+                {"segmentation.models.blocks.ConvBlock": {
+                    "size": 1, "kernel_size": 1, "padding": 0}})
+        builder = make_block_builder(gs_cfg)
+        g = builder(self.x_channels, self.x_channels)(x, train=train)
+
+        g1 = nn.Conv(self.x_channels, (1, 1), padding="VALID")(g)
+        g1 = _batch_norm(train)(g1)
+        x1 = nn.Conv(self.x_channels, (2, 2), strides=(2, 2),
+                     padding="VALID")(skip_val)
+        x1 = _batch_norm(train)(x1)
+        p = nn.relu(x1 + g1)
+        p = nn.Conv(self.skip_channels, (1, 1), padding="VALID")(p)
+        p = _batch_norm(train)(p)
+        p = nn.sigmoid(p)
+        p = Upsample(scale_factor=2)(p)
+        return jnp.concatenate([x_up, skip_val * p], axis=-1)
+
+
+def mixing_out_channels(mixing, **channel_kwargs) -> int:
+    """Output channels of a mixing block constructor or instance."""
+    fn = getattr(mixing, "get_out_ch", None)
+    if fn is None:
+        return channel_kwargs["x_up_channels"] + channel_kwargs["skip_channels"]
+    return fn(**channel_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# config -> block factory plumbing
+# ---------------------------------------------------------------------------
+
+def block_accepts(constructor, field: str) -> bool:
+    fields = getattr(constructor, "__dataclass_fields__", None)
+    if fields is not None:
+        return field in fields
+    import inspect
+    try:
+        return field in inspect.signature(constructor).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def make_block_builder(block_cfg: Any):
+    """Resolve a block config to ``builder(in_ch, out_ch, **ctx) -> Module``.
+
+    *ctx* keys (``downsample_in_block``, ``position``,
+    ``stochastic_depth_rate``, ...) are forwarded only when the block class
+    has such a field — the registry-based analog of the reference's
+    ``accepts_kwarg`` probing (``unet_models.py:108-116``).
+    """
+    if isinstance(block_cfg, str):
+        block_cfg = ConfigDict({block_cfg: {}})
+    name, params = block_cfg.item()
+    if not isinstance(params, ConfigDict):
+        params = ConfigDict()
+        block_cfg[name] = params
+    constructor = resolve(name)
+    from ..config.registry import fill_spec
+    fill_spec(block_cfg)  # idempotent: injects missing defaults in place
+    base_kwargs = get_kwargs(constructor, params)
+    base_kwargs = {k: v for k, v in base_kwargs.items()
+                   if block_accepts(constructor, k)}
+
+    def build(in_channels: int, out_channels: int, **ctx) -> nn.Module:
+        kwargs = dict(base_kwargs)
+        if block_accepts(constructor, "in_channels"):
+            kwargs["in_channels"] = in_channels
+        if block_accepts(constructor, "out_channels"):
+            kwargs["out_channels"] = out_channels
+        for key, value in ctx.items():
+            if block_accepts(constructor, key):
+                kwargs[key] = value
+        return constructor(**kwargs)
+
+    build.constructor = constructor
+    return build

@@ -1,0 +1,341 @@
+"""Model wrapper: config -> flax module + parameter lifecycle.
+
+Capability parity with ``/root/reference/src/model/model.py`` (``Model``):
+builds the wrapped module from a constructor + config kwargs, applies random
+weight-init schemes and pretrained-weight loading, resolves freeze/unfreeze
+sets, and reports parameter/FLOP counts.  The torch version mutates module
+weights in place; here every operation is a pure function over the
+``variables`` pytree, so it composes with jit/shard_map.
+
+Weight checkpoints are flax msgpack files (``*.msgpack``); PyTorch ``.pt``
+checkpoints from the reference's released encoder weights are ingested
+through ``train.checkpoint.load_torch_state_dict`` when torch is available.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigDict
+from ..config.registry import get_kwargs, fill_spec
+from .init import apply_init, init_spec_defaults
+
+__all__ = ["Model"]
+
+
+def _tree_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for key, value in tree.items():
+            yield from _tree_paths(value, prefix + (key,))
+    else:
+        yield prefix, tree
+
+
+def _get_subtree(tree, path):
+    for key in path:
+        tree = tree[key]
+    return tree
+
+
+def _set_subtree(tree, path, value):
+    """Pure set: returns a copy of *tree* with ``tree[path] = value``."""
+    if not path:
+        return value
+    tree = dict(tree)
+    head, rest = path[0], path[1:]
+    tree[head] = _set_subtree(tree.get(head, {}), rest, value)
+    return tree
+
+
+def _graft(dst, src, on_missing):
+    """Copy leaves of *src* into matching paths of *dst* (same structure
+    expected); collect missing/unexpected key paths."""
+    dst_paths = {p: v for p, v in _tree_paths(dst)}
+    src_paths = {p: v for p, v in _tree_paths(src)}
+    missing = [p for p in dst_paths if p not in src_paths]
+    unexpected = [p for p in src_paths if p not in dst_paths]
+    out = dst
+    for path, value in src_paths.items():
+        if path in dst_paths:
+            target = dst_paths[path]
+            value = jnp.asarray(value, target.dtype).reshape(target.shape) \
+                if np.prod(np.shape(value)) == np.prod(target.shape) \
+                else value
+            out = _set_subtree(out, path, value)
+    if on_missing and (missing or unexpected):
+        on_missing(missing, unexpected)
+    return out
+
+
+class Model:
+    """Host-side wrapper around a flax module built from config."""
+
+    def __init__(self, constructor: Callable, config_dict: Optional[ConfigDict]
+                 = None, *args, **kwargs):
+        if config_dict is None:
+            config_dict = ConfigDict()
+        self.config_dict = config_dict
+        model_kwargs = get_kwargs(constructor, config_dict)
+        fields = getattr(constructor, "__dataclass_fields__", {})
+        for kw in ("weight_init", "weight_initialisation"):
+            if kw not in fields:
+                model_kwargs.pop(kw, None)
+        model_kwargs.update(kwargs)
+        self.module = constructor(*args, **model_kwargs)
+        self.PASS_ALL_INPUTS = config_dict.get(
+            "pass_all_input", getattr(constructor, "PASS_ALL_INPUTS", False))
+        self.frozen_paths: Tuple[Tuple[str, ...], ...] = ()
+
+    # ------------------------------------------------------------------
+    # parameter lifecycle
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array],
+             train: bool = True):
+        """Initialise variables ({'params', 'batch_stats', ...})."""
+        x = sample_batch["x"] if isinstance(sample_batch, dict) \
+            else sample_batch
+        params_key, dropout_key = jax.random.split(rng)
+        return self.module.init(
+            {"params": params_key, "dropout": dropout_key}, x, train=False)
+
+    def apply(self, variables, x, train: bool = False,
+              rngs: Optional[dict] = None, mutable=False, **kwargs):
+        return self.module.apply(variables, x, train=train, rngs=rngs,
+                                 mutable=mutable, **kwargs)
+
+    # ------------------------------------------------------------------
+    # weight initialisation (random schemes + pretrained weights)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def fill_weight_init_kwargs(config_dict: ConfigDict):
+        """Inject defaults into weight-init scheme configs (parity with
+        reference ``model/model.py:21-45``)."""
+        def fill_scheme(init_dict: ConfigDict):
+            if not isinstance(init_dict, ConfigDict):
+                return
+            name = init_dict.key() if len(init_dict) == 1 else None
+            if name and not os.path.isfile(name):
+                spec = init_spec_defaults(name)
+                value = init_dict.value()
+                if isinstance(value, ConfigDict):
+                    value.fill_with_defaults(spec)
+
+        config_dict.expand()
+        for key in ("weight_initialisation", "weight_init"):
+            if key not in config_dict:
+                continue
+            if f"{key}/random" in config_dict:
+                key = f"{key}/random"
+            entry = config_dict[key]
+            if isinstance(entry, (tuple, list)):
+                for init_dict in config_dict.elements_of(key):
+                    fill_scheme(init_dict)
+            elif isinstance(entry, ConfigDict) and len(entry.keys()) == 1:
+                if entry.key() != "weights":
+                    fill_scheme(entry)
+
+    def init_weight(self, config_dict: ConfigDict, variables,
+                    rng: jax.Array):
+        """Apply the config's weight-init spec to *variables* (pure).
+
+        Handles: ``weight_init`` as a single scheme, a ``{random: ...,
+        weights: path}`` combo, per-layer-type scheme tables, and module
+        ``init_weights`` hooks (encoder transfer for UNet).
+        """
+        config_dict.expand()
+        weight_init = config_dict.get(
+            "weight_initialisation", config_dict.get("weight_init", None))
+        if weight_init is None:
+            return variables
+
+        params = variables["params"]
+
+        # --- random scheme(s)
+        random_init = None
+        if isinstance(weight_init, (tuple, list)):
+            random_init = weight_init[0] if len(weight_init) == 1 \
+                else ConfigDict({"otherwise": list(weight_init)})
+        elif isinstance(weight_init, ConfigDict):
+            if "random" in weight_init:
+                random_init = weight_init["random"]
+            elif "weights" not in weight_init:
+                random_init = weight_init
+        if isinstance(random_init, str):
+            random_init = ConfigDict({random_init: {}})
+        if random_init is not None:
+            try:
+                params = apply_init(params, random_init, rng)
+            except KeyError as exc:
+                warnings.warn(f"Unknown weight-init scheme: {exc}; leaving "
+                              f"default initialisation.")
+
+        variables = dict(variables)
+        variables["params"] = params
+
+        # --- pretrained weights (full-model path)
+        weights_path = None
+        if isinstance(weight_init, ConfigDict) and "weights" in weight_init:
+            trimmed = weight_init.trim()
+            weights_path = trimmed.get("weights", None)
+        if weights_path:
+            variables = self.load_weights(
+                variables, weights_path,
+                strict=bool(weight_init.get("strict", True)))
+
+        # --- module-specific hook (UNet encoder transfer)
+        variables = self._encoder_transfer(config_dict, variables)
+        return variables
+
+    def load_weights(self, variables, path: str, strict: bool = True,
+                     subtree: Tuple[str, ...] = ()):
+        """Load a checkpoint file into (a subtree of) the params."""
+        from ..train.checkpoint import load_params_file
+        loaded = load_params_file(path)
+        params = variables["params"]
+        target = _get_subtree(params, subtree) if subtree else params
+
+        def warn(missing, unexpected):
+            if strict:
+                raise KeyError(
+                    f"State mismatch loading {path}: missing "
+                    f"{missing[:5]}..., unexpected {unexpected[:5]}...")
+            if missing:
+                warnings.warn(f"Missing keys in {path}: "
+                              f"{['/'.join(p) for p in missing[:8]]} — "
+                              f"left randomly initialised.")
+            if unexpected:
+                warnings.warn(f"Unexpected keys in {path}: "
+                              f"{['/'.join(p) for p in unexpected[:8]]} — "
+                              f"ignored.")
+
+        grafted = _graft(target, loaded, warn)
+        params = _set_subtree(params, subtree, grafted) if subtree else grafted
+        out = dict(variables)
+        out["params"] = params
+        return out
+
+    def _encoder_transfer(self, config_dict: ConfigDict, variables):
+        """UNet pretrained-encoder loading (reference
+        ``unet_models.py:555-588``): pull the first FeedForwardModel layer's
+        weights out of a pretraining checkpoint into the UNet encoder."""
+        key = "weight_initialisation" \
+            if "weight_initialisation" in config_dict else "weight_init"
+        key = key + "/encoder"
+        if key not in config_dict:
+            return variables
+        enc_cfg = config_dict[key]
+        if not isinstance(enc_cfg, ConfigDict):
+            return variables
+        weights = enc_cfg.trim().get("weights", False)
+        if not weights:
+            return variables
+        strict = bool(enc_cfg.get("strict", True))
+        try:
+            from ..train.checkpoint import load_encoder_params
+            encoder_params = load_encoder_params(weights)
+            params = variables["params"]
+            if "enc" not in params:
+                raise KeyError("model has no encoder subtree to load into")
+
+            def warn(missing, unexpected):
+                if missing:
+                    warnings.warn(
+                        f"Missing keys in encoder checkpoint {weights}: "
+                        f"{['/'.join(p) for p in missing[:8]]}")
+                if unexpected:
+                    warnings.warn(
+                        f"Unexpected keys in encoder checkpoint {weights}: "
+                        f"{['/'.join(p) for p in unexpected[:8]]}")
+
+            grafted = _graft(params["enc"], encoder_params,
+                             warn if not strict else None)
+            out = dict(variables)
+            out["params"] = _set_subtree(params, ("enc",), grafted)
+            print(f"Successfully initialised encoder from {weights}.")
+            return out
+        except Exception as exc:  # noqa: BLE001 - parity: never fatal
+            from ..utils import handle_exception
+            handle_exception(
+                exc, f"Could not load encoder weights from {weights}; "
+                     f"leaving random initialisation.")
+            return variables
+
+    # ------------------------------------------------------------------
+    # freezing
+    # ------------------------------------------------------------------
+
+    def freeze_and_unfreeze(self, config_dict: ConfigDict):
+        """Record frozen parameter subtrees from the config.
+
+        Paths use dotted submodule names (e.g. ``encoder`` / ``enc``); the
+        optimizer consumes :meth:`trainable_mask`.
+        """
+        freeze = config_dict.get_str_tuple("weight_init/freeze_weights")
+        unfreeze = config_dict.get_str_tuple("weight_init/unfreeze_weights")
+        alias = {"encoder": "enc", "decoder": "dec"}
+
+        def canon(path: str) -> Tuple[str, ...]:
+            parts = tuple(p for p in path.split(".") if p)
+            return tuple(alias.get(p, p) for p in parts)
+
+        frozen = set()
+        for path in freeze:
+            frozen.add(("__all__",) if path == "all" else canon(path))
+        for path in unfreeze:
+            target = ("__all__",) if path == "all" else canon(path)
+            frozen.discard(target)
+        self.frozen_paths = tuple(sorted(frozen))
+        return self.frozen_paths
+
+    def trainable_mask(self, params):
+        """Boolean pytree: True where the parameter is trainable."""
+        frozen = self.frozen_paths
+
+        def is_frozen(path) -> bool:
+            for fpath in frozen:
+                if fpath == ("__all__",):
+                    return True
+                if path[:len(fpath)] == fpath:
+                    return True
+            return False
+
+        flat = {p: not is_frozen(p) for p, _ in _tree_paths(params)}
+        out = {}
+        for path, trainable in flat.items():
+            out = _set_subtree(out, path, trainable)
+        return out
+
+    # ------------------------------------------------------------------
+    # accounting
+    # ------------------------------------------------------------------
+
+    def get_num_params(self, variables, trainable_only: bool = False) -> int:
+        params = variables["params"] if "params" in variables else variables
+        if trainable_only and self.frozen_paths:
+            mask = self.trainable_mask(params)
+            total = 0
+            for (path, leaf) in _tree_paths(params):
+                if _get_subtree(mask, path):
+                    total += int(np.prod(leaf.shape))
+            return total
+        return sum(int(np.prod(l.shape)) for _, l in _tree_paths(params))
+
+    def get_number_of_flops(self, variables, sample_x) -> Optional[float]:
+        """Analytic FLOP count from XLA's cost model for one forward pass."""
+        try:
+            fn = lambda v, x: self.module.apply(v, x, train=False)  # noqa
+            lowered = jax.jit(fn).lower(variables, sample_x)
+            analysis = lowered.compile().cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            return float(analysis.get("flops", float("nan")))
+        except Exception:  # noqa: BLE001 - accounting is best-effort
+            return None

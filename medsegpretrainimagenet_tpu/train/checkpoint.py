@@ -1,0 +1,120 @@
+"""Checkpoint I/O: native msgpack checkpoints + torch ``.pt`` ingestion.
+
+Capability parity with the reference's checkpoint roles (SURVEY.md §5.4):
+``last`` / ``best`` / ``model_state_dict_epoch_{j}`` model checkpoints plus
+optimizer/scheduler state, and the pretraining->downstream encoder-transfer
+loading path (reference ``unet_models.py:555-588``: strip the
+``layers.0.`` prefix of a FeedForwardModel checkpoint and load it into the
+U-Net encoder).
+
+Native format: flax msgpack of plain nested dicts (host numpy), one file per
+role — fast, dependency-free, and mesh-agnostic (params are replicated or
+re-sharded on restore by the caller's shardings).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = [
+    "save_params_file", "load_params_file", "load_encoder_params",
+    "save_state_file", "load_state_file", "load_torch_state_dict",
+]
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_params_file(path: str, params) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(_to_host(params)))
+
+
+def _is_torch_file(path: str) -> bool:
+    return str(path).endswith((".pt", ".pth"))
+
+
+def load_params_file(path: str):
+    """Load a parameter tree from msgpack (native) or torch ``.pt``."""
+    if _is_torch_file(path):
+        return load_torch_state_dict(path)
+    with open(path, "rb") as fh:
+        return serialization.msgpack_restore(fh.read())
+
+
+def load_encoder_params(path: str):
+    """Extract the encoder (first layer) params from a pretraining
+    checkpoint — the FeedForwardModel's ``layers_0`` subtree."""
+    params = load_params_file(path)
+    if "params" in params and isinstance(params["params"], dict):
+        params = params["params"]
+    for key in ("layers_0", "layers.0", "enc"):
+        if key in params:
+            return params[key]
+    # torch-style flat dict {'layers.0.xxx': tensor}
+    flat = {k[len("layers.0."):]: v for k, v in params.items()
+            if isinstance(k, str) and k.startswith("layers.0.")}
+    if flat:
+        return _unflatten_torch_keys(flat)
+    raise KeyError(f"checkpoint {path} has no encoder (layers_0) subtree; "
+                   f"top-level keys: {list(params)[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# full training-state checkpoints
+# ---------------------------------------------------------------------------
+
+def save_state_file(path: str, state: Dict[str, Any]) -> None:
+    """Save a {'params', 'batch_stats', 'opt_state', 'step', ...} dict."""
+    save_params_file(path, state)
+
+
+def load_state_file(path: str):
+    return load_params_file(path)
+
+
+# ---------------------------------------------------------------------------
+# torch interop
+# ---------------------------------------------------------------------------
+
+def _unflatten_torch_keys(flat: Dict[str, Any]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
+    return tree
+
+
+def load_torch_state_dict(path: str):
+    """Load a torch ``.pt`` state dict as a nested numpy tree.
+
+    Conv weights are transposed OIHW -> HWIO and linear weights (out, in) ->
+    (in, out) so rank decides the convention, matching how the reference's
+    released encoder weights map onto this framework's NHWC modules.
+    Key-level renaming (torch module names -> flax subtree names) is the
+    caller's job.
+    """
+    import torch  # CPU build is available in the image
+
+    state = torch.load(path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    flat = {}
+    for key, tensor in state.items():
+        value = tensor.detach().cpu().numpy() \
+            if hasattr(tensor, "detach") else np.asarray(tensor)
+        if value.ndim == 4:  # conv kernel OIHW -> HWIO
+            value = value.transpose(2, 3, 1, 0)
+        elif value.ndim == 2:  # linear (out, in) -> (in, out)
+            value = value.transpose(1, 0)
+        flat[key] = value
+    return _unflatten_torch_keys(flat)
