@@ -1,0 +1,198 @@
+"""Loss functions (pure jnp) + the Loss wrapper.
+
+Capability parity with ``/root/reference/src/loss/loss.py``,
+``segmentation/losses/losses.py`` and ``classification/losses.py``:
+DiceLoss (smooth 1-DSC with squared-prediction denominator, batchwise or
+per-sample axes, background handling), manual BCE, CrossEntropy with label
+smoothing and a no-softmax variant — plus a wrapper that selects the target
+column (``label_type``) and names the loss for logging.
+
+TPU-native design: losses are pure ``(prediction, batch) -> scalar``
+functions traced into the jitted train step.  The reference runs
+``loss.backward()`` *inside* its wrapper per batch fragment
+(``loss/loss.py:82-87``); here gradient accumulation is a ``lax.scan`` over
+microbatches in the train step, and per-fragment value accumulation lives in
+the device-side metrics state.  Layout is NHWC: the class axis is -1.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import jax.nn
+
+from ..config import ConfigDict, register
+from ..config.registry import get_kwargs
+
+__all__ = ["Loss", "DiceLoss", "BCELoss", "CrossEntropyLoss"]
+
+_LOG_CLAMP = -100.0
+
+
+def _snake(name: str) -> str:
+    name = re.sub("(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub("([a-z0-9])([A-Z])", r"\1_\2", name).lower()
+
+
+def _squeeze_channel(target):
+    """Accept (B,H,W), (B,H,W,1), (B,) or (B,1) targets uniformly."""
+    if target.ndim >= 2 and target.shape[-1] == 1:
+        return target[..., 0]
+    return target
+
+
+@register("segmentation.losses.DiceLoss", "dice_loss")
+class DiceLoss:
+    """Smooth 1 - DSC (reference ``segmentation/losses/losses.py:11-58``).
+
+    DSC uses a squared-prediction denominator; with ``batchwise`` the score
+    pools all samples, otherwise per-sample scores are averaged; classes are
+    one-vs-rest over ``mask == i`` with optional background inclusion.
+    """
+
+    def __init__(self, batchwise: bool = True, include_background: bool = True,
+                 smoothing_term: float = 1e-5, apply_softmax: bool = False,
+                 *args, **kwargs):
+        self.eps = smoothing_term
+        self.batchwise = batchwise
+        self.include_background = include_background
+        self.softmax = apply_softmax
+        self.name = "dice_loss"
+
+    def _dice(self, y_hat, y, axes):
+        intersection = jnp.sum(y * y_hat, axis=axes)
+        y_size = jnp.sum(y, axis=axes)
+        y_hat_size = jnp.sum(y_hat ** 2, axis=axes)
+        return (2 * intersection + self.eps) / (y_size + y_hat_size + self.eps)
+
+    def __call__(self, prediction, mask, *args, **kwargs):
+        if self.softmax:
+            prediction = jax.nn.softmax(prediction, axis=-1)
+        mask = _squeeze_channel(mask).astype(prediction.dtype)
+        n_classes = prediction.shape[-1]
+        classes_start = int(not self.include_background)
+        if n_classes == 1:
+            if self.include_background:
+                prediction = jnp.concatenate(
+                    [1 - prediction, prediction], axis=-1)
+                n_classes = 2
+            else:
+                classes_start = 0
+                mask = 1 - mask
+        # spatial axes of the per-class (B, H, W) tensors (+ batch when
+        # pooling batchwise)
+        axes = tuple(range(0 if self.batchwise else 1, mask.ndim))
+        scores = [self._dice(prediction[..., i], (mask == i).astype(
+            prediction.dtype), axes)
+            for i in range(classes_start, n_classes)]
+        return 1 - jnp.concatenate(
+            [jnp.atleast_1d(s) for s in scores]).mean()
+
+
+@register("classification.losses.BCELoss", "torch.nn.BCELoss", "bce_loss")
+class BCELoss:
+    """Manual binary cross entropy on probabilities
+    (reference ``classification/losses.py:4-11``), with log clamping for
+    numerical safety on TPU."""
+
+    def __init__(self, reduction: str = "mean", *args, **kwargs):
+        self.reduction = reduction
+        self.name = "bce_loss"
+
+    def __call__(self, prediction, label, *args, **kwargs):
+        label = _squeeze_channel(label).astype(prediction.dtype)
+        prediction = _squeeze_channel(prediction)
+        log_p = jnp.clip(jnp.log(prediction), _LOG_CLAMP)
+        log_1p = jnp.clip(jnp.log1p(-prediction), _LOG_CLAMP)
+        value = -(label * log_p + (1 - label) * log_1p)
+        if self.reduction == "mean":
+            return value.mean()
+        if self.reduction == "sum":
+            return value.sum()
+        return value
+
+
+@register("classification.losses.CrossEntropyLoss",
+          "torch.nn.CrossEntropyLoss", "cross_entropy_loss")
+class CrossEntropyLoss:
+    """Cross entropy with label smoothing (reference
+    ``classification/losses.py:13-39``).
+
+    ``apply_softmax=True``: *prediction* is logits over the last axis, target
+    is integer classes (or a one-hot/smoothed distribution of matching
+    shape).  ``apply_softmax=False``: prediction is already a probability
+    distribution; log values are clamped like the reference.
+    """
+
+    def __init__(self, label_smoothing: float = 0.0,
+                 apply_softmax: bool = True, *args, **kwargs):
+        if label_smoothing >= 0.5:
+            raise ValueError("Label smoothing value should be < 0.5")
+        self.smooth = label_smoothing
+        self.apply_softmax = apply_softmax
+        self.name = "cross_entropy_loss"
+
+    def _one_hot(self, label, n_classes, dtype):
+        label = _squeeze_channel(label)
+        if label.ndim and label.shape[-1] == n_classes and \
+                jnp.issubdtype(label.dtype, jnp.floating):
+            return label.astype(dtype)  # already one-hot / mixed (mixup)
+        return jax.nn.one_hot(label.astype(jnp.int32), n_classes, dtype=dtype)
+
+    def __call__(self, prediction, label, *args, **kwargs):
+        n_classes = prediction.shape[-1]
+        onehot = self._one_hot(label, n_classes, prediction.dtype)
+        if self.apply_softmax:
+            # torch.nn.CrossEntropyLoss smoothing: (1-s)*onehot + s/K
+            target = onehot * (1 - self.smooth) + self.smooth / n_classes \
+                if self.smooth else onehot
+            log_pred = jax.nn.log_softmax(prediction, axis=-1)
+        else:
+            # reference no-softmax variant clamps the one-hot instead
+            target = jnp.clip(onehot, self.smooth / n_classes,
+                              1 - self.smooth / n_classes) \
+                if self.smooth else onehot
+            log_pred = jnp.clip(
+                jnp.nan_to_num(jnp.log(prediction), neginf=_LOG_CLAMP),
+                _LOG_CLAMP)
+        return -(log_pred * target).sum(axis=-1).mean()
+
+
+class Loss:
+    """Wrapper selecting the target column and naming the loss.
+
+    ``__call__(prediction, batch)`` returns the scalar loss; the trainer
+    scales by the accumulation factor inside its scan.  Parity with
+    reference ``loss/loss.py`` minus the backward call (autodiff handles
+    that) and the host-side value bookkeeping (device metric state does).
+    """
+
+    PARAMS = {"label type": "mask"}
+
+    def __init__(self, loss_fn: Callable, config_dict: Optional[ConfigDict]
+                 = None, *args, **kwargs):
+        if config_dict is None:
+            config_dict = ConfigDict()
+        loss_kwargs = get_kwargs(
+            loss_fn, config_dict.mask("label_type", "train_prediction_index"))
+        loss_kwargs = {k.replace(" ", "_"): v for k, v in loss_kwargs.items()}
+        self.calculator = loss_fn(*args, **kwargs, **loss_kwargs)
+        self.name = getattr(self.calculator, "name", _snake(
+            getattr(loss_fn, "__name__", type(self.calculator).__name__)))
+        self.label_type = config_dict.get("label type",
+                                          self.PARAMS["label type"])
+        self.prediction_index = config_dict.get("train_prediction_index",
+                                                None)
+        self.PASS_ALL_INPUTS = config_dict.get(
+            "pass_all_inputs", getattr(self.calculator, "PASS_ALL_INPUTS",
+                                       False))
+
+    def __call__(self, prediction, batch: Dict[str, Any]):
+        if self.PASS_ALL_INPUTS:
+            return self.calculator(
+                prediction=prediction,
+                **{k: v for k, v in batch.items() if k != "x"})
+        if isinstance(prediction, (tuple, list)):
+            prediction = prediction[self.prediction_index or 0]
+        return self.calculator(prediction, batch[self.label_type])

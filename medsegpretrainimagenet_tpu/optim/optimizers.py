@@ -1,0 +1,198 @@
+"""Optimizers as optax transforms, built from config.
+
+Capability parity with ``/root/reference/src/optim/optimizer.py`` and
+``optims_dict.py``: named optimizers (``sgd``, ``adam``/AdamW) plus the
+``torch.optim.*`` aliases used by the shipped configs, with the nested
+``learning_rate`` sub-config carrying the schedule spec and base lr.
+
+TPU-native design: the optimizer is an ``optax.GradientTransformation``
+whose update runs inside the jitted train step; the learning rate is a pure
+schedule of the step counter (see ``schedules.py``); freezing is an
+``optax.multi_transform`` label tree (frozen leaves get ``set_to_zero``),
+and torch-style coupled weight decay maps to ``add_decayed_weights`` placed
+before the momentum/adam transform exactly as torch applies it to the grad.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import optax
+
+from ..config import ConfigDict, register
+from .schedules import (DEFAULT_BASE_LR, ScheduleSpec, build_schedule,
+                        fill_schedule_spec)
+
+__all__ = ["Optimizer", "OPTIMIZERS", "build_optimizer"]
+
+
+def _sgd(learning_rate, momentum=0.9, weight_decay=0.0, nesterov=False,
+         dampening=0.0, **_ignored) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics: grad += wd*param; momentum buffer;
+    optional nesterov; (dampening unsupported when nonzero)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        if dampening:
+            # buf = m*buf + (1-d)*g  ==  trace on scaled grads
+            parts.append(optax.scale(1.0 - dampening))
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def _adam(learning_rate, beta_1=0.9, beta_2=0.999, weight_decay=0.0,
+          decoupled_weight_decay=False, amsgrad=False, eps=1e-8,
+          **_ignored) -> optax.GradientTransformation:
+    if decoupled_weight_decay:
+        return optax.adamw(learning_rate, b1=beta_1, b2=beta_2, eps=eps,
+                           weight_decay=weight_decay)
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    scale = optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=eps) if amsgrad \
+        else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=eps)
+    parts.append(scale)
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def _adamw(learning_rate, betas=(0.9, 0.999), weight_decay=0.01, eps=1e-8,
+           **_ignored) -> optax.GradientTransformation:
+    b1, b2 = betas
+    return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                       weight_decay=weight_decay)
+
+
+OPTIMIZERS = {
+    "sgd": {
+        "init": _sgd,
+        "arguments": {
+            "momentum": {"argument name": "momentum", "default": 0.9},
+            "weight decay": {"argument name": "weight_decay", "default": 0.0},
+            "nesterov momentum": {"argument name": "nesterov",
+                                  "default": False},
+            "momentum dampening": {"argument name": "dampening",
+                                   "default": 0.0},
+        },
+    },
+    "adam": {
+        "init": _adam,
+        "arguments": {
+            "beta_1": {"argument name": "beta_1", "default": 0.9},
+            "beta_2": {"argument name": "beta_2", "default": 0.999},
+            "weight decay": {"argument name": "weight_decay", "default": 0.0},
+            "decoupled weight decay": {
+                "argument name": "decoupled_weight_decay", "default": False},
+            "amsgrad": {"argument name": "amsgrad", "default": False},
+        },
+    },
+    "torch.optim.AdamW": {
+        "init": _adamw,
+        "arguments": {
+            "betas": {"argument name": "betas", "default": (0.9, 0.999)},
+            "weight_decay": {"argument name": "weight_decay",
+                             "default": 0.01},
+            "eps": {"argument name": "eps", "default": 1e-8},
+        },
+    },
+    "torch.optim.Adam": {
+        "init": _adam,
+        "arguments": {
+            "betas": {"argument name": "betas", "default": (0.9, 0.999)},
+            "weight_decay": {"argument name": "weight_decay", "default": 0.0},
+            "eps": {"argument name": "eps", "default": 1e-8},
+        },
+    },
+    "torch.optim.SGD": {
+        "init": _sgd,
+        "arguments": {
+            "momentum": {"argument name": "momentum", "default": 0.0},
+            "weight_decay": {"argument name": "weight_decay", "default": 0.0},
+            "nesterov": {"argument name": "nesterov", "default": False},
+            "dampening": {"argument name": "dampening", "default": 0.0},
+        },
+    },
+}
+
+
+class Optimizer:
+    """Config-built optimizer: optax transform + lr schedule + freeze mask.
+
+    Usage::
+
+        opt = Optimizer(config_dict['training/optimizer'],
+                        num_epochs=E, batches_per_epoch=B,
+                        trainable_mask=mask_tree)
+        state = opt.tx.init(params)
+        lr = opt.lr_at(step)
+    """
+
+    PARAMS = {"learning rate": DEFAULT_BASE_LR}
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        optim_name, optim_dict = config_dict.item()
+        if optim_name in OPTIMIZERS:
+            optim_dict.fill_with_defaults(OPTIMIZERS[optim_name]["arguments"])
+        lr_dict = optim_dict.get_or_update("learning rate", "constant",
+                                           final=False)
+        if isinstance(lr_dict, ConfigDict):
+            lr_dict.get_or_update(f"{lr_dict.key()}/base",
+                                  Optimizer.PARAMS["learning rate"])
+            fill_schedule_spec(lr_dict)
+
+    def __init__(self, config_dict: ConfigDict,
+                 num_epochs: Optional[int] = None,
+                 batches_per_epoch: int = 1,
+                 trainable_mask=None):
+        if isinstance(config_dict, str):
+            config_dict = ConfigDict({config_dict: {}})
+        Optimizer.fill_kwargs(config_dict)
+        optim_name, optim_dict = config_dict.item()
+
+        lr_cfg = optim_dict.get("learning rate")
+        self.schedule: ScheduleSpec = build_schedule(
+            lr_cfg, num_epochs=num_epochs,
+            batches_per_epoch=batches_per_epoch)
+        self._lr_fn = self.schedule.global_fn(batches_per_epoch)
+
+        spec = OPTIMIZERS.get(optim_name)
+        if spec is None:
+            from ..config.registry import RegistryError
+            raise RegistryError(
+                f"Unknown optimizer {optim_name!r} "
+                f"(known: {sorted(OPTIMIZERS)})")
+        kwargs = {}
+        for arg_name, arg_spec in spec["arguments"].items():
+            arg = arg_spec.get("argument name", arg_name) \
+                if isinstance(arg_spec, dict) else arg_name
+            default = arg_spec.get("default") \
+                if isinstance(arg_spec, dict) else arg_spec
+            value = optim_dict.get(arg_name, default)
+            if isinstance(value, ConfigDict):
+                value = value.key()
+            kwargs[arg] = value
+
+        tx = spec["init"](learning_rate=self._lr_fn, **kwargs)
+        if trainable_mask is not None:
+            labels = jax.tree_util.tree_map(
+                lambda trainable: "train" if trainable else "freeze",
+                trainable_mask)
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels)
+        self.tx: optax.GradientTransformation = tx
+        self.name = optim_name
+
+    def lr_at(self, step):
+        """Learning rate at a global optimizer step (host or traced)."""
+        return self._lr_fn(step)
+
+
+def build_optimizer(config_dict, **kwargs) -> Optimizer:
+    return Optimizer(config_dict, **kwargs)
+
+
+for _alias in OPTIMIZERS:
+    register(_alias)(build_optimizer)

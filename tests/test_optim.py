@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.optim import Optimizer, build_schedule
+
+
+def lr_seq(spec, steps, bpe=1):
+    fn = spec.global_fn(bpe)
+    return [float(fn(jnp.asarray(s))) for s in range(steps)]
+
+
+def test_constant_schedule():
+    spec = build_schedule(ConfigDict({"constant": {"base": 0.3}}))
+    assert lr_seq(spec, 3) == pytest.approx([0.3, 0.3, 0.3])
+
+
+def test_poly_schedule():
+    cfg = ConfigDict({"optim.scheduler.PolyLearningRateDecay": {
+        "base": 1.0, "exponent": 0.9, "iteration_unit": "batch",
+        "number_of_iterations": "auto"}})
+    spec = build_schedule(cfg, num_epochs=2, batches_per_epoch=5)
+    values = lr_seq(spec, 10)
+    assert values[0] == 1.0
+    assert np.allclose(values[5], (1 - 5 / 10) ** 0.9)
+    assert values[-1] < values[0]
+
+
+def test_cosine_schedule():
+    cfg = ConfigDict({"optim.scheduler.CosineAnnealingLR": {
+        "base": 1.0, "eta_min": 0.1, "T_max": 10}})
+    spec = build_schedule(cfg, num_epochs=10)
+    values = lr_seq(spec, 11)
+    assert values[0] == 1.0
+    assert abs(values[10] - 0.1) < 1e-6
+    assert abs(values[5] - 0.55) < 1e-6
+
+
+def test_linear_schedule():
+    cfg = ConfigDict({"optim.scheduler.LinearLR": {
+        "base": 2.0, "start_factor": 0.5, "end_factor": 1.0,
+        "total_iters": 4}})
+    spec = build_schedule(cfg)
+    values = lr_seq(spec, 6)
+    assert values[0] == 1.0  # 2.0 * 0.5
+    assert values[4] == 2.0
+    assert values[5] == 2.0  # stays at end factor
+
+
+def test_exponential_auto_gamma():
+    cfg = ConfigDict({"optim.scheduler.ExponentialLR": {
+        "base": 1.0, "gamma": "auto", "min_scale": 0.01,
+        "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg, num_epochs=10)
+    values = lr_seq(spec, 11)
+    assert abs(values[10] - 0.01) < 1e-6
+
+
+def test_gaussian_schedule():
+    cfg = ConfigDict({"optim.scheduler.GaussianLRDecay": {
+        "base": 1.0, "min_scale": 0.001, "number_of_iterations": 10,
+        "iteration_unit": "batch"}})
+    spec = build_schedule(cfg)
+    values = lr_seq(spec, 12)
+    assert abs(values[10] - 0.001) < 1e-6
+    assert abs(values[11] - 0.001) < 1e-6  # decay stops at horizon
+
+
+def test_step_schedule():
+    cfg = ConfigDict({"optim.scheduler.StepLearningRateScheduler": {
+        "base": 0.1, "learning_rates_dict": {3: 0.01, 6: 0.001}}})
+    spec = build_schedule(cfg)
+    values = lr_seq(spec, 8)
+    assert values[0] == pytest.approx(0.1)
+    assert values[3] == pytest.approx(0.01)
+    assert values[6] == pytest.approx(0.001)
+
+
+def test_sequential_linear_then_cosine():
+    """The pretraining AdamW recipe: linear ramp 20 epochs -> cosine."""
+    cfg = ConfigDict({"optim.scheduler.SequentialLR": {
+        "base": 0.004,
+        "schedulers": ({"optim.scheduler.LinearLR": {
+            "start_factor": 1.0e-6, "end_factor": 1.0}},
+            {"optim.scheduler.CosineAnnealingLR": {"eta_min": 1.0e-6}}),
+        "milestones": 2,
+        "iteration_unit": "batch",
+        "milestones_unit": "epoch"}})
+    spec = build_schedule(cfg, num_epochs=10, batches_per_epoch=4)
+    assert spec.unit == "batch"
+    values = lr_seq(spec, 41)
+    assert values[0] < 1e-6  # ramp starts tiny
+    assert abs(values[8] - 0.004) < 1e-4  # end of ramp (milestone 2*4=8)
+    assert values[40] < 1e-5  # cosine annealed to ~eta_min
+    assert max(values) <= 0.004 + 1e-9
+
+
+def test_warmup_scheduler():
+    cfg = ConfigDict({"optim.scheduler.WarmUpScheduler": {
+        "base": 0.01, "warmup": {"learning_rate": 0.1, "length": 3},
+        "main_scheduler": None, "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg, num_epochs=10)
+    values = lr_seq(spec, 6)
+    assert values[:3] == [pytest.approx(0.1)] * 3
+    assert values[3:] == [pytest.approx(0.01)] * 3
+
+
+def test_epoch_unit_conversion():
+    cfg = ConfigDict({"optim.scheduler.StepLearningRateScheduler": {
+        "base": 1.0, "learning_rates_dict": {1: 0.5},
+        "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg)
+    values = lr_seq(spec, 8, bpe=4)
+    assert values[:4] == [1.0] * 4  # first epoch at base
+    assert values[4:] == [0.5] * 4
+
+
+def test_sgd_optimizer_matches_torch():
+    torch = pytest.importorskip("torch")
+    cfg = ConfigDict({"sgd": {
+        "weight_decay": 0.0001, "momentum": 0.9,
+        "learning_rate": {"constant": {"base": 0.05}},
+        "nesterov_momentum": False, "momentum_dampening": 0.0}})
+    opt = Optimizer(cfg, num_epochs=1, batches_per_epoch=1)
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, 0.2, -0.1], np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    state = opt.tx.init(params)
+    for _ in range(3):
+        updates, state = opt.tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.SGD([tw], lr=0.05, momentum=0.9, weight_decay=0.0001)
+    for _ in range(3):
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5)
+
+
+def test_adamw_optimizer_matches_torch():
+    torch = pytest.importorskip("torch")
+    cfg = ConfigDict({"torch.optim.AdamW": {
+        "learning_rate": {"constant": {"base": 0.004}},
+        "betas": (0.9, 0.999), "weight_decay": 0.05}})
+    opt = Optimizer(cfg, num_epochs=1, batches_per_epoch=1)
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, 0.2, -0.1], np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    state = opt.tx.init(params)
+    for _ in range(5):
+        updates, state = opt.tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.AdamW([tw], lr=0.004, betas=(0.9, 0.999),
+                             weight_decay=0.05)
+    for _ in range(5):
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_optimizer_freeze_mask():
+    cfg = ConfigDict({"sgd": {"learning_rate": {"constant": {"base": 0.1}},
+                              "momentum": 0.0, "weight_decay": 0.0}})
+    mask = {"enc": {"w": False}, "dec": {"w": True}}
+    opt = Optimizer(cfg, trainable_mask=mask)
+    params = {"enc": {"w": jnp.ones(2)}, "dec": {"w": jnp.ones(2)}}
+    state = opt.tx.init(params)
+    grads = {"enc": {"w": jnp.ones(2)}, "dec": {"w": jnp.ones(2)}}
+    updates, _ = opt.tx.update(grads, state, params)
+    assert float(jnp.abs(updates["enc"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["dec"]["w"]).sum()) > 0.0
+
+
+def test_fill_kwargs_parity_with_reference_config():
+    """The covidqu unet.yaml optimizer block resolves correctly."""
+    cfg = ConfigDict({"sgd": {
+        "weight_decay": 0.0001, "momentum": 0.9,
+        "learning_rate": {"optim.scheduler.PolyLearningRateDecay": {
+            "base": 0.05, "exponent": 0.9, "iteration_unit": "batch",
+            "number_of_iterations": "auto", "last_epoch": -1}},
+        "nesterov_momentum": False, "momentum_dampening": 0.0}})
+    opt = Optimizer(cfg, num_epochs=150, batches_per_epoch=7)
+    assert opt.schedule.unit == "batch"
+    assert opt.schedule.base == 0.05
+    assert float(opt.lr_at(jnp.asarray(0))) == pytest.approx(0.05)
+    assert float(opt.lr_at(jnp.asarray(150 * 7))) == pytest.approx(0.0)
