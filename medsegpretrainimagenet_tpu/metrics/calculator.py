@@ -1,0 +1,294 @@
+"""MetricsCalculator: config -> metric DAG over a device state pytree.
+
+Capability parity with ``/root/reference/src/metrics/metric_wrapper.py``
+(``MetricsCalculator``): threshold fan-out (one CM + derived family per
+threshold), shared parent accumulators (the confusion matrix is computed
+once, derived metrics read it), loss values in the same dict, ``metrics/``
+key prefixing, and the per-step / per-epoch value protocol feeding
+``batch_logs.csv`` / ``epoch_logs.csv``.
+
+TPU-native protocol (replaces the reference's 3-phase host-object dance):
+
+* ``init_state()`` -> pytree of device accumulators
+* ``update(state, prediction, batch)`` — pure/jittable, folded into the
+  train & eval steps; returns (new_state, per-step scalars)
+* ``finalize_epoch(state)`` — one host sync per epoch producing the
+  ``{'metrics/<name>': value, '<loss_name>': value}`` row
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigDict
+from .auc import AUCSpec
+from .base import MetricSpec, threshold_tag
+from .confusion import (ConfusionMatrixSpec, DerivedCMSpec,
+                        DERIVED_CM_METRICS)
+from .hd95 import HD95Spec
+from .multiclass import (AverageBinaryCMSpec, AverageContinuousSpec,
+                         ClasswiseBinaryCMSpec, MCAccuracySpec, MCHD95Spec,
+                         MultiClassCMSpec, Top5AccuracySpec)
+
+__all__ = ["MetricsCalculator"]
+
+_BINARY_DERIVED = {
+    "metrics.Accuracy": "accuracy",
+    "metrics.BalancedAccuracy": "balanced_accuracy",
+    "metrics.Sensitivity": "sensitivity",
+    "metrics.Specificity": "specificity",
+    "metrics.Precision": "precision",
+    "metrics.DiceIndex": "dice_index",
+    "metrics.JaccardIndex": "jaccard_index",
+    "metrics.MCC": "mcc",
+    "metrics.TverskyIndex": "dice_index",
+}
+
+
+class MetricsCalculator:
+    """Builds and drives the metric suite described by a config."""
+
+    METRIC_CALC_PATH = "metrics/calculation"
+    METRICS_PATH = "metrics/metrics"
+    PARAMS = {"thresholds": 0.5}
+
+    #: defaults injected into metrics/calculation per requested metric
+    _FILL_DEFAULTS = {
+        "metrics.multiclass_metrics": {
+            "number_of_classes": 1000,
+            "log_confusion_matrix": False,
+            "include_background_in_averages": False,
+        },
+        "metrics.multiclass_metrics.DiceIndex": {
+            "log_classwise_dice_idcs": True},
+        "metrics.multiclass_metrics.JaccardIndex": {
+            "log_classwise_jaccard_idcs": False},
+        "metrics.multiclass_metrics.AUROC": {"apply_softmax": False},
+        "metrics.multiclass_metrics.AveragePrecision": {
+            "apply_softmax": False},
+        "metrics.ConfusionMatrix": {"multilabel": False, "ignore_nans": True},
+    }
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        calc = config_dict.get_or_update(MetricsCalculator.METRIC_CALC_PATH,
+                                         {"calculation": {"default": {}}})
+        if not isinstance(calc, ConfigDict):
+            calc = ConfigDict()
+            config_dict[MetricsCalculator.METRIC_CALC_PATH] = calc
+        names = config_dict.get_str_tuple(MetricsCalculator.METRICS_PATH)
+        table = MetricsCalculator._FILL_DEFAULTS
+        calc.get_or_update("label_type", "mask")
+        needs_threshold = any(not name.startswith(
+            "metrics.multiclass_metrics") for name in names)
+        if needs_threshold:
+            calc.get_or_update("thresholds",
+                               MetricsCalculator.PARAMS["thresholds"])
+        for name in names:
+            if name.startswith("metrics.multiclass_metrics"):
+                calc.fill_with_defaults(table["metrics.multiclass_metrics"])
+            for key in (name, "metrics.ConfusionMatrix"
+                        if name in _BINARY_DERIVED else None):
+                if key in table:
+                    calc.fill_with_defaults(table[key])
+        return config_dict
+
+    def __init__(self, config_dict: ConfigDict, loss=None,
+                 class_names: Optional[Sequence[str]] = None,
+                 validate: bool = True, *args, **kwargs):
+        MetricsCalculator.fill_kwargs(config_dict)
+        calc: ConfigDict = config_dict[self.METRIC_CALC_PATH]
+        names = config_dict.get_str_tuple(self.METRICS_PATH)
+
+        thresholds = calc.get("thresholds", 0.5)
+        if isinstance(thresholds, (int, float)):
+            thresholds = [thresholds]
+        thresholds = list(thresholds)
+
+        label_type = calc.get("label_type", "mask")
+        if isinstance(label_type, ConfigDict):
+            label_type = label_type.key()
+        multilabel = bool(calc.get("multilabel", False))
+        ignore_nans = bool(calc.get("ignore_nans", True))
+        num_classes = int(calc.get("number_of_classes", 1000))
+        include_bg = bool(calc.get("include_background_in_averages", False))
+        apply_softmax = bool(calc.get("apply_softmax", False))
+        self.label_type = label_type
+
+        self.specs: Dict[str, MetricSpec] = {}
+
+        def add(spec: MetricSpec):
+            self.specs.setdefault(spec.key, spec)
+
+        def ensure_cm(threshold: float):
+            key = f"cm_{threshold_tag(threshold)}"
+            if key not in self.specs:
+                add(ConfusionMatrixSpec(threshold=threshold,
+                                        label_type=label_type,
+                                        multilabel=multilabel,
+                                        ignore_nans=ignore_nans,
+                                        num_classes=num_classes))
+            return key
+
+        def ensure_mc_cm():
+            if "multiclass_cm" not in self.specs:
+                add(MultiClassCMSpec(num_classes, label_type=label_type))
+
+        for name in names:
+            if name in _BINARY_DERIVED:
+                for t in thresholds:
+                    ensure_cm(t)
+                    add(DerivedCMSpec(_BINARY_DERIVED[name], threshold=t))
+            elif name == "metrics.ConfusionMatrix":
+                for t in thresholds:
+                    ensure_cm(t)
+            elif name == "metrics.ModifiedHausdorffDistance":
+                for t in thresholds:
+                    add(HD95Spec(threshold=t, label_type=label_type))
+            elif name == "metrics.AUROC":
+                add(AUCSpec("area_under_roc", label_type=label_type))
+            elif name == "metrics.AveragePrecision":
+                add(AUCSpec("average_precision_score",
+                            label_type=label_type))
+            elif name == "metrics.multiclass_metrics.Accuracy":
+                add(MCAccuracySpec(num_classes, label_type=label_type))
+            elif name == "metrics.multiclass_metrics.Top5Accuracy":
+                add(Top5AccuracySpec(label_type=label_type))
+            elif name == "metrics.multiclass_metrics.DiceIndex":
+                ensure_mc_cm()
+                add(AverageBinaryCMSpec(
+                    "dice_index", "mean_dice_index",
+                    include_background=include_bg,
+                    classwise=bool(calc.get("log_classwise_dice_idcs", True)),
+                    class_names=class_names, eps=1))
+            elif name == "metrics.multiclass_metrics.JaccardIndex":
+                ensure_mc_cm()
+                add(AverageBinaryCMSpec(
+                    "jaccard_index", "mean_jaccard_index",
+                    include_background=include_bg,
+                    classwise=bool(calc.get("log_classwise_jaccard_idcs",
+                                            False)),
+                    class_names=class_names, eps=1))
+            elif name == "metrics.multiclass_metrics.BalancedAccuracy":
+                ensure_mc_cm()
+                add(AverageBinaryCMSpec(
+                    "balanced_accuracy", "mean_balanced_accuracy",
+                    include_background=include_bg,
+                    class_names=class_names))
+            elif name == "metrics.multiclass_metrics.ClasswiseAccuracies":
+                ensure_mc_cm()
+                add(ClasswiseBinaryCMSpec(
+                    "accuracy", "classwise_accuracies",
+                    include_background=include_bg, class_names=class_names))
+            elif name == ("metrics.multiclass_metrics."
+                          "ClasswiseBalancedAccuracies"):
+                ensure_mc_cm()
+                add(ClasswiseBinaryCMSpec(
+                    "balanced_accuracy", "classwise_balanced_accuracies",
+                    include_background=include_bg, class_names=class_names))
+            elif name == "metrics.multiclass_metrics.ClasswiseDiceIndices":
+                ensure_mc_cm()
+                add(ClasswiseBinaryCMSpec(
+                    "dice_index", "classwise_dice_indices",
+                    include_background=include_bg, class_names=class_names,
+                    eps=1))
+            elif name == "metrics.multiclass_metrics.AUROC":
+                add(AverageContinuousSpec(
+                    "area_under_roc", num_classes,
+                    include_background=include_bg,
+                    apply_softmax=apply_softmax, label_type=label_type))
+            elif name == "metrics.multiclass_metrics.AveragePrecision":
+                add(AverageContinuousSpec(
+                    "average_precision_score", num_classes,
+                    include_background=include_bg,
+                    apply_softmax=apply_softmax, label_type=label_type))
+            elif name == ("metrics.multiclass_metrics."
+                          "ModifiedHausdorffDistance"):
+                for t in thresholds:
+                    add(MCHD95Spec(num_classes, threshold=t,
+                                   include_background=include_bg,
+                                   label_type=label_type))
+            elif name in ("metrics.ROCCurve", "metrics.PrecisionRecallCurve",
+                          "segmentation.image_logging.ImageLogger"):
+                # host-side epoch loggers, attached by the trainer
+                continue
+            else:
+                import warnings
+                warnings.warn(f"Unknown metric {name!r}; skipping.")
+
+        self.loss = loss
+        self.loss_name = getattr(loss, "name", "loss")
+        self.requires_last_pass = any(
+            getattr(s, "requires_last_pass", False)
+            for s in self.specs.values())
+
+    # ------------------------------------------------------------------
+    # device-side protocol
+    # ------------------------------------------------------------------
+
+    def init_state(self):
+        state = {key: spec.init_state() for key, spec in self.specs.items()}
+        state["__loss__"] = {"sum": jnp.zeros((), jnp.float32),
+                             "count": jnp.zeros((), jnp.float32)}
+        return state
+
+    def update(self, state, prediction, batch,
+               loss_value=None) -> Tuple[dict, Dict[str, Any]]:
+        """Jittable: fold one (virtual) batch into the state."""
+        new_state = dict(state)
+        per_batch: Dict[str, Any] = {}
+        for key, spec in self.specs.items():
+            new_slice, values = spec.update(state[key], prediction, batch)
+            new_state[key] = new_slice
+            per_batch.update(values)
+        if loss_value is not None:
+            new_state["__loss__"] = {
+                "sum": state["__loss__"]["sum"] + loss_value,
+                "count": state["__loss__"]["count"] + 1.0}
+            per_batch[self.loss_name] = loss_value
+        return new_state, per_batch
+
+    # ------------------------------------------------------------------
+    # host-side protocol
+    # ------------------------------------------------------------------
+
+    def finalize_epoch(self, state) -> Dict[str, float]:
+        host = jax.device_get(state)
+        values: Dict[str, float] = {}
+        for key, spec in self.specs.items():
+            out = spec.finalize_from(host[key],
+                                     {r: host[r] for r in spec.reads}) \
+                if spec.reads else spec.finalize(host[key])
+            for name, value in out.items():
+                if isinstance(value, (int, float, np.floating, np.integer)):
+                    values[f"metrics/{name}"] = float(value)
+        loss_state = host.get("__loss__")
+        if loss_state is not None and self.loss is not None:
+            count = float(loss_state["count"])
+            values[self.loss_name] = float(loss_state["sum"]) / count \
+                if count else 0.0
+        return values
+
+    def batch_values(self, per_batch: Dict[str, Any]) -> Dict[str, float]:
+        """Host view of one step's metric scalars (for batch_logs.csv),
+        including derived CM values computed from the step's counts."""
+        host = {k: np.asarray(jax.device_get(v)) for k, v in
+                per_batch.items()}
+        values = {}
+        for key, value in host.items():
+            if value.ndim == 0:
+                values[key] = float(value)
+        for spec in self.specs.values():
+            if isinstance(spec, DerivedCMSpec):
+                try:
+                    values.update(spec.batch_value(host))
+                except KeyError:
+                    pass
+        prefixed = {}
+        for key, value in values.items():
+            prefix = "" if key == self.loss_name else "metrics/"
+            prefixed[prefix + key] = value
+        return prefixed

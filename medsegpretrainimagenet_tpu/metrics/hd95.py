@@ -1,0 +1,139 @@
+"""HD95 (95th-percentile symmetric surface distance) as a jittable XLA op.
+
+Capability parity with ``/root/reference/src/metrics/metrics.py:304-369`` +
+the vendored medpy surface-distance code (``medpy_metrics.py:358-403,
+1199-1231``): borders extracted by cross-shaped binary erosion, exact
+Euclidean distance transform, 95th percentile (linear interpolation) of the
+symmetric surface distances, with samples skipped when either mask is empty.
+
+TPU-native design: the reference pulls every mask/prediction to the CPU and
+runs scipy per sample — a major sync cost (SURVEY.md §3.2).  Here the
+distance transform is an exact two-pass separable EDT built from cumulative
+minima (horizontal pass) and a broadcast parabola minimisation (vertical
+pass), entirely in XLA; the masked percentile is a sort + dynamic gather.
+Everything stays on device; one scalar pair per batch reaches the state.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import MetricSpec, threshold_tag
+
+__all__ = ["edt", "border", "hd95_single", "HD95Spec"]
+
+_BIG = 1.0e9
+
+
+def _row_pass(mask):
+    """Per-row 1D distance (|Δcol|) to the nearest True pixel."""
+    h, w = mask.shape
+    d0 = jnp.where(mask, 0.0, _BIG)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    fwd = jax.lax.cummin(d0 - cols, axis=1) + cols       # min_{k<=j} d0+j-k
+    bwd = (jax.lax.cummin((d0 + cols)[:, ::-1], axis=1)[:, ::-1] - cols)
+    return jnp.minimum(fwd, bwd)
+
+
+def edt(mask):
+    """Exact Euclidean distance from every pixel to the nearest True pixel.
+
+    (H, W) boolean -> (H, W) float32.  Empty masks give huge distances.
+    Pass 1: per-row horizontal distances via two cumulative minima.
+    Pass 2: per-column lower envelope of parabolas, evaluated by a
+    broadcast min over the row axis — O(H^2 W) fused multiply-adds, which
+    the VPU eats for typical 224^2 medical masks.
+    """
+    g = _row_pass(mask)                       # (H, W) horizontal distance
+    g2 = jnp.minimum(g, _BIG) ** 2
+    h = mask.shape[0]
+    rows = jnp.arange(h, dtype=jnp.float32)
+    dk2 = (rows[:, None] - rows[None, :]) ** 2        # (H_i, H_k)
+    d2 = jnp.min(dk2[:, :, None] + g2[None, :, :], axis=1)  # (H_i, W)
+    return jnp.sqrt(d2)
+
+
+def border(mask):
+    """Object border: pixels that do not survive a cross-shaped erosion
+    (medpy: ``binary_erosion`` with connectivity-1 structure, zero border)."""
+    mask = mask.astype(bool)
+    padded = jnp.pad(mask, 1, constant_values=False)
+    eroded = (mask
+              & padded[:-2, 1:-1] & padded[2:, 1:-1]
+              & padded[1:-1, :-2] & padded[1:-1, 2:])
+    return mask & ~eroded
+
+
+def _masked_percentile(values, valid, q: float):
+    """q-th percentile (linear interpolation) of ``values[valid]``."""
+    flat = jnp.where(valid.reshape(-1), values.reshape(-1), jnp.inf)
+    ordered = jnp.sort(flat)
+    n = jnp.sum(valid)
+    pos = q / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    v_lo = ordered[jnp.clip(lo, 0, flat.shape[0] - 1)]
+    v_hi = ordered[jnp.clip(hi, 0, flat.shape[0] - 1)]
+    return v_lo * (1.0 - frac) + v_hi * frac
+
+
+def hd95_single(pred_mask, true_mask):
+    """(hd95, valid) for one sample of binary (H, W) masks."""
+    pred_mask = pred_mask.astype(bool)
+    true_mask = true_mask.astype(bool)
+    pb = border(pred_mask)
+    tb = border(true_mask)
+    dt_true = edt(tb)
+    dt_pred = edt(pb)
+    values = jnp.concatenate([dt_true.reshape(-1), dt_pred.reshape(-1)])
+    valid = jnp.concatenate([pb.reshape(-1), tb.reshape(-1)])
+    value = _masked_percentile(values, valid, 95.0)
+    is_valid = jnp.any(true_mask) & jnp.any(pred_mask)
+    return jnp.where(is_valid, value, 0.0), is_valid
+
+
+class HD95Spec(MetricSpec):
+    """Average HD95 over valid samples (reference
+    ``ModifiedHausdorffDistance``): per batch, samples where either mask is
+    empty are skipped; the epoch value averages the nonzero batch values."""
+
+    requires_threshold = True
+
+    def __init__(self, threshold: float = 0.5, label_type: str = "mask"):
+        self.threshold = threshold
+        self.label_type = label_type
+        tag = threshold_tag(threshold)
+        self.name = f"modified_hausdorff_distance_threshold_{tag}"
+        self.key = self.name
+
+    def init_state(self):
+        return {"sum": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        target = batch[self.label_type]
+        if prediction.ndim and prediction.shape[-1] == 1:
+            prediction = prediction[..., 0]
+        target = target.reshape(prediction.shape)
+        pred_bin = prediction >= self.threshold
+        values, valids = jax.lax.map(
+            lambda ab: hd95_single(ab[0], ab[1]),
+            (pred_bin, target.astype(bool)))
+        num_valid = jnp.sum(valids)
+        batch_value = jnp.where(
+            num_valid > 0, jnp.sum(values) / jnp.maximum(num_valid, 1), 0.0)
+        new_state = {
+            "sum": state["sum"] + batch_value,
+            "count": state["count"] + (batch_value != 0).astype(jnp.float32),
+        }
+        return new_state, {self.name: batch_value}
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        count = float(host_state["count"])
+        if count == 0:
+            return {self.name: 0.0}
+        return {self.name: float(host_state["sum"]) / count}

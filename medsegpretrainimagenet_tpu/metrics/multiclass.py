@@ -1,0 +1,297 @@
+"""Multiclass metrics on a device-side K x K confusion matrix.
+
+Capability parity with ``/root/reference/src/metrics/multiclass_metrics.py``:
+``MultiClassConfusionMatrix`` (pooled K x K counts + class counts),
+``Accuracy`` (mean of per-step accuracies — the reference's exact epoch
+semantics), ``Top5Accuracy`` (pooled correct/total), the
+``AverageBinaryCMMetric`` family (macro one-vs-rest Dice / Jaccard /
+balanced accuracy over classes present in the epoch, with optional
+classwise logging), and macro one-vs-rest AUROC / AveragePrecision / HD95.
+
+The K x K update is a single ``bincount`` over ``y * K + y_hat`` — one fused
+gather/scatter on device (the reference calls sklearn per batch on host).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .auc import auroc, average_precision
+from .base import MetricSpec
+from .confusion import derived_cm_value
+from .hd95 import hd95_single
+
+__all__ = ["MultiClassCMSpec", "MCAccuracySpec", "Top5AccuracySpec",
+           "AverageBinaryCMSpec", "ClasswiseBinaryCMSpec",
+           "AverageContinuousSpec", "MCHD95Spec"]
+
+
+def _labels_from(prediction, batch, label_type):
+    """Integer class targets from a label/mask column (argmax if one-hot)."""
+    y = batch.get(label_type)
+    if y is None:
+        y = batch.get("label", batch.get("mask"))
+    if y.shape == prediction.shape:
+        y = jnp.argmax(y, axis=-1)
+    if y.ndim and y.shape[-1] == 1 and y.ndim == prediction.ndim:
+        y = y[..., 0]
+    return y.astype(jnp.int32)
+
+
+class MultiClassCMSpec(MetricSpec):
+    """Pooled K x K confusion matrix (rows = truth, cols = prediction)."""
+
+    def __init__(self, num_classes: int, label_type: str = "label"):
+        self.num_classes = num_classes
+        self.label_type = label_type
+        self.key = "multiclass_cm"
+
+    def init_state(self):
+        k = self.num_classes
+        return {"cm": jnp.zeros((k, k), jnp.float32),
+                "class_counts": jnp.zeros((k,), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        k = self.num_classes
+        y = _labels_from(prediction, batch, self.label_type).reshape(-1)
+        y_hat = jnp.argmax(prediction, axis=-1).reshape(-1).astype(jnp.int32)
+        flat = y * k + y_hat
+        cm = jnp.bincount(flat, length=k * k).reshape(k, k) \
+            .astype(jnp.float32)
+        new_state = {"cm": state["cm"] + cm,
+                     "class_counts": state["class_counts"]
+                     + jnp.bincount(y, length=k).astype(jnp.float32)}
+        return new_state, {}
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        return {}
+
+
+def binary_cm_from_multiclass(cm: np.ndarray, idx: int):
+    """One-vs-rest (tp, fp, tn, fn) for class *idx* of a K x K matrix."""
+    tp = cm[idx, idx]
+    fn = cm[idx, :].sum() - tp
+    fp = cm[:, idx].sum() - tp
+    tn = cm.sum() - tp - fn - fp
+    return tp, fp, tn, fn
+
+
+class MCAccuracySpec(MetricSpec):
+    """Mean of per-step accuracies (reference ``multiclass_metrics.Accuracy``
+    averages batch accuracies over the epoch rather than pooling)."""
+
+    reads = ("multiclass_cm",)
+
+    def __init__(self, num_classes: int, label_type: str = "label"):
+        self.num_classes = num_classes
+        self.label_type = label_type
+        self.key = "accuracy"
+        self.name = "accuracy"
+
+    def init_state(self):
+        return {"sum": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        y = _labels_from(prediction, batch, self.label_type).reshape(-1)
+        y_hat = jnp.argmax(prediction, axis=-1).reshape(-1)
+        value = jnp.mean((y == y_hat).astype(jnp.float32))
+        return ({"sum": state["sum"] + value, "count": state["count"] + 1},
+                {self.name: value})
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        count = float(host_state["count"])
+        return {self.name: float(host_state["sum"]) / count if count else 0.0}
+
+
+class Top5AccuracySpec(MetricSpec):
+    """Pooled top-5 accuracy (reference ``Top5Accuracy``)."""
+
+    def __init__(self, label_type: str = "label", n: int = 5):
+        self.label_type = label_type
+        self.n = n
+        self.key = "top_5_accuracy"
+        self.name = "top_5_accuracy"
+
+    def init_state(self):
+        return {"correct": jnp.zeros((), jnp.float32),
+                "total": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        y = _labels_from(prediction, batch, self.label_type)
+        flat_pred = prediction.reshape(-1, prediction.shape[-1])
+        flat_y = y.reshape(-1)
+        _, top_n = jax.lax.top_k(flat_pred, self.n)
+        correct = jnp.any(top_n == flat_y[:, None], axis=-1)
+        num_correct = jnp.sum(correct).astype(jnp.float32)
+        total = jnp.asarray(correct.shape[0], jnp.float32)
+        value = num_correct / total
+        return ({"correct": state["correct"] + num_correct,
+                 "total": state["total"] + total}, {self.name: value})
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        total = float(host_state["total"])
+        return {self.name: float(host_state["correct"]) / total
+                if total else 0.0}
+
+
+class AverageBinaryCMSpec(MetricSpec):
+    """Macro one-vs-rest CM metric over classes present in the epoch
+    (reference ``AverageBinaryCMMetric``), with optional classwise values."""
+
+    reads = ("multiclass_cm",)
+
+    def __init__(self, base_name: str, name: str,
+                 include_background: bool = False,
+                 classwise: bool = False,
+                 class_names: Optional[Sequence[str]] = None,
+                 eps: Optional[float] = None):
+        self.base_name = base_name    # e.g. 'dice_index'
+        self.name = name              # e.g. 'mean_dice_index'
+        self.start = int(not include_background)
+        self.classwise = classwise
+        self.class_names = list(class_names or [])
+        self.eps = eps
+        self.key = name
+
+    def init_state(self):
+        return {}
+
+    def update(self, state, prediction, batch):
+        return state, {}
+
+    def _class_label(self, idx: int) -> str:
+        names = self.class_names
+        if names:
+            offset = idx - self.start
+            if 0 <= offset < len(names):
+                return f"{self.base_name}_" + \
+                    str(names[offset]).replace(" ", "_")
+        return f"{self.base_name}_class_{idx}"
+
+    def finalize_from(self, own_state, read_states) -> Dict[str, float]:
+        cm = np.asarray(read_states["multiclass_cm"]["cm"])
+        values, out = [], {}
+        _, neutral = (None, {"dice_index": 1, "jaccard_index": 1}.get(
+            self.base_name, 0))
+        for idx in range(self.start, cm.shape[0]):
+            if cm[idx, :].sum() + cm[:, idx].sum() == 0:
+                continue
+            tp, fp, tn, fn = binary_cm_from_multiclass(cm, idx)
+            value = derived_cm_value(self.base_name, tp, fp, tn, fn, self.eps)
+            values.append(value)
+            if self.classwise:
+                out[self._class_label(idx)] = float(value)
+        out[self.name] = float(np.mean(values)) if values else float(neutral)
+        return out
+
+
+class ClasswiseBinaryCMSpec(AverageBinaryCMSpec):
+    """Classwise-only variant (reference ``ClasswiseBinaryCMMetric``)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["classwise"] = True
+        super().__init__(*args, **kwargs)
+
+    def finalize_from(self, own_state, read_states) -> Dict[str, float]:
+        out = super().finalize_from(own_state, read_states)
+        out.pop(self.name, None)
+        return out
+
+
+class AverageContinuousSpec(MetricSpec):
+    """Macro one-vs-rest AUROC / AP over class probability channels
+    (reference ``AverageBinaryContinuousMetric``)."""
+
+    FNS = {"area_under_roc": auroc,
+           "average_precision_score": average_precision}
+
+    def __init__(self, kind: str, num_classes: int,
+                 include_background: bool = False, apply_softmax: bool = False,
+                 label_type: str = "label"):
+        self.kind = kind
+        self.num_classes = num_classes
+        self.start = int(not include_background)
+        self.apply_softmax = apply_softmax
+        self.label_type = label_type
+        self.name = f"mean_{kind}" if kind != "area_under_roc" \
+            else "mean_area_under_roc"
+        self.key = self.name
+
+    def init_state(self):
+        return {"sum": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        if self.apply_softmax:
+            prediction = jax.nn.softmax(prediction, axis=-1)
+        y = _labels_from(prediction, batch, self.label_type)
+        fn = self.FNS[self.kind]
+        values, valids = [], []
+        for idx in range(self.start, self.num_classes):
+            value, valid = fn(prediction[..., idx], (y == idx))
+            values.append(value)
+            valids.append(valid)
+        values = jnp.stack(values)
+        valids = jnp.stack(valids).astype(jnp.float32)
+        num_valid = jnp.sum(valids)
+        batch_value = jnp.where(num_valid > 0,
+                                jnp.sum(values * valids)
+                                / jnp.maximum(num_valid, 1), 0.0)
+        new_state = {"sum": state["sum"] + batch_value,
+                     "count": state["count"]
+                     + (num_valid > 0).astype(jnp.float32)}
+        return new_state, {self.name: batch_value}
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        count = float(host_state["count"])
+        return {self.name: float(host_state["sum"]) / count if count else 0.0}
+
+
+class MCHD95Spec(MetricSpec):
+    """Macro one-vs-rest HD95 over class channels (reference
+    ``AverageBinaryDiscreteMetric`` -> ``ModifiedHausdorffDistance``)."""
+
+    def __init__(self, num_classes: int, threshold: float = 0.5,
+                 include_background: bool = False, label_type: str = "mask"):
+        self.num_classes = num_classes
+        self.threshold = threshold
+        self.start = int(not include_background)
+        self.label_type = label_type
+        self.name = f"mean_modified_hausdorff_distance_threshold_{threshold}"
+        self.key = self.name
+
+    def init_state(self):
+        return {"sum": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, prediction, batch):
+        y = _labels_from(prediction, batch, self.label_type)
+        per_class_values, per_class_valid = [], []
+        for idx in range(self.start, self.num_classes):
+            pred_bin = prediction[..., idx] >= self.threshold
+            true_bin = y == idx
+            values, valids = jax.lax.map(
+                lambda ab: hd95_single(ab[0], ab[1]), (pred_bin, true_bin))
+            num_valid = jnp.sum(valids)
+            per_class_values.append(jnp.where(
+                num_valid > 0, jnp.sum(values) / jnp.maximum(num_valid, 1),
+                0.0))
+            per_class_valid.append(num_valid > 0)
+        values = jnp.stack(per_class_values)
+        valids = jnp.stack(per_class_valid).astype(jnp.float32)
+        num_valid = jnp.sum(valids)
+        batch_value = jnp.where(
+            num_valid > 0,
+            jnp.sum(values * valids) / jnp.maximum(num_valid, 1), 0.0)
+        new_state = {"sum": state["sum"] + batch_value,
+                     "count": state["count"]
+                     + (batch_value != 0).astype(jnp.float32)}
+        return new_state, {self.name: batch_value}
+
+    def finalize(self, host_state) -> Dict[str, float]:
+        count = float(host_state["count"])
+        return {self.name: float(host_state["sum"]) / count if count else 0.0}

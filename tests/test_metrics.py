@@ -1,0 +1,247 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.metrics import (MetricsCalculator, auroc,
+                                                average_precision, border,
+                                                edt, hd95_single)
+from medsegpretrainimagenet_tpu.metrics.confusion import (ConfusionMatrixSpec,
+                                                          derived_cm_value)
+
+
+# ---------------------------------------------------------------------------
+# confusion matrix + derived
+# ---------------------------------------------------------------------------
+
+def test_cm_counts(rng):
+    spec = ConfusionMatrixSpec(threshold=0.5)
+    state = spec.init_state()
+    pred = jnp.asarray([[0.9, 0.2], [0.7, 0.1]])[..., None]
+    mask = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    state, per_batch = spec.update(state, pred, {"mask": mask})
+    assert float(state["tp"]) == 1  # 0.9 vs 1
+    assert float(state["fp"]) == 1  # 0.7 vs 0
+    assert float(state["fn"]) == 1  # 0.1 vs 1
+    assert float(state["tn"]) == 1  # 0.2 vs 0
+    assert per_batch["true_positives_threshold_0.5"] == 1
+
+
+def test_derived_cm_formulas():
+    # golden values from the reference formulas (metrics.py:172-302)
+    tp, fp, tn, fn = 8.0, 2.0, 85.0, 5.0
+    assert derived_cm_value("accuracy", tp, fp, tn, fn) == \
+        pytest.approx((8 + 85) / 100)
+    assert derived_cm_value("balanced_accuracy", tp, fp, tn, fn) == \
+        pytest.approx((8 / 13 + 85 / 87) / 2)
+    assert derived_cm_value("sensitivity", tp, fp, tn, fn) == \
+        pytest.approx(8 / 13)
+    assert derived_cm_value("specificity", tp, fp, tn, fn) == \
+        pytest.approx(85 / 87)
+    assert derived_cm_value("precision", tp, fp, tn, fn) == \
+        pytest.approx(8 / 10)
+    assert derived_cm_value("dice_index", tp, fp, tn, fn) == \
+        pytest.approx((2 * 8 + 1) / (2 * 8 + 2 + 5 + 1))
+    assert derived_cm_value("jaccard_index", tp, fp, tn, fn) == \
+        pytest.approx((8 + 1) / (8 + 2 + 5 + 1))
+    import math
+    expected_mcc = (8 * 85 - 2 * 5) / math.sqrt(13 * 10 * 87 * 90)
+    assert derived_cm_value("mcc", tp, fp, tn, fn) == \
+        pytest.approx(expected_mcc)
+
+
+def test_derived_cm_invalid_neutral():
+    assert derived_cm_value("dice_index", 0, 0, 10, 0) == 1  # neutral
+    assert derived_cm_value("sensitivity", 0, 0, 10, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# AUROC / AP vs sklearn
+# ---------------------------------------------------------------------------
+
+def test_auroc_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    scores = rng.random(500).astype(np.float32)
+    scores[::7] = scores[0]  # inject ties
+    labels = (rng.random(500) > 0.7).astype(np.float32)
+    got, valid = jax.jit(auroc)(jnp.asarray(scores), jnp.asarray(labels))
+    assert bool(valid)
+    expected = sklearn.roc_auc_score(labels, scores)
+    assert float(got) == pytest.approx(expected, abs=1e-5)
+
+
+def test_average_precision_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    scores = rng.random(300).astype(np.float32)
+    scores[::5] = scores[1]
+    labels = (rng.random(300) > 0.6).astype(np.float32)
+    got, valid = jax.jit(average_precision)(jnp.asarray(scores),
+                                            jnp.asarray(labels))
+    expected = sklearn.average_precision_score(labels, scores)
+    assert float(got) == pytest.approx(expected, abs=1e-5)
+
+
+def test_auroc_degenerate():
+    _, valid = auroc(jnp.asarray([0.1, 0.9]), jnp.asarray([1.0, 1.0]))
+    assert not bool(valid)
+
+
+# ---------------------------------------------------------------------------
+# EDT / HD95 vs scipy + medpy algebra
+# ---------------------------------------------------------------------------
+
+def test_edt_matches_scipy(rng):
+    ndimage = pytest.importorskip("scipy.ndimage")
+    mask = rng.random((24, 17)) > 0.8
+    mask[0, 0] = True  # ensure non-empty
+    got = np.asarray(edt(jnp.asarray(mask)))
+    expected = ndimage.distance_transform_edt(~mask)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_border_matches_scipy_erosion(rng):
+    ndimage = pytest.importorskip("scipy.ndimage")
+    mask = rng.random((20, 20)) > 0.6
+    got = np.asarray(border(jnp.asarray(mask)))
+    footprint = ndimage.generate_binary_structure(2, 1)
+    expected = mask ^ ndimage.binary_erosion(mask, structure=footprint,
+                                             iterations=1)
+    np.testing.assert_array_equal(got, expected)
+
+
+def _medpy_hd95(pred, true):
+    """Reference hd95 recomputed with scipy (medpy algebra)."""
+    from scipy import ndimage
+    footprint = ndimage.generate_binary_structure(2, 1)
+
+    def surface_distances(a, b):
+        a_border = a ^ ndimage.binary_erosion(a, structure=footprint,
+                                              iterations=1)
+        b_border = b ^ ndimage.binary_erosion(b, structure=footprint,
+                                              iterations=1)
+        dt = ndimage.distance_transform_edt(~b_border)
+        return dt[a_border]
+
+    sds = np.hstack([surface_distances(pred, true),
+                     surface_distances(true, pred)])
+    return np.percentile(sds, 95)
+
+
+def test_hd95_matches_medpy_formula(rng):
+    pytest.importorskip("scipy.ndimage")
+    true = np.zeros((32, 32), bool)
+    true[8:20, 8:20] = True
+    pred = np.zeros((32, 32), bool)
+    pred[10:24, 6:18] = True
+    got, valid = jax.jit(hd95_single)(jnp.asarray(pred), jnp.asarray(true))
+    assert bool(valid)
+    expected = _medpy_hd95(pred, true)
+    assert float(got) == pytest.approx(expected, abs=1e-3)
+
+
+def test_hd95_empty_mask_invalid():
+    pred = jnp.zeros((8, 8), bool)
+    true = jnp.ones((8, 8), bool)
+    _, valid = hd95_single(pred, true)
+    assert not bool(valid)
+
+
+# ---------------------------------------------------------------------------
+# calculator end-to-end
+# ---------------------------------------------------------------------------
+
+def make_calc(metric_names, **calc_extra):
+    cfg = ConfigDict({
+        "metrics": {
+            "metrics": tuple(metric_names),
+            "calculation": dict({"thresholds": 0.5, "label_type": "mask"},
+                                **calc_extra),
+        }})
+    return MetricsCalculator(cfg), cfg
+
+
+def test_calculator_binary_epoch(rng):
+    calc, _ = make_calc(["metrics.DiceIndex", "metrics.BalancedAccuracy"])
+    state = calc.init_state()
+    pred = jnp.asarray(rng.random((2, 8, 8, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 8, 8)) > 0.5).astype(np.float32))
+    state, per_batch = jax.jit(calc.update)(state, pred,
+                                            {"mask": mask})
+    values = calc.finalize_epoch(state)
+    assert "metrics/dice_index_threshold_0.5" in values
+    assert "metrics/balanced_accuracy_threshold_0.5" in values
+    # cross-check dice against direct computation
+    tp = float(((np.asarray(pred[..., 0]) >= 0.5) & (np.asarray(mask) == 1))
+               .sum())
+    fp = float(((np.asarray(pred[..., 0]) >= 0.5) & (np.asarray(mask) != 1))
+               .sum())
+    fn = float(((np.asarray(pred[..., 0]) < 0.5) & (np.asarray(mask) == 1))
+               .sum())
+    expected = (2 * tp + 1) / (2 * tp + fp + fn + 1)
+    assert values["metrics/dice_index_threshold_0.5"] == \
+        pytest.approx(expected, rel=1e-5)
+
+
+def test_calculator_multiclass(rng):
+    calc, _ = make_calc(
+        ["metrics.multiclass_metrics.Accuracy",
+         "metrics.multiclass_metrics.Top5Accuracy",
+         "metrics.multiclass_metrics.DiceIndex"],
+        number_of_classes=6, label_type="label",
+        log_classwise_dice_idcs=False)
+    state = calc.init_state()
+    logits = jnp.asarray(rng.standard_normal((16, 6)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 6, (16,)))
+    state, per_batch = jax.jit(calc.update)(state, logits,
+                                            {"label": labels})
+    values = calc.finalize_epoch(state)
+    expected_acc = float((np.argmax(np.asarray(logits), -1)
+                          == np.asarray(labels)).mean())
+    assert values["metrics/accuracy"] == pytest.approx(expected_acc)
+    assert 0.0 <= values["metrics/top_5_accuracy"] <= 1.0
+    assert "metrics/mean_dice_index" in values
+
+
+def test_calculator_loss_tracking(rng):
+    class FakeLoss:
+        name = "dice_loss"
+    calc, _ = make_calc(["metrics.DiceIndex"])
+    calc.loss = FakeLoss()
+    calc.loss_name = "dice_loss"
+    state = calc.init_state()
+    pred = jnp.asarray(rng.random((1, 4, 4, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, 4, 4)) > 0.5).astype(np.float32))
+    state, _ = calc.update(state, pred, {"mask": mask},
+                           loss_value=jnp.asarray(0.25))
+    state, _ = calc.update(state, pred, {"mask": mask},
+                           loss_value=jnp.asarray(0.75))
+    values = calc.finalize_epoch(state)
+    assert values["dice_loss"] == pytest.approx(0.5)
+
+
+def test_calculator_threshold_fanout(rng):
+    calc, cfg = make_calc(["metrics.DiceIndex"], thresholds=(0.3, 0.7))
+    state = calc.init_state()
+    assert "cm_0.3" in state and "cm_0.7" in state
+    pred = jnp.asarray(rng.random((1, 4, 4, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, 4, 4)) > 0.5).astype(np.float32))
+    state, _ = calc.update(state, pred, {"mask": mask})
+    values = calc.finalize_epoch(state)
+    assert "metrics/dice_index_threshold_0.3" in values
+    assert "metrics/dice_index_threshold_0.7" in values
+
+
+def test_calculator_hd95_and_auc(rng):
+    calc, _ = make_calc(["metrics.ModifiedHausdorffDistance",
+                         "metrics.AUROC"])
+    state = calc.init_state()
+    true = np.zeros((2, 16, 16), np.float32)
+    true[:, 4:10, 4:10] = 1
+    pred = np.zeros((2, 16, 16, 1), np.float32)
+    pred[:, 5:11, 4:10, 0] = 0.9
+    state, per_batch = jax.jit(calc.update)(
+        state, jnp.asarray(pred), {"mask": jnp.asarray(true)})
+    values = calc.finalize_epoch(state)
+    assert values["metrics/modified_hausdorff_distance_threshold_0.5"] > 0
+    assert 0.0 <= values["metrics/area_under_roc"] <= 1.0
