@@ -1,0 +1,194 @@
+"""Batched data loading with device prefetch.
+
+Capability parity with ``BalancedDataLoader``
+(``/root/reference/src/data/dataset.py:268-372``): sampling-method
+resolution ({over,under}sampling / positives-only / uniform), virtual vs
+loaded (fragment) batch sizes for gradient accumulation, min pos/neg ratios
+per batch, sort_by and pad_with.
+
+TPU-native: batches are host numpy dicts; :func:`prefetch_to_device` keeps
+the next batch's H2D copy in flight while the current step runs, so the one
+weak host core never blocks the chip.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from ..config import ConfigDict
+from .sampling import BalancedSource, assemble_batch, batch_index_plan
+
+__all__ = ["BalancedDataLoader", "prefetch_to_device"]
+
+
+class BalancedDataLoader:
+    """Iterable of numpy batch dicts built from raw column data."""
+
+    PARAMS = {
+        "epoch": {"argument name": "epoch_samling_method",
+                  "default": "uniform"},
+        "batch": {"argument name": "batch_sampling_method",
+                  "default": "uniform"},
+        "sort_by": None,
+        "pad_with": None,
+        "relative_size": 1.0,
+    }
+    BATCH_SIZE = 8
+    SAMPLING_METHODS = {
+        "oversampling": "over",
+        "undersampling": "under",
+        "positives only": "pos_only",
+        "uniform": 1,
+    }
+    SAMPLING_PARAMS = {"ratio of positives": 0.5}
+
+    @staticmethod
+    def fill_kwargs(config_dict: ConfigDict):
+        config_dict.get_or_update("batch size", BalancedDataLoader.BATCH_SIZE)
+        for ds_type in ("train", "val"):
+            curr = config_dict.get_or_update(
+                ds_type, {ds_type: {"default": {}}}, final=False)
+            if not isinstance(curr, ConfigDict):
+                curr = ConfigDict()
+                config_dict[ds_type] = curr
+            curr.fill_with_defaults(BalancedDataLoader.PARAMS)
+            epoch_sampling = curr["epoch"]
+            if isinstance(epoch_sampling, str):
+                curr["epoch"] = ConfigDict({epoch_sampling: {}})
+                epoch_sampling = curr["epoch"]
+            if epoch_sampling.key() in ("oversampling", "undersampling"):
+                epoch_sampling.value().get_or_update(
+                    "ratio of positives",
+                    BalancedDataLoader.SAMPLING_PARAMS["ratio of positives"])
+
+    def __init__(self, data: Dict[str, Any], config_dict: ConfigDict,
+                 bs: int = 1, actual_bs: int = 1,
+                 transforms: Optional[Callable] = None,
+                 datapoints_per_sample: Optional[int] = 1,
+                 shuffle: bool = True, seed: Optional[int] = None,
+                 drop_last: bool = False, **kwargs):
+        self.empty = not data or any(len(v) == 0 for v in data.values())
+        self.bs = bs
+        self.actual_bs = actual_bs
+        self.rng = np.random.default_rng(seed)
+        if self.empty:
+            self.source = None
+            self._mode = "empty"
+            return
+
+        epoch_cfg = config_dict.get("epoch", ConfigDict({"uniform": {}}))
+        if isinstance(epoch_cfg, str):
+            epoch_cfg = ConfigDict({epoch_cfg: {}})
+        epoch_method = epoch_cfg.key()
+        datapoints_per_sample = datapoints_per_sample or 1
+        balanced = self.SAMPLING_METHODS.get(
+            epoch_method.replace("_", " "), epoch_method)
+        self.source = BalancedSource(
+            data,
+            balanced=balanced,
+            pos_ratio_in_ds=epoch_cfg.get(
+                f"{epoch_method}/ratio of positives", 1),
+            transforms=transforms,
+            extra_datapoints=datapoints_per_sample - 1,
+            sample_with_replacement=config_dict.get(
+                "extra_datapoints_with_replacement", True),
+            relative_size=config_dict.get("relative_size", 1.0),
+            seed=seed,
+            **kwargs)
+
+        batch_cfg = config_dict.get("batch", ConfigDict({"uniform": {}}))
+        if isinstance(batch_cfg, str):
+            batch_cfg = ConfigDict({batch_cfg: {}})
+        self.sort_by = config_dict.get("sort_by")
+        if isinstance(self.sort_by, ConfigDict):
+            self.sort_by = self.sort_by.key()
+        self.pad_with = config_dict.get("pad_with")
+        uniform_batches = "uniform" in batch_cfg
+        if uniform_batches and self.sort_by is None and self.pad_with is None:
+            self._mode = "uniform"
+            self.shuffle = shuffle
+            self.drop_last = drop_last
+        else:
+            self._mode = "planned"
+            self.min_pos = batch_cfg.get("min ratio of positives", 0.0) or 0.0
+            self.min_neg = batch_cfg.get("min ratio of negatives", 0.0) or 0.0
+
+    # ------------------------------------------------------------------
+
+    def _uniform_indices(self):
+        n = len(self.source)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.drop_last:
+            order = order[:(n // self.actual_bs) * self.actual_bs]
+        return order
+
+    def _planned_indices(self):
+        _, plan = batch_index_plan(
+            len(self.source), self.source.pos_len
+            * math.ceil(self.source.balance_factor),
+            int(self.min_pos * self.bs), int(self.min_neg * self.bs),
+            self.bs, self.source.cut, self.rng)
+        if self.sort_by is not None:
+            keys = [float(k) for k in self.source.data[self.sort_by]]
+            plan = sorted(plan, key=lambda i: keys[
+                int(i / self.source.partition_count) % len(keys)])
+        return np.asarray(plan, dtype=np.int64)
+
+    def __len__(self) -> int:
+        if self.empty:
+            return 0
+        if self._mode == "uniform":
+            n = len(self.source)
+            if self.drop_last:
+                return n // self.actual_bs
+            return math.ceil(n / self.actual_bs)
+        _, plan = batch_index_plan(
+            len(self.source), self.source.pos_len
+            * math.ceil(self.source.balance_factor),
+            int(self.min_pos * self.bs), int(self.min_neg * self.bs),
+            self.bs, self.source.cut, np.random.default_rng(0))
+        return math.ceil(len(plan) / self.actual_bs)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.empty:
+            return
+        indices = self._uniform_indices() if self._mode == "uniform" \
+            else self._planned_indices()
+        for start in range(0, len(indices), self.actual_bs):
+            chunk = indices[start:start + self.actual_bs]
+            if self._mode == "planned" and len(chunk) < self.actual_bs:
+                break  # reference DataIterator stops before a ragged tail
+            yield assemble_batch(self.source, chunk, pad_with=self.pad_with)
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered host->device prefetch.
+
+    Pulls *size* batches ahead, moving each to device (optionally with a
+    ``NamedSharding``) so H2D DMA overlaps the running step.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            continue

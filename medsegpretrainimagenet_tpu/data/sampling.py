@@ -1,0 +1,225 @@
+"""Balanced sampling: index plans + item assembly (host side).
+
+Capability parity with ``/root/reference/src/data/utils.py``
+(``BalancedDataset``, ``create_index_list``, ``DataIterator``): positive /
+negative splits from a ``positives`` or binary ``label`` column,
+over/under/pos-only/integer balance factors with fractional "cut"
+bookkeeping, ``relative_size`` subsampling, per-column lazy load functions,
+``partition_count`` index expansion (one image -> N crops per epoch),
+``extra_datapoints`` pair sampling for Mixup/CutMix, minimum
+positives/negatives per batch, sort-by-key batching and last-axis padding.
+
+TPU-native framing: this module produces *plans* (index arrays) and numpy
+batches; the device pipeline (``loader.py``) turns them into fixed-shape
+HBM-resident batch stacks for the jitted step.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Iterable, List, Optional, Union
+
+import numpy as np
+
+from ..config import ConfigDict
+
+__all__ = ["BalancedSource", "batch_index_plan", "assemble_batch"]
+
+
+def balance_factor(pos_len: int, neg_len: int, pos_ratio: float) -> float:
+    return pos_ratio * neg_len / ((1 - pos_ratio) * pos_len)
+
+
+class BalancedSource:
+    """Item source with balancing semantics (reference ``BalancedDataset``).
+
+    Index space layout matches the reference: indices below ``neg_len``
+    address negatives; the rest cycle through positives (each positive
+    appears ``ceil(balance_factor)`` times, with the fractional excess
+    recorded in ``self.cut`` for the batch planner to trim).
+    ``partition_count`` multiplies the index space so deterministic grid
+    crops (Partition transform) see a distinct ``_index`` per crop.
+    """
+
+    def __init__(self, data: Dict[str, Any],
+                 balanced: Union[int, str] = "over",
+                 relative_size: float = 1.0,
+                 transforms: Optional[Callable] = None,
+                 load_function: Optional[Any] = None,
+                 pos_ratio_in_ds: float = 1.0,
+                 partition_count: Optional[int] = None,
+                 extra_datapoints: int = 0,
+                 seed: Optional[int] = None,
+                 sample_with_replacement: bool = True,
+                 *args, **kwargs):
+        self.rng = np.random.default_rng(seed)
+
+        full_len = len(next(iter(data.values())))
+        self.len_data = int(full_len * relative_size)
+        keep = self.rng.permutation(full_len) < self.len_data
+        idcs = np.arange(full_len)[keep]
+        self.data = {key: [value[i] for i in idcs]
+                     for key, value in data.items()}
+
+        self.pos_only = balanced == "pos_only"
+        self.k = extra_datapoints
+        self.replacement = sample_with_replacement
+        self.load_function = load_function
+        self.transforms = transforms
+        self.partition_count = partition_count or 1
+
+        if "positives" in self.data:
+            positives = np.asarray(self.data.pop("positives")).astype(bool)
+        elif "label" in self.data and all(
+                label in (0, 1) for label in self.data["label"]):
+            positives = np.asarray(self.data["label"]).astype(bool)
+        else:
+            positives = np.ones(self.len_data, dtype=bool)
+
+        all_idcs = np.arange(self.len_data)
+        self.positive_idcs = all_idcs[positives]
+        self.negative_idcs = all_idcs[~positives]
+        self.pos_len = int(positives.sum())
+        self.neg_len = int((~positives).sum())
+
+        if balanced == "pos_only":
+            self.data = {key: [v for v, p in zip(values, positives) if p]
+                         for key, values in self.data.items()}
+            self.balance_factor = 1
+            self.cut = {"amount": 0}
+        elif balanced == "over":
+            self.balance_factor = balance_factor(
+                self.pos_len, self.neg_len, pos_ratio_in_ds)
+            self.cut = {"class": "pos",
+                        "amount": (math.ceil(self.balance_factor)
+                                   - self.balance_factor) * self.pos_len}
+        elif balanced == "under":
+            cut_factor = 1 / balance_factor(self.pos_len, self.neg_len,
+                                            pos_ratio_in_ds)
+            self.balance_factor = 1
+            self.cut = {"class": "neg",
+                        "amount": self.neg_len * (1 - cut_factor)}
+        else:
+            self.cut = {"amount": 0}
+            self.balance_factor = balanced
+
+    def __len__(self) -> int:
+        if self.pos_only:
+            real_length = self.pos_len
+        else:
+            real_length = self.neg_len + \
+                math.ceil(self.balance_factor) * self.pos_len
+        return self.partition_count * real_length
+
+    def _load(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        lf = self.load_function
+        if lf is None:
+            return data
+        if isinstance(lf, (dict, ConfigDict)):
+            for name in list(data):
+                if name in lf:
+                    if self.k > 0:
+                        data[name] = [lf[name](p) for p in data[name]]
+                    else:
+                        data[name] = lf[name](data[name])
+            return data
+        for name in list(data):
+            if self.k > 0:
+                if data[name] and isinstance(data[name][0], str):
+                    data[name] = [lf(p) for p in data[name]]
+            elif isinstance(data[name], str):
+                data[name] = lf(data[name])
+        return data
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        idx = int(index / self.partition_count)
+        if self.pos_only:
+            pass
+        elif index < self.neg_len:
+            idx = self.negative_idcs[idx]
+        else:
+            idx = self.positive_idcs[(idx - self.neg_len) % self.pos_len]
+
+        if self.k > 0:
+            pool = np.arange(self.pos_len)
+            if not self.replacement:
+                pool = pool[pool != idx]
+            extra = self.rng.choice(pool, self.k, replace=self.replacement)
+            index_out: Any = [index, *extra]
+            data = {name: [values[i] for i in [idx, *extra]]
+                    for name, values in self.data.items()}
+        else:
+            index_out = index
+            data = {name: values[idx] for name, values in self.data.items()}
+
+        data = self._load(data)
+
+        if self.transforms is not None:
+            data = self.transforms(**data, _index=index_out, k=self.k + 1)
+            data.pop("_index", None)
+            data.pop("k", None)
+
+        if self.k > 0:
+            for name, values in data.items():
+                if isinstance(values, list):
+                    data[name] = values[0]
+        return data
+
+
+def batch_index_plan(ds_len: int, nr_pos: int, p: int, n: int, bs: int,
+                     cut: Dict[str, Any], rng: np.random.Generator,
+                     reuse: str = "no"):
+    """Per-epoch index list with fixed minimum positives/negatives per
+    virtual batch (reference ``create_index_list``).
+
+    Index space convention: [0, ds_len - nr_pos) are negatives, the rest
+    positives (matching :class:`BalancedSource`).
+    """
+    batch_nr = int((ds_len - cut["amount"]) / bs)
+    filler = bs - p - n
+    nr_neg = ds_len - nr_pos
+
+    shuf_pos = list(rng.permutation(np.arange(nr_neg, ds_len)))
+    shuf_neg = list(rng.permutation(np.arange(nr_neg)))
+
+    rest_pos = shuf_pos[p * batch_nr:]
+    rest_neg = shuf_neg[n * batch_nr:]
+    cut_size = int(cut["amount"])
+    if cut_size == 0:
+        rest = rest_pos + rest_neg
+    elif cut.get("class") == "pos":
+        rest = rest_pos[:-cut_size] + rest_neg
+    else:
+        rest = rest_pos + rest_neg[:-cut_size]
+    rest = list(rng.permutation(np.asarray(rest, dtype=np.int64))) \
+        if rest else []
+
+    plan: List[int] = []
+    for i in range(batch_nr):
+        batch = (shuf_pos[i * p:(i + 1) * p]
+                 + shuf_neg[i * n:(i + 1) * n]
+                 + rest[i * filler:(i + 1) * filler])
+        batch = [int(x) for x in batch]
+        rng.shuffle(batch)
+        plan.extend(batch)
+    return batch_nr, plan
+
+
+def assemble_batch(source, indices: Iterable[int],
+                   pad_with: Optional[float] = None) -> Dict[str, np.ndarray]:
+    """Stack items into a numpy batch, right-padding the last axis when
+    lengths differ (reference ``get_batch``)."""
+    columns: Dict[str, list] = {}
+    for idx in indices:
+        item = source[int(idx)]
+        for key, value in item.items():
+            columns.setdefault(key, []).append(np.asarray(value))
+    batch = {}
+    for key, values in columns.items():
+        if pad_with is not None and values[0].ndim > 0:
+            max_len = max(v.shape[-1] for v in values)
+            values = [np.concatenate(
+                [v, np.full((*v.shape[:-1], max_len - v.shape[-1]), pad_with,
+                            dtype=v.dtype)], axis=-1)
+                if v.shape[-1] != max_len else v for v in values]
+        batch[key] = np.stack(values)
+    return batch

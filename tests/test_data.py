@@ -1,0 +1,209 @@
+import numpy as np
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.data import (BalancedDataLoader,
+                                             BalancedSource, assemble_batch)
+from medsegpretrainimagenet_tpu.data.sampling import batch_index_plan
+from medsegpretrainimagenet_tpu.data.transforms import (Compose,
+                                                        ConvertToType,
+                                                        RepeatChannels,
+                                                        build_transform)
+
+
+def toy_data(n=20, pos_frac=0.3, rng=None):
+    rng = rng or np.random.default_rng(0)
+    positives = np.zeros(n, bool)
+    positives[:int(n * pos_frac)] = True
+    return {
+        "x": rng.random((n, 8, 8, 1)).astype(np.float32),
+        "mask": (rng.random((n, 8, 8)) > 0.5).astype(np.int32),
+        "positives": positives,
+    }
+
+
+def test_balanced_source_uniform():
+    src = BalancedSource(toy_data(), balanced=1, seed=0)
+    assert len(src) == 20
+    item = src[0]
+    assert item["x"].shape == (8, 8, 1)
+    assert item["mask"].shape == (8, 8)
+
+
+def test_balanced_source_oversampling():
+    src = BalancedSource(toy_data(n=20, pos_frac=0.25), balanced="over",
+                         pos_ratio_in_ds=0.5, seed=0)
+    # 5 pos, 15 neg; factor = 0.5*15/(0.5*5) = 3 -> len = 15 + 3*5 = 30
+    assert len(src) == 30
+    assert src.cut["class"] == "pos"
+    assert src.cut["amount"] == pytest.approx(0.0)
+
+
+def test_balanced_source_pos_only():
+    src = BalancedSource(toy_data(n=20, pos_frac=0.25), balanced="pos_only",
+                         seed=0)
+    assert len(src) == 5
+
+
+def test_partition_expansion_index_passthrough():
+    seen_indices = []
+
+    def spy_transform(k=1, _index=0, **data):
+        seen_indices.append(_index)
+        data["k"] = k
+        return data
+
+    src = BalancedSource(toy_data(), balanced=1, seed=0,
+                         partition_count=4, transforms=spy_transform)
+    assert len(src) == 80
+    src[5]
+    assert seen_indices[-1] == 5
+
+
+def test_extra_datapoints_pairs():
+    data = {"x": np.arange(10, dtype=np.float32).reshape(10, 1),
+            "label": np.ones(10, np.int32)}
+    src = BalancedSource(data, balanced=1, seed=0, extra_datapoints=1)
+    item = src[3]
+    # without a pair-consuming transform, the first datapoint is returned
+    assert item["x"].shape == (1,)
+
+
+def test_batch_index_plan_min_pos():
+    rng = np.random.default_rng(0)
+    # 30-long index space: 20 negatives then 10 positives
+    batch_nr, plan = batch_index_plan(
+        ds_len=30, nr_pos=10, p=2, n=0, bs=6, cut={"amount": 0}, rng=rng)
+    assert batch_nr == 5
+    assert len(plan) == 30
+    for b in range(batch_nr):
+        batch = plan[b * 6:(b + 1) * 6]
+        assert sum(idx >= 20 for idx in batch) >= 2  # min positives
+
+
+def test_assemble_batch_padding():
+    class Src:
+        def __getitem__(self, i):
+            return {"x": np.ones((3, 2 + i))}
+    batch = assemble_batch(Src(), [0, 1], pad_with=0.0)
+    assert batch["x"].shape == (2, 3, 3)
+    assert batch["x"][0, 0, -1] == 0.0
+
+
+def test_loader_uniform_batches():
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    loader = BalancedDataLoader(toy_data(), cfg, bs=8, actual_bs=4, seed=0)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["x"].shape == (4, 8, 8, 1)
+    assert len(loader) == 5
+
+
+def test_loader_fill_kwargs():
+    cfg = ConfigDict({})
+    BalancedDataLoader.fill_kwargs(cfg)
+    assert cfg["batch size"] == 8
+    assert cfg["train/epoch"].key() == "uniform"
+    assert cfg["val/relative_size"] == 1.0
+
+
+def test_transforms_compose_covidqu_style(rng):
+    rotation = build_transform(ConfigDict(
+        {"segmentation.transforms.wrapped_transforms.RandomRotation": {
+            "border_mode": "BORDER_CONSTANT", "limit": 180,
+            "value": 0, "mask_value": 0}}), seed=0)
+    flip = build_transform(ConfigDict(
+        {"segmentation.transforms.wrapped_transforms.RandomFlip": {
+            "vertical": True, "horizontal": False, "probability": 0.5}}),
+        seed=0)
+    repeat = build_transform(ConfigDict({"transform.RepeatChannels": {}}))
+    cast = ConvertToType(ConfigDict({"mask": "torch.LongTensor"}))
+    pipeline = Compose(rotation, flip, repeat, cast)
+    out = pipeline(x=rng.random((16, 16, 1)).astype(np.float32),
+                   mask=(rng.random((16, 16)) > 0.5).astype(np.int32))
+    assert out["x"].shape == (16, 16, 3)
+    assert out["x"].dtype == np.float32
+    assert out["mask"].dtype == np.int32
+    assert set(np.unique(out["mask"])).issubset({0, 1})
+
+
+def test_rotation_preserves_mask_values(rng):
+    rotation = build_transform(ConfigDict(
+        {"segmentation.transforms.wrapped_transforms.RandomRotation": {
+            "limit": 45, "border_mode": "BORDER_CONSTANT",
+            "value": 0, "mask_value": 0}}), seed=3)
+    mask = np.zeros((16, 16), np.int32)
+    mask[4:12, 4:12] = 1
+    out = rotation(x=rng.random((16, 16, 1)).astype(np.float32), mask=mask)
+    assert set(np.unique(out["mask"])).issubset({0, 1})  # nearest-neighbour
+
+
+def test_partition_transform():
+    part = build_transform(ConfigDict(
+        {"segmentation.transforms.wrapped_transforms.Partition": {
+            "number of partitions": 4}}))
+    x = np.arange(64, dtype=np.float32).reshape(8, 8, 1)
+    outs = [part(x=x, _index=i)["x"] for i in range(4)]
+    assert all(o.shape == (4, 4, 1) for o in outs)
+    assert not np.allclose(outs[0], outs[1])
+
+
+def test_mixup_pair():
+    from medsegpretrainimagenet_tpu.data.transforms import Mixup
+    mix = Mixup(ConfigDict({"distribution": "uniform", "probability": 1.0,
+                            "maximum": 1.0}), seed=0)
+    out = mix(x=[np.zeros((4, 4, 1)), np.ones((4, 4, 1))],
+              label=[np.array([1.0, 0.0]), np.array([0.0, 1.0])], k=2)
+    assert out["k"] == 1
+    assert 0.0 <= float(out["x"].mean()) <= 1.0
+    assert out["label"].sum() == pytest.approx(1.0)
+
+
+def test_onehot_and_cutmix_rect(rng):
+    onehot = build_transform(ConfigDict(
+        {"classification.transforms.OneHotEncoding": {"num_classes": 5}}))
+    out = onehot(x=rng.random((4, 4, 3)), label=2)
+    assert out["label"].shape == (5,)
+    assert out["label"][2] == 1.0
+
+    cutmix = build_transform(ConfigDict(
+        {"classification.transforms.CutMix": {"probability": 1.0}}), seed=0)
+    out = cutmix(x=[np.zeros((8, 8, 3)), np.ones((8, 8, 3))],
+                 label=[np.eye(5)[0], np.eye(5)[1]], k=2)
+    assert out["k"] == 1
+    assert out["label"].sum() == pytest.approx(1.0)
+
+
+def test_randaugment_shapes(rng):
+    aug = build_transform(ConfigDict(
+        {"classification.transforms.RandAugment": {}}), seed=0)
+    x = rng.random((16, 16, 3)).astype(np.float32)
+    out = aug(x=x)
+    assert out["x"].shape == (16, 16, 3)
+    assert out["x"].dtype == np.float32
+    assert out["x"].max() <= 1.0 + 1e-5
+
+
+def test_covidqu_reader_synthetic(tmp_path, monkeypatch, rng):
+    """Synthetic COVID-QU-shaped npy stacks through the real reader."""
+    root = tmp_path / "COVID_QU" / "Inf_segm" / "data arrays" / "COVID-19"
+    for part, n in (("train and val", 12), ("test", 4)):
+        d = root / part
+        d.mkdir(parents=True)
+        np.save(d / "imgs.npy",
+                (rng.random((n, 1, 20, 20)) * 255).astype(np.uint8))
+        np.save(d / "inf_masks.npy",
+                (rng.random((n, 1, 20, 20)) > 0.7).astype(np.uint8) * 2)
+    monkeypatch.setenv("MST_DATA_DIR", str(tmp_path))
+    from medsegpretrainimagenet_tpu.data.readers import COVIDQUDataset
+    ds = COVIDQUDataset(ConfigDict({
+        "lung or infection": "inf", "image sizes": 16,
+        "validate on test": True, "load masks": True,
+        "load distance maps": False}), seed=1)
+    assert ds.train["x"].shape == (12, 16, 16, 1)
+    assert ds.val["x"].shape == (4, 16, 16, 1)
+    assert ds.train["mask"].shape == (12, 16, 16)
+    assert set(np.unique(ds.train["mask"])).issubset({0, 1})
+    assert ds.train["x"].max() <= 1.0
