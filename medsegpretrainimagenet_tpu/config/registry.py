@@ -171,11 +171,16 @@ def get_kwargs(constructor: Callable,
     if spec is not None:
         kwargs = {}
         for name, entry in spec.items():
-            arg = name
+            arg, default = name, entry
             if isinstance(entry, dict):
                 arg = entry.get("argument name",
                                 entry.get("argument_name", name))
-            kwargs[arg] = config_dict[name]
+                default = entry.get("default", entry)
+            if isinstance(config_dict, ConfigDict):
+                kwargs[arg] = config_dict.get(name, default)
+            else:
+                kwargs[arg] = config_dict.get(name, default) \
+                    if isinstance(config_dict, dict) else default
         return kwargs
     if isinstance(config_dict, ConfigDict):
         return config_dict.trim().to_dict(lists_to_tuples=True)

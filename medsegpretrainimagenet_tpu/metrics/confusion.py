@@ -54,9 +54,9 @@ class ConfusionMatrixSpec(MetricSpec):
 
     def init_state(self):
         shape = (self.num_classes,) if self.multilabel else ()
-        zeros = jnp.zeros(shape, jnp.float32)
-        return {"tp": zeros, "fp": zeros, "tn": zeros, "fn": zeros,
-                "class_counts": zeros}
+        # distinct buffers per leaf: the train step donates this pytree
+        return {key: jnp.zeros(shape, jnp.float32)
+                for key in ("tp", "fp", "tn", "fn", "class_counts")}
 
     def update(self, state, prediction, batch):
         target = batch[self.label_type]

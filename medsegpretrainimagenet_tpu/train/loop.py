@@ -1,0 +1,219 @@
+"""Epoch/step training loop with CSV logging and checkpoint policy.
+
+Capability parity with ``/root/reference/src/train_model.py``: per-epoch
+train + validation passes, ``batch_logs.csv`` per optimizer step (train
+only, when batch logging is on), ``epoch_logs.csv`` with ``val_``-prefixed
+validation columns, learning-rate columns, epoch-unit scheduler updates
+(handled inside the schedule), last/best/epoch-tagged model checkpoints +
+optimizer state, the optional extra "last pass", final test pass ->
+``test_logs.csv``, and the catch-log-continue error envelope per epoch.
+
+TPU-native shape: batches are regrouped host-side into
+``(n_fragments, fragment_bs, ...)`` stacks (gradient accumulation happens
+inside the jitted step); metric state lives on device and is finalised once
+per epoch.
+"""
+from __future__ import annotations
+
+import csv
+import math
+import os
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import ConfigDict
+from ..utils import handle_exception, swallow
+from . import checkpoint as ckpt
+from .state import TrainState
+from .step import make_eval_step, make_train_step
+
+__all__ = ["train_model", "run_epoch", "append_csv_row"]
+
+
+def append_csv_row(path: str, row: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_header = not os.path.isfile(path)
+    with open(path, "a", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=list(row.keys()))
+        if write_header:
+            writer.writeheader()
+        writer.writerow(row)
+
+
+def _stack_fragments(fragments):
+    """List of equal-shaped fragment dicts -> (n_frag, frag_bs, ...) stack."""
+    keys = fragments[0].keys()
+    return {k: np.stack([f[k] for f in fragments]) for k in keys}
+
+
+def _virtual_batches(loader, accumulation_scale: int):
+    """Group loader fragments into virtual batches; equal-shaped fragments
+    are stacked, a ragged tail forms its own (smaller) stack."""
+    pending = []
+    for fragment in loader:
+        if pending and any(
+                fragment[k].shape != pending[0][k].shape for k in fragment):
+            yield _stack_fragments(pending)
+            pending = []
+        pending.append(fragment)
+        if len(pending) == accumulation_scale:
+            yield _stack_fragments(pending)
+            pending = []
+    if pending:
+        yield _stack_fragments(pending)
+
+
+def run_epoch(step_fn, state, metrics_state, loader,
+              accumulation_scale: int = 1, train: bool = True,
+              mesh=None, log_path: Optional[str] = None,
+              calculator=None, on_batch: Optional[Callable] = None):
+    """One pass over *loader*.  Returns (state, metrics_state)."""
+    from ..parallel import shard_batch
+
+    for i, batch_stack in enumerate(
+            _virtual_batches(loader, accumulation_scale)):
+        try:
+            if mesh is not None:
+                batch_stack = shard_batch(batch_stack, mesh, batch_dim=1)
+            if train:
+                state, metrics_state, per_batch = step_fn(
+                    state, metrics_state, batch_stack)
+            else:
+                metrics_state, per_batch = step_fn(
+                    state, metrics_state, batch_stack)
+            if log_path is not None and calculator is not None:
+                append_csv_row(log_path, calculator.batch_values(per_batch))
+            if on_batch is not None:
+                on_batch(i, per_batch)
+        except Exception as exc:  # noqa: BLE001 - reference error envelope
+            handle_exception(exc, f"Exception occured in batch {i}.")
+    return state, metrics_state
+
+
+def train_model(model, train_data, val_data, test_data,
+                config_dict: ConfigDict, optimizer, state: TrainState,
+                loss=None, metrics_and_loss=None, name: Optional[str] = None,
+                virtual_batch_size: int = 32, true_batch_size: int = 1,
+                verbose: bool = True, epoch_start: int = 0,
+                grad_clip_value: Optional[float] = None,
+                grad_clip_norm_type: float = 2.0, mesh=None,
+                on_epoch: Optional[Callable] = None,
+                *args, **kwargs) -> TrainState:
+    """Train for the configured number of epochs.  Returns the final state."""
+    assert virtual_batch_size % true_batch_size == 0, \
+        "true batch size must divide the virtual batch size"
+    accumulation_scale = virtual_batch_size // true_batch_size
+
+    tech = config_dict["meta/technical"]
+    destination = (tech.get("absolute path", "") or "") + (name or "") + "/"
+    num_epochs = config_dict["experiment/number of epochs"]
+    log_to_device = tech.get("log to device", True)
+    log_batches = bool(log_to_device) and log_to_device != "epoch"
+    log_last = tech.get("log_last_model", True)
+    log_best = tech.get("log_best_model", True)
+    checkpoints = tech.get_tuple("model_log_checkpoints", [])
+
+    watched_metric, best_value, pick = None, None, max
+    if log_best:
+        eval_cfg = tech.get("model_evaluation", ConfigDict())
+        if isinstance(eval_cfg, ConfigDict) and eval_cfg.has("metric"):
+            watched_metric = eval_cfg.get_str("metric")
+            mode = eval_cfg.get_str("mode") if eval_cfg.has("mode") else "max"
+            pick = min if mode in ("min", "minimum") else max
+            best_value = math.inf if pick is min else -math.inf
+        else:
+            log_best = False
+
+    calculator = metrics_and_loss
+    train_step = make_train_step(model, loss, calculator, optimizer,
+                                 grad_clip_value=grad_clip_value,
+                                 grad_clip_norm_type=grad_clip_norm_type)
+    eval_step = make_eval_step(model, loss, calculator)
+
+    def save_model(tag: str):
+        ckpt.save_params_file(destination + f"{tag}_model_state_dict.msgpack",
+                              {"params": state.params,
+                               "batch_stats": state.batch_stats})
+
+    epochs = range(epoch_start, num_epochs)
+    if verbose:
+        try:
+            from tqdm import tqdm
+            epochs = tqdm(epochs, desc="Training model", unit="epoch")
+        except ImportError:
+            pass
+
+    for epoch in epochs:
+        try:
+            row: Dict[str, Any] = {
+                "learning_rate": float(optimizer.lr_at(int(state.step)))}
+
+            metrics_state = calculator.init_state()
+            state, metrics_state = run_epoch(
+                train_step, state, metrics_state, train_data,
+                accumulation_scale, train=True, mesh=mesh,
+                log_path=destination + "batch_logs.csv" if log_batches
+                else None, calculator=calculator)
+            row.update(calculator.finalize_epoch(metrics_state))
+
+            if val_data:
+                metrics_state = calculator.init_state()
+                _, metrics_state = run_epoch(
+                    eval_step, state, metrics_state, val_data,
+                    accumulation_scale, train=False, mesh=mesh)
+                row.update({f"val_{k}": v for k, v in
+                            calculator.finalize_epoch(metrics_state).items()})
+
+            if log_to_device:
+                append_csv_row(destination + "epoch_logs.csv", row)
+                if log_last:
+                    save_model("last")
+                if log_best and watched_metric in row:
+                    current = row[watched_metric]
+                    if pick(best_value, current) == current:
+                        best_value = current
+                        save_model("best")
+                if (epoch + 1) in checkpoints:
+                    ckpt.save_params_file(
+                        destination
+                        + f"model_state_dict_epoch_{epoch + 1}.msgpack",
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats})
+                ckpt.save_state_file(
+                    destination + "optimizer_state_dict.msgpack",
+                    {"opt_state": state.opt_state,
+                     "step": np.asarray(state.step)})
+            if on_epoch is not None:
+                on_epoch(epoch, row, state)
+        except Exception as exc:  # noqa: BLE001 - reference error envelope
+            handle_exception(exc, f"Exception occured in epoch {epoch}.")
+
+    if calculator is not None and calculator.requires_last_pass:
+        with swallow("Exception in last pass."):
+            metrics_state = calculator.init_state()
+            _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                         train_data, accumulation_scale,
+                                         train=False, mesh=mesh)
+            calculator.finalize_epoch(metrics_state)
+            metrics_state = calculator.init_state()
+            _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                         val_data, accumulation_scale,
+                                         train=False, mesh=mesh)
+            calculator.finalize_epoch(metrics_state)
+
+    if test_data:
+        try:
+            metrics_state = calculator.init_state()
+            _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                         test_data, accumulation_scale,
+                                         train=False, mesh=mesh)
+            test_row = calculator.finalize_epoch(metrics_state)
+            if log_to_device:
+                append_csv_row(destination + "test_logs.csv", test_row)
+        except Exception as exc:  # noqa: BLE001
+            handle_exception(
+                exc, "Exception occured while evaluating the test data.")
+
+    return state

@@ -1,0 +1,153 @@
+"""Jitted train / eval steps (the hot path).
+
+Replaces the reference's per-fragment host loop (``train_model.py:51-120``)
+with one compiled XLA program per optimizer step:
+
+* gradient accumulation = ``lax.scan`` over the fragment axis of a stacked
+  virtual batch, averaging gradients in f32 and chaining BatchNorm running
+  stats fragment-by-fragment (the torch semantics);
+* forward+backward, gradient clipping (global norm, torch
+  ``clip_grad_norm_`` semantics incl. the magnitude value for logging),
+  optax update, and the metric-state fold-in all fuse into the same program
+  — zero host syncs inside the epoch loop;
+* the model runs in NHWC; under a data-sharded mesh every reduction
+  (gradients, BN stats, metric counters) becomes an ICI collective inserted
+  by XLA.
+
+Batches arrive as ``(n_fragments, fragment_bs, ...)`` stacks; different
+tail shapes simply compile a second variant (shapes are static per epoch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "global_norm"]
+
+
+def global_norm(tree, norm_type: float = 2.0):
+    leaves = jax.tree_util.tree_leaves(tree)
+    if norm_type == float("inf"):
+        return jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]))
+    stacked = jnp.concatenate([jnp.abs(l).reshape(-1) for l in leaves])
+    return jnp.sum(stacked ** norm_type) ** (1.0 / norm_type)
+
+
+def _clip_by_norm(grads, max_norm: float, norm_type: float):
+    norm = global_norm(grads, norm_type)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), norm
+
+
+def _merge_fragments(tree):
+    """(n_frag, frag_bs, ...) -> (n_frag * frag_bs, ...) per leaf."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), tree)
+
+
+def make_train_step(model, loss_fn: Callable, calculator,
+                    optimizer, grad_clip_value: Optional[float] = None,
+                    grad_clip_norm_type: float = 2.0,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    ``model``: Model wrapper (or bare flax module with ``apply``).
+    ``loss_fn(prediction, batch) -> scalar``.
+    ``calculator``: MetricsCalculator (device-state protocol) or None.
+    ``optimizer``: optim.Optimizer (``.tx`` optax transform, ``.lr_at``).
+    """
+    module = getattr(model, "module", model)
+    tx = optimizer.tx
+
+    def fragment_forward(params, batch_stats, fragment, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pred, updates = module.apply(
+            variables, fragment["x"], train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        return loss_fn(pred, fragment), (pred, updates.get("batch_stats", {}))
+
+    grad_fn = jax.value_and_grad(fragment_forward, has_aux=True)
+
+    def train_step(state: TrainState, metrics_state, batch_stack):
+        n_frag = jax.tree_util.tree_leaves(batch_stack)[0].shape[0]
+        step_rng = state.step_rng()
+
+        def scan_body(carry, inputs):
+            grads_acc, batch_stats, loss_acc = carry
+            fragment, frag_idx = inputs
+            rng = jax.random.fold_in(step_rng, frag_idx)
+            (loss_value, (pred, new_stats)), grads = grad_fn(
+                state.params, batch_stats, fragment, rng)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return ((grads_acc, new_stats, loss_acc + loss_value), pred)
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+        (grads, batch_stats, loss_sum), preds = jax.lax.scan(
+            scan_body, (zero_grads, state.batch_stats, jnp.zeros(())),
+            (batch_stack, jnp.arange(n_frag)))
+
+        inv = 1.0 / n_frag
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        loss_value = loss_sum * inv
+
+        if grad_clip_value is not None and grad_clip_value != float("inf"):
+            grads, grad_norm = _clip_by_norm(grads, grad_clip_value,
+                                             grad_clip_norm_type)
+        else:
+            grad_norm = global_norm(grads, grad_clip_norm_type)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(params=params, batch_stats=batch_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+
+        per_batch = {"gradient_magnitude": grad_norm,
+                     "learning_rate": optimizer.lr_at(state.step)}
+        if calculator is not None:
+            merged_pred = preds.reshape((-1,) + preds.shape[2:])
+            merged_batch = _merge_fragments(batch_stack)
+            metrics_state, metric_values = calculator.update(
+                metrics_state, merged_pred, merged_batch,
+                loss_value=loss_value)
+            per_batch.update(metric_values)
+        else:
+            per_batch["loss"] = loss_value
+        return new_state, metrics_state, per_batch
+
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Optional[Callable], calculator,
+                   donate: bool = True):
+    """Build the jitted evaluation step (no grads, running BN stats)."""
+    module = getattr(model, "module", model)
+
+    def eval_step(state: TrainState, metrics_state, batch_stack):
+        def forward(fragment, _):
+            pred = module.apply(state.variables, fragment["x"], train=False)
+            return None, pred
+
+        _, preds = jax.lax.scan(forward, None, batch_stack)
+        merged_pred = preds.reshape((-1,) + preds.shape[2:])
+        merged_batch = _merge_fragments(batch_stack)
+        loss_value = loss_fn(merged_pred, merged_batch) \
+            if loss_fn is not None else None
+        if calculator is not None:
+            metrics_state, per_batch = calculator.update(
+                metrics_state, merged_pred, merged_batch,
+                loss_value=loss_value)
+        else:
+            per_batch = {}
+        return metrics_state, per_batch
+
+    return jax.jit(eval_step, donate_argnums=(1,) if donate else ())

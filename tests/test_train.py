@@ -1,0 +1,179 @@
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.data import BalancedDataLoader
+from medsegpretrainimagenet_tpu.losses import DiceLoss, Loss
+from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
+from medsegpretrainimagenet_tpu.models import Model, UNet
+from medsegpretrainimagenet_tpu.optim import Optimizer
+from medsegpretrainimagenet_tpu.parallel import create_mesh, replicated
+from medsegpretrainimagenet_tpu.train import (TrainState, make_eval_step,
+                                              make_train_step, train_model)
+
+
+def synthetic_segmentation_data(n=16, size=16, rng=None):
+    """Learnable toy task: mask = bright blob region."""
+    rng = rng or np.random.default_rng(0)
+    xs, masks = [], []
+    for _ in range(n):
+        x = rng.random((size, size, 1)).astype(np.float32) * 0.3
+        cx, cy = rng.integers(4, size - 4, 2)
+        x[cx - 3:cx + 3, cy - 3:cy + 3] += 0.7
+        mask = (x[..., 0] > 0.5).astype(np.int32)
+        xs.append(x)
+        masks.append(mask)
+    return {"x": np.stack(xs), "mask": np.stack(masks)}
+
+
+def make_loader(data, bs=4):
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    return BalancedDataLoader(data, cfg, bs=bs, actual_bs=bs, seed=0,
+                              drop_last=True)
+
+
+def build_training(tmp_path, channels=(4, 8), epochs=2):
+    model = Model(UNet, ConfigDict({"architecture": {
+        "channels": tuple(channels), "depth": len(channels) - 1,
+        "in channel size": 1}}))
+    # Model wrapper consumes PARAMS-style config paths; build directly:
+    model.module = UNet(img_ch=1, output_ch=1, channels=list(channels),
+                        depth=len(channels) - 1)
+    variables = model.init(jax.random.key(0),
+                           {"x": jnp.zeros((1, 16, 16, 1))})
+    opt_cfg = ConfigDict({"sgd": {
+        "momentum": 0.9, "weight_decay": 0.0,
+        "learning_rate": {"constant": {"base": 0.1}}}})
+    optimizer = Optimizer(opt_cfg, num_epochs=epochs, batches_per_epoch=4)
+    state = TrainState.create(variables, optimizer.tx.init(
+        variables["params"]), jax.random.key(1))
+    loss = Loss(DiceLoss, ConfigDict({"label type": "mask"}))
+    metrics_cfg = ConfigDict({"metrics": {
+        "metrics": ("metrics.DiceIndex", "metrics.BalancedAccuracy"),
+        "calculation": {"thresholds": 0.5, "label_type": "mask"}}})
+    calculator = MetricsCalculator(metrics_cfg, loss=loss)
+    config = ConfigDict({
+        "meta": {"technical": {
+            "absolute path": str(tmp_path) + "/",
+            "log to device": True,
+            "log_last_model": True,
+            "log_best_model": True,
+            "model_evaluation": {
+                "metric": "val_metrics/dice_index_threshold_0.5",
+                "mode": "max"},
+        }},
+        "experiment": {"number of epochs": epochs},
+    })
+    return model, optimizer, state, loss, calculator, config
+
+
+def test_train_step_decreases_loss(tmp_path):
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data()
+    step = make_train_step(model, loss, calculator, optimizer)
+    metrics_state = calculator.init_state()
+    batch = {k: jnp.asarray(v[None, :8]) for k, v in data.items()}
+    losses = []
+    for _ in range(12):
+        state, metrics_state, per_batch = step(state, metrics_state, batch)
+        losses.append(float(per_batch["dice_loss"]))
+    assert losses[-1] < losses[0]
+    assert "gradient_magnitude" in per_batch
+
+
+def test_gradient_accumulation_equivalence(tmp_path):
+    """2 fragments of 4 must give the same grads as 1 fragment of 8
+    (up to BN batch-statistics differences — so disable update effects by
+    comparing the resulting loss trajectory shape only loosely)."""
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data(n=8)
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+    # one virtual batch split two ways
+    whole = {k: jnp.asarray(v[None]) for k, v in data.items()}
+    split = {k: jnp.asarray(v.reshape((2, 4) + v.shape[1:]))
+             for k, v in data.items()}
+    s1, ms1, pb1 = step(state, calculator.init_state(), whole)
+    s2, ms2, pb2 = step(state, calculator.init_state(), split)
+    # losses agree (same data, same params; fragment mean == full mean
+    # because fragments are equal-sized)
+    assert float(pb1["dice_loss"]) == pytest.approx(
+        float(pb2["dice_loss"]), rel=1e-3)
+
+
+def test_train_model_end_to_end(tmp_path):
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=2)
+    data = synthetic_segmentation_data(n=16)
+    train_loader = make_loader(data)
+    val_loader = make_loader(synthetic_segmentation_data(
+        n=8, rng=np.random.default_rng(7)))
+
+    state = train_model(model, train_loader, val_loader, val_loader,
+                        config, optimizer, state, loss=loss,
+                        metrics_and_loss=calculator, name="run",
+                        virtual_batch_size=4, true_batch_size=4,
+                        verbose=False)
+    run_dir = tmp_path / "run"
+    assert (run_dir / "epoch_logs.csv").exists()
+    assert (run_dir / "last_model_state_dict.msgpack").exists()
+    assert (run_dir / "best_model_state_dict.msgpack").exists()
+    assert (run_dir / "test_logs.csv").exists()
+    with open(run_dir / "epoch_logs.csv") as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 2
+    assert "metrics/dice_index_threshold_0.5" in rows[0]
+    assert "val_metrics/dice_index_threshold_0.5" in rows[0]
+    assert "dice_loss" in rows[0]
+    assert "learning_rate" in rows[0]
+
+
+def test_train_step_multichip_mesh(tmp_path):
+    """DP mesh: batch axis sharded, params replicated.
+
+    Uses a 2-device submesh — 8-way CPU collectives starve the 1-core test
+    host (the full 8-device layout is exercised by dryrun_multichip, which
+    runs tiny shapes only).
+    """
+    assert jax.device_count() == 8
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    mesh = create_mesh(("data",), devices=jax.devices()[:2])
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, loss, calculator, optimizer)
+    data = synthetic_segmentation_data(n=16)
+    from medsegpretrainimagenet_tpu.parallel import shard_batch
+    batch = shard_batch({k: v[None] for k, v in data.items()}, mesh,
+                        batch_dim=1)
+    metrics_state = jax.device_put(calculator.init_state(), replicated(mesh))
+    state, metrics_state, per_batch = step(state, metrics_state, batch)
+    values = calculator.finalize_epoch(metrics_state)
+    assert 0 <= values["metrics/dice_index_threshold_0.5"] <= 1
+    # params stay replicated after the step
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_resume_reproduces_stream(tmp_path):
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data(n=8)
+    batch = {k: jnp.asarray(v[None]) for k, v in data.items()}
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+
+    s1, _, _ = step(state, calculator.init_state(), batch)
+    s2a, _, pba = step(s1, calculator.init_state(), batch)
+
+    # "resume": rebuild state from the same pieces at step 1
+    resumed = TrainState(params=s1.params, batch_stats=s1.batch_stats,
+                         opt_state=s1.opt_state, step=s1.step,
+                         rng_base=s1.rng_base)
+    s2b, _, pbb = step(resumed, calculator.init_state(), batch)
+    assert float(pba["dice_loss"]) == pytest.approx(float(pbb["dice_loss"]))
+    la = jax.tree_util.tree_leaves(s2a.params)[0]
+    lb = jax.tree_util.tree_leaves(s2b.params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
