@@ -59,6 +59,11 @@ def _unescape(value):
     return value
 
 
+def unescape(value):
+    """Public: recover '/' in strings read out of nested list/tuple values."""
+    return _unescape(value)
+
+
 class ConfigDict:
     """A nested mapping addressable by ``'/'``-separated key paths."""
 
@@ -149,7 +154,8 @@ class ConfigDict:
     def __setitem__(self, path: str, value: Any):
         head, rest = self._split(path)
         if rest is None:
-            self._store[head] = self._ingest(value)
+            stored = self._resolve_key(head) or head
+            self._store[stored] = self._ingest(value)
             return
         stored = self._resolve_key(head)
         if stored is None:

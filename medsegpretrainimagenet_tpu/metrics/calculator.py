@@ -287,8 +287,9 @@ class MetricsCalculator:
                     values.update(spec.batch_value(host))
                 except KeyError:
                     pass
+        unprefixed = (self.loss_name, "gradient_magnitude", "learning_rate")
         prefixed = {}
         for key, value in values.items():
-            prefix = "" if key == self.loss_name else "metrics/"
+            prefix = "" if key in unprefixed else "metrics/"
             prefixed[prefix + key] = value
         return prefixed

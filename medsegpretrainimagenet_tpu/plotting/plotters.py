@@ -1,0 +1,233 @@
+"""Plot/export framework (host-side).
+
+Capability parity with ``/root/reference/src/utils/framework/plotters.py``:
+``GeneralPlotter`` (multi-line metric curves with legends, baselines, log
+scale) exporting to json / png / svg / html, ``ScatterPlotter`` and
+``ConfMtxPlotter``.  JSON export writes the full parameter tree (so plots
+can be re-rendered later); png/svg use matplotlib; html uses bokeh when
+available and is skipped with a warning otherwise (bokeh is optional in
+this environment).
+
+``export_plot`` fans one plotter out to the configured formats under a
+watchdog timeout, mirroring ``utils/_utils.py:169-182``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import signal
+import warnings
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..utils import handle_exception
+
+__all__ = ["GeneralPlotter", "ScatterPlotter", "ConfMtxPlotter",
+           "export_plot"]
+
+_EXPORT_TIMEOUT_S = 300
+
+
+class _Timeout:
+    """SIGALRM watchdog (plot export must never hang a run)."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        if hasattr(signal, "SIGALRM"):
+            self._old = signal.signal(signal.SIGALRM, self._raise)
+            signal.alarm(self.seconds)
+        return self
+
+    @staticmethod
+    def _raise(*_args):
+        raise TimeoutError
+
+    def __exit__(self, *exc):
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+class BasePlotter:
+    DEFAULTS: Dict[str, Any] = {}
+
+    def __init__(self, params: Dict[str, Any], *args, **kwargs):
+        merged = dict(self.DEFAULTS)
+        merged.update(params or {})
+        self.params = merged
+        for key, value in merged.items():
+            setattr(self, key, value)
+
+    # -- shared export paths -------------------------------------------
+
+    def _path(self, extension: str) -> str:
+        dirname = getattr(self, "dirname", ".") or "."
+        os.makedirs(dirname, exist_ok=True)
+        return os.path.join(dirname, f"{getattr(self, 'fname', 'plot')}"
+                                     f".{extension}")
+
+    def export_json(self, *args, **kwargs):
+        def default(o):
+            if isinstance(o, (np.floating, np.integer)):
+                return o.item()
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            return str(o)
+        with open(self._path("json"), "w") as fh:
+            json.dump(self.params, fh, indent=2, default=default)
+
+    def export_matplotlib(self, extension: str = "png", *args, **kwargs):
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+        fig = self.render_matplotlib(plt)
+        fig.savefig(self._path(extension), bbox_inches="tight")
+        plt.close(fig)
+
+    def export_bokeh(self, *args, **kwargs):
+        try:
+            import bokeh  # noqa: F401
+        except ImportError:
+            warnings.warn("bokeh is not installed; skipping html export.")
+            return
+        self.render_bokeh()
+
+    def render_matplotlib(self, plt):
+        raise NotImplementedError
+
+    def render_bokeh(self):
+        raise NotImplementedError
+
+
+class GeneralPlotter(BasePlotter):
+    """Line plots of one or more series over a shared x axis."""
+
+    DEFAULTS = {
+        "Ys": [],
+        "x": None,
+        "xlabel": "",
+        "ylabel": "",
+        "title": "",
+        "legend": {"labels": []},
+        "baselines": {"labels": [], "values": []},
+        "dirname": ".",
+        "fname": "plot",
+        "yscale": "linear",
+        "colors": None,
+    }
+
+    def render_matplotlib(self, plt):
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ys_list = self.Ys or []
+        labels = (self.legend or {}).get("labels", []) or []
+        for i, ys in enumerate(ys_list):
+            xs = self.x if self.x is not None else range(1, len(ys) + 1)
+            label = labels[i] if i < len(labels) else None
+            ax.plot(list(xs), list(ys), label=label)
+        baselines = self.baselines or {}
+        for label, value in zip(baselines.get("labels", []),
+                                baselines.get("values", [])):
+            ax.axhline(value, linestyle="--", alpha=0.6, label=str(label))
+        ax.set_xlabel(self.xlabel)
+        ax.set_ylabel(self.ylabel)
+        ax.set_yscale(self.yscale)
+        if self.title:
+            ax.set_title(self.title)
+        if any(labels) or baselines.get("labels"):
+            ax.legend()
+        ax.grid(alpha=0.3)
+        return fig
+
+    def render_bokeh(self):
+        from bokeh.io import output_file, save
+        from bokeh.plotting import figure
+        fig = figure(title=self.title or "", x_axis_label=self.xlabel,
+                     y_axis_label=self.ylabel,
+                     y_axis_type="log" if self.yscale == "log" else "linear")
+        labels = (self.legend or {}).get("labels", []) or []
+        for i, ys in enumerate(self.Ys or []):
+            xs = list(self.x) if self.x is not None \
+                else list(range(1, len(ys) + 1))
+            kwargs = {"legend_label": labels[i]} if i < len(labels) else {}
+            fig.line(xs, list(ys), **kwargs)
+        output_file(self._path("html"))
+        save(fig)
+
+
+class ScatterPlotter(BasePlotter):
+    DEFAULTS = {
+        "x": [], "y": [], "xlabel": "", "ylabel": "", "title": "",
+        "dirname": ".", "fname": "scatter", "labels": None,
+    }
+
+    def render_matplotlib(self, plt):
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.scatter(self.x, self.y, s=12, alpha=0.8)
+        ax.set_xlabel(self.xlabel)
+        ax.set_ylabel(self.ylabel)
+        if self.title:
+            ax.set_title(self.title)
+        ax.grid(alpha=0.3)
+        return fig
+
+
+class ConfMtxPlotter(BasePlotter):
+    DEFAULTS = {
+        "matrix": [], "labels": None, "title": "", "dirname": ".",
+        "fname": "confusion_matrix", "normalise": True,
+    }
+
+    def render_matplotlib(self, plt):
+        matrix = np.asarray(self.matrix, dtype=np.float64)
+        if self.normalise and matrix.size:
+            rows = matrix.sum(axis=1, keepdims=True)
+            matrix = np.divide(matrix, rows, out=np.zeros_like(matrix),
+                               where=rows > 0)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(matrix, cmap="Blues", vmin=0, vmax=1)
+        fig.colorbar(im, ax=ax)
+        labels = self.labels
+        if labels and len(labels) <= 10:
+            ax.set_xticks(range(len(labels)))
+            ax.set_yticks(range(len(labels)))
+            ax.set_xticklabels(labels, rotation=45, ha="right")
+            ax.set_yticklabels(labels)
+            for i in range(matrix.shape[0]):
+                for j in range(matrix.shape[1]):
+                    ax.text(j, i, f"{matrix[i, j]:.2f}", ha="center",
+                            va="center", fontsize=8)
+        ax.set_xlabel("prediction")
+        ax.set_ylabel("ground truth")
+        if self.title:
+            ax.set_title(self.title)
+        return fig
+
+
+def export_plot(plotter: BasePlotter, extensions: Iterable[str],
+                *args, **kwargs) -> None:
+    """Export a plotter to each requested format, non-fatally."""
+    export_funcs = {
+        "json": plotter.export_json,
+        "png": lambda *a, **k: plotter.export_matplotlib("png", *a, **k),
+        "svg": lambda *a, **k: plotter.export_matplotlib("svg", *a, **k),
+        "html": plotter.export_bokeh,
+    }
+    try:
+        with _Timeout(_EXPORT_TIMEOUT_S):
+            for extension in extensions:
+                ext = str(extension).lower().strip(".")
+                func = export_funcs.get(ext)
+                if func is None:
+                    warnings.warn(f"Unknown plot format {extension!r}")
+                    continue
+                try:
+                    func(*args, **kwargs)
+                except Exception as exc:  # noqa: BLE001
+                    handle_exception(
+                        exc, f"Exception exporting plot as .{ext}.")
+    except TimeoutError:
+        warnings.warn("Plot export timed out; continuing.")

@@ -32,8 +32,10 @@ def _to_host(tree):
 
 def save_params_file(path: str, params) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # to_state_dict converts NamedTuple pytrees (optax states) to dicts
+    state_dict = serialization.to_state_dict(_to_host(params))
     with open(path, "wb") as fh:
-        fh.write(serialization.msgpack_serialize(_to_host(params)))
+        fh.write(serialization.msgpack_serialize(state_dict))
 
 
 def _is_torch_file(path: str) -> bool:

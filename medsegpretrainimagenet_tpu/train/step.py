@@ -133,7 +133,7 @@ def make_eval_step(model, loss_fn: Optional[Callable], calculator,
     module = getattr(model, "module", model)
 
     def eval_step(state: TrainState, metrics_state, batch_stack):
-        def forward(fragment, _):
+        def forward(_, fragment):
             pred = module.apply(state.variables, fragment["x"], train=False)
             return None, pred
 

@@ -1,0 +1,16 @@
+#!/usr/bin/env python
+"""Reference-compatible entry point: ``python src/experiment.py config.yaml``.
+
+Thin shim over ``medsegpretrainimagenet_tpu.cli`` so the YAML configs shipped
+with the reference framework drive this TPU-native stack unchanged
+(SURVEY.md §5.6: the 15 shipped configs are the acceptance surface).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from medsegpretrainimagenet_tpu.cli import main  # noqa: E402
+
+if __name__ == "__main__":
+    main()

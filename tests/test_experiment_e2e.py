@@ -1,0 +1,167 @@
+"""End-to-end: the full experiment path on a tiny synthetic COVID-QU.
+
+Mirrors SURVEY.md §4(c): a COVID-QU-shaped synthetic npy dataset driven
+through the reference-config structure (grid parse -> experiment() ->
+trials -> train/val/test -> CSV logs -> checkpoints -> resume).
+"""
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.cli import experiment
+from medsegpretrainimagenet_tpu.cli.run_experiment import check_for_continued
+
+
+@pytest.fixture
+def covidqu_env(tmp_path, monkeypatch, rng):
+    root = tmp_path / "data" / "COVID_QU" / "Inf_segm" / "data arrays" \
+        / "COVID-19"
+    for part, n in (("train and val", 12), ("test", 4)):
+        d = root / part
+        d.mkdir(parents=True)
+        imgs = (rng.random((n, 1, 20, 20)) * 255).astype(np.uint8)
+        masks = np.zeros((n, 1, 20, 20), np.uint8)
+        masks[:, :, 6:14, 6:14] = 2
+        np.save(d / "imgs.npy", imgs)
+        np.save(d / "inf_masks.npy", masks)
+    monkeypatch.setenv("MST_DATA_DIR", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def minimal_config(tmp_path, epochs=2):
+    """Structure of config/downstream/covidqu/unet.yaml, scaled down."""
+    return {
+        "data": {
+            "data": {"segmentation.datasets.COVIDQUDataset": {
+                "load_distance_maps": False, "load_masks": True,
+                "lung_or_infection": "inf", "image_sizes": 16,
+                "validate_on_test": True, "seed": 20231027}},
+            "sampling": {"batch_size": 4},
+            "transforms": {
+                "train": (
+                    {"segmentation.transforms.wrapped_transforms."
+                     "RandomRotation": {
+                         "border_mode": "BORDER_CONSTANT", "limit": 180,
+                         "value": 0, "mask_value": 0}},
+                    {"segmentation.transforms.wrapped_transforms."
+                     "RandomFlip": {"vertical": True, "horizontal": False,
+                                    "probability": 0.5}},
+                    "transform.RepeatChannels",
+                ),
+                "val": "transform.RepeatChannels",
+                "casting": {"mask": "torch.LongTensor"},
+            },
+        },
+        "model": {"segmentation.models.UNet": {
+            "model": "basic U-Net",
+            "architecture": {
+                "in_channel_size": 3, "out_channel_size": 1,
+                "channels": (4, 8), "depth": 1,
+                "residual_connections": False,
+                "activation_function": {"final": "sigmoid"}},
+            "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
+                "a": 0, "mode": "fan_in", "nonlinearity": "relu"}}},
+        }},
+        "training": {
+            "loss": {"segmentation.losses.DiceLoss": {
+                "batchwise": True, "include_background": True,
+                "apply_softmax": False, "smoothing_term": 1.0e-05}},
+            "optimizer": {"sgd": {
+                "weight_decay": 0.0001, "momentum": 0.9,
+                "learning_rate": {
+                    "optim.scheduler.PolyLearningRateDecay": {
+                        "base": 0.05, "exponent": 0.9,
+                        "iteration_unit": "batch",
+                        "number_of_iterations": "auto"}},
+                "nesterov_momentum": False, "momentum_dampening": 0.0}},
+        },
+        "metrics": {
+            "calculation": {"thresholds": 0.5, "label_type": "mask"},
+            "metrics": ("metrics.DiceIndex", "metrics.BalancedAccuracy"),
+        },
+        "experiment": {"number_of_epochs": epochs, "number_of_trials": 1},
+        "meta": {"technical": {
+            "log_metric_and_loss_plots": True,
+            "log_to_device": True,
+            "maximum_actual_batch_size": 4,
+            "model_evaluation": {
+                "metric": "val_metrics/dice_index_threshold_0.5",
+                "mode": "max"},
+            "seed": 123124,
+            "verbose": False,
+            "export_plots_as": ("json",),
+            "log_best_model": True,
+            "log_last_model": True,
+            "save_destination": str(tmp_path / "logs"),
+            "experiment_name": "e2e_test",
+            "name_fields": (
+                "model/segmentation.models.UNet/model",
+                "data/data",
+            ),
+        }},
+    }
+
+
+def test_experiment_end_to_end(covidqu_env):
+    tmp_path = covidqu_env
+    cfg = ConfigDict(minimal_config(tmp_path))
+    log_data = experiment(cfg, original=None, modifiers=[])
+
+    assert log_data["current_experiment"]
+    save_path = log_data["save_path"]
+    # experiment-name tagging from name_fields
+    assert "basic U-Net" in log_data["exp_name"] \
+        or "U-Net" in log_data["exp_name"]
+
+    run_dir = os.path.join(save_path, "run_1")
+    assert os.path.isfile(os.path.join(save_path, "config.yaml"))
+    assert os.path.isfile(os.path.join(save_path, "environment.txt"))
+    with open(os.path.join(run_dir, "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 2
+    assert "metrics/dice_index_threshold_0.5" in rows[0]
+    assert "val_metrics/dice_index_threshold_0.5" in rows[0]
+    assert "val_metrics/balanced_accuracy_threshold_0.5" in rows[0]
+    assert "dice_loss" in rows[0]
+    # learning rate decays (poly schedule)
+    assert float(rows[1]["learning_rate"]) < float(rows[0]["learning_rate"])
+    # test pass ran (validate_on_test -> no test split here, but val exists)
+    assert os.path.isfile(os.path.join(
+        run_dir, "last_model_state_dict.msgpack"))
+    assert os.path.isfile(os.path.join(
+        run_dir, "best_model_state_dict.msgpack"))
+    # history plots (json export)
+    assert glob.glob(os.path.join(run_dir, "plots", "*.json"))
+    assert os.path.isfile(os.path.join(run_dir, "best_scores.csv"))
+    # dumped config has defaults filled in
+    with open(os.path.join(save_path, "config.yaml")) as fh:
+        dumped = yaml.full_load(fh)
+    assert dumped["experiment"]["number_of_epochs"] == 2
+
+
+def test_experiment_resume(covidqu_env):
+    tmp_path = covidqu_env
+    cfg = ConfigDict(minimal_config(tmp_path, epochs=2))
+    log_data = experiment(cfg, original=None, modifiers=[])
+    save_path = log_data["save_path"]
+
+    # resume for 2 more epochs
+    resumed_cfg = ConfigDict(minimal_config(tmp_path, epochs=4))
+    resumed_cfg["meta/technical/absolute_path"] = save_path
+    continued, run_start, epoch_start = check_for_continued(
+        ["--continued"], resumed_cfg)
+    assert continued and run_start == 1 and epoch_start == 2
+
+    experiment(resumed_cfg, original=None, modifiers=["--continued"])
+    with open(os.path.join(save_path, "run_1", "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 4  # 2 original + 2 resumed
+    # checkpoint backups created on resume
+    assert os.path.isfile(os.path.join(
+        save_path, "run_1", "last_model_state_dict_checkpoint.msgpack"))
