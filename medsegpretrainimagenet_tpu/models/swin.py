@@ -1,0 +1,434 @@
+"""Swin-Transformer blocks for the Swin U-Net (token-sequence (B, L, C)).
+
+Capability parity with the reference's Swin zoo
+(``/root/reference/src/segmentation/models/blocks.py:22-416``): PatchEmbed /
+PatchMerging / PatchExpand / FinalPatchExpand_X4, windowed multi-head
+attention with a relative-position-bias table, and the W-MSA / SW-MSA
+SwinTransformerBlock with cyclic shift + precomputed additive mask.  The
+Swin U-Net itself is just the generic ``UNet`` configured with these blocks
+(``config/downstream/covidqu/swin_unet.yaml``).
+
+TPU-first design:
+* window partition / cyclic shift are reshapes + ``jnp.roll`` — free in XLA;
+* the relative-position index and the shift mask are computed with *numpy at
+  module-build time*, so they are compile-time constants (no gathers traced);
+* the attention core routes through ``ops.window_attention`` which fuses
+  qk^T + bias + mask + softmax + pv into one Pallas kernel on TPU (pure-XLA
+  fallback elsewhere).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigDict, register
+from . import blocks as B
+from .activations import make_activation
+
+__all__ = [
+    "PatchEmbed", "PatchMerging", "PatchExpand", "FinalPatchExpand_X4",
+    "Mlp", "WindowAttention", "SwinTransformerBlock",
+    "DoubleSwinTransformerBlock", "window_partition", "window_reverse",
+]
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """(B, H, W, C) -> (B * nW, window_size, window_size, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window_size, window_size,
+                  w // window_size, window_size, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window_size, window_size, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int,
+                   h: int, w: int) -> jax.Array:
+    """(B * nW, window_size, window_size, C) -> (B, H, W, C)."""
+    b = windows.shape[0] // ((h // window_size) * (w // window_size))
+    x = windows.reshape(b, h // window_size, w // window_size,
+                        window_size, window_size, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _tokens_hw(length: int) -> int:
+    side = int(round(math.sqrt(length)))
+    assert side * side == length, f"non-square token count {length}"
+    return side
+
+
+@register("segmentation.models.blocks.PatchEmbed", "patch_embed")
+class PatchEmbed(nn.Module):
+    """Conv stride=patch -> (B, L, C) tokens -> LN -> dropout
+    (reference ``blocks.py:22-40``)."""
+
+    in_channels: int = 3
+    out_channels: int = 96
+    patch_size: int = 4
+    bias: bool = True
+    dilation: int = 1
+    groups: int = 1
+    drop_rate: float = 0.0
+
+    PARAMS = {"patch_size": 4, "bias": True, "dilation": 1, "groups": 1,
+              "drop_rate": 0.0}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.patch_size
+        x = nn.Conv(self.out_channels, (p, p), strides=(p, p),
+                    padding="VALID", use_bias=self.bias,
+                    feature_group_count=self.groups,
+                    kernel_dilation=(self.dilation, self.dilation))(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        x = nn.LayerNorm()(x)
+        if self.drop_rate:
+            x = nn.Dropout(rate=self.drop_rate,
+                           deterministic=not train)(x)
+        return x
+
+
+@register("segmentation.models.blocks.PatchMerging", "patch_merging")
+class PatchMerging(nn.Module):
+    """2x2 token gather -> LN(4C) -> Linear 4C->2C (reference
+    ``blocks.py:43-73``)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    norm_layer: Any = "torch.nn.LayerNorm"
+
+    PARAMS = {"norm_layer": "torch.nn.LayerNorm"}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert 2 * self.in_channels == self.out_channels, \
+            f"PatchMerging needs out=2*in, got ({self.in_channels}, " \
+            f"{self.out_channels})"
+        b, length, c = x.shape
+        side = _tokens_hw(length)
+        x = x.reshape(b, side, side, c)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
+        x = nn.LayerNorm()(x)
+        return nn.Dense(2 * c, use_bias=False)(x)
+
+
+@register("segmentation.models.blocks.PatchExpand", "patch_expand")
+class PatchExpand(nn.Module):
+    """Linear C->2C -> 2x2 pixel-shuffle -> LN(C/2) (reference
+    ``blocks.py:76-99``)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    dim_scale: int = 2
+    norm_layer: Any = "torch.nn.LayerNorm"
+    channel_decrease_ratio: float = 0.5  # consumed by the decoder
+
+    PARAMS = {"dim_scale": 2, "norm_layer": "torch.nn.LayerNorm"}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.in_channels == 2 * self.out_channels, \
+            f"PatchExpand needs in=2*out, got ({self.in_channels}, " \
+            f"{self.out_channels})"
+        b, length, c_in = x.shape
+        side = _tokens_hw(length)
+        if self.dim_scale == 2:
+            x = nn.Dense(2 * c_in, use_bias=False)(x)
+        c = x.shape[-1]
+        c_out = c // 4
+        # b (h w) (p1 p2 c) -> b (h p1 w p2) c
+        x = x.reshape(b, side, side, 2, 2, c_out)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * length, c_out)
+        return nn.LayerNorm()(x)
+
+
+@register("segmentation.models.blocks.FinalPatchExpand_X4",
+          "final_patch_expand_x4")
+class FinalPatchExpand_X4(nn.Module):
+    """x4 pixel-shuffle expand + 1x1 conv head; tokens -> NHWC image
+    (reference ``blocks.py:102-137``)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    dim_scale: int = 4
+    norm_layer: Any = "torch.nn.LayerNorm"
+
+    PARAMS = {"dim_scale": 4, "norm_layer": "torch.nn.LayerNorm"}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.dim_scale
+        b, length, c = x.shape
+        side = _tokens_hw(length)
+        x = nn.LayerNorm()(x)                       # init_norm
+        x = nn.Dense(s * s * c, use_bias=False)(x)  # expand
+        x = x.reshape(b, side, side, s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * side * s * side, c)
+        x = nn.LayerNorm()(x)
+        x = x.reshape(b, s * side, s * side, c)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+
+
+@register("segmentation.models.blocks.Mlp", "swin_mlp")
+class Mlp(nn.Module):
+    """Dense -> act -> drop -> Dense -> drop (reference ``blocks.py:139-155``)."""
+
+    in_features: int = 0
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    activations: Any = "gelu"
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.hidden_features or self.in_features
+        out = self.out_features or self.in_features
+        x = nn.Dense(hidden)(x)
+        x = make_activation(self.activations)(x)
+        if self.drop:
+            x = nn.Dropout(rate=self.drop, deterministic=not train)(x)
+        x = nn.Dense(out)(x)
+        if self.drop:
+            x = nn.Dropout(rate=self.drop, deterministic=not train)(x)
+        return x
+
+
+def _relative_position_index(ws: Tuple[int, int]) -> np.ndarray:
+    """Static (Wh*Ww, Wh*Ww) index into the (2Wh-1)(2Ww-1) bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws[0]), np.arange(ws[1]),
+                                  indexing="ij"))          # 2, Wh, Ww
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]              # 2, N, N
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws[0] - 1
+    rel[:, :, 1] += ws[1] - 1
+    rel[:, :, 0] *= 2 * ws[1] - 1
+    return rel.sum(-1)
+
+
+@register("segmentation.models.blocks.WindowAttention", "window_attention")
+class WindowAttention(nn.Module):
+    """Windowed MHSA with relative position bias (reference
+    ``blocks.py:158-224``).  Input: (num_windows * B, N, C)."""
+
+    dim: int = 0
+    window_size: Tuple[int, int] = (7, 7)
+    num_heads: int = 1
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None,
+                 train: bool = False):
+        b_, n, c = x.shape
+        heads = self.num_heads
+        head_dim = c // heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]     # (B_, H, N, D)
+
+        ws = self.window_size
+        table = self.param(
+            "relative_position_bias_table", _trunc02,
+            ((2 * ws[0] - 1) * (2 * ws[1] - 1), heads))
+        index = _relative_position_index(ws)  # static numpy
+        bias = table[index.reshape(-1)].reshape(
+            ws[0] * ws[1], ws[0] * ws[1], heads).transpose(2, 0, 1)
+
+        from ..ops import window_attention_core
+        x = window_attention_core(q, k, v, bias, mask, scale)
+        if self.attn_drop:
+            # reference drops attention probs; we approximate by dropping
+            # the attention output (keeps the fused kernel intact)
+            x = nn.Dropout(rate=self.attn_drop, deterministic=not train)(x)
+        x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        x = nn.Dense(c, name="proj")(x)
+        if self.proj_drop:
+            x = nn.Dropout(rate=self.proj_drop, deterministic=not train)(x)
+        return x
+
+
+def _shift_attn_mask(resolution: Tuple[int, int], window_size: int,
+                     shift_size: int) -> np.ndarray:
+    """Static (nW, N, N) additive mask for SW-MSA (reference
+    ``blocks.py:300-323``)."""
+    h, w = resolution
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    slices = (slice(0, -window_size),
+              slice(-window_size, -shift_size),
+              slice(-shift_size, None))
+    cnt = 0
+    for hs in slices:
+        for ws_ in slices:
+            img_mask[:, hs, ws_, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, h // window_size, window_size,
+                          w // window_size, window_size, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size * window_size)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+@register("segmentation.models.blocks.SwinTransformerBlock",
+          "swin_transformer_block")
+class SwinTransformerBlock(nn.Module):
+    """W-MSA / SW-MSA block (reference ``blocks.py:227-362``).
+
+    The level index is recovered from the channel count
+    (``i = log2(C / embed_dim)``) exactly like the reference, so the block
+    drops into the generic U-Net as a ``basic_block``; ``position`` selects
+    W-MSA (even) vs SW-MSA (odd).
+    """
+
+    in_channels: int = 96
+    out_channels: Optional[int] = None
+    img_size: int = 224
+    patch_size: int = 4
+    num_heads_layers: Any = (3, 6, 12, 24)
+    activations: Any = "gelu"
+    embed_dim: int = 96
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    norm_layer: Any = "torch.nn.LayerNorm"
+    position: int = 0
+    stochastic_depth_rate: float = 0.0
+
+    PARAMS = {
+        "img_size": 224,
+        "patch_size": 4,
+        "num_heads_layers": (3, 6, 12, 24),
+        "activations": "gelu",
+        "embed_dim": 96,
+        "window_size": 7,
+        "mlp_ratio": 4.0,
+        "qkv_bias": True,
+        "qk_scale": None,
+        "drop": 0.0,
+        "attn_drop": 0.0,
+        "norm_layer": "torch.nn.LayerNorm",
+    }
+
+    def _geometry(self):
+        out = self.out_channels or self.in_channels
+        if self.in_channels != out:
+            raise ValueError(
+                "Swin transformer block should not change channel size, "
+                f"but got in {self.in_channels} and out {out}.")
+        level = int(math.log2(self.in_channels // self.embed_dim))
+        resolution = (self.img_size // self.patch_size) // (2 ** level)
+        window = self.window_size
+        shift = (self.position % 2) * window // 2
+        if resolution <= window:
+            window, shift = resolution, 0
+        return level, resolution, window, shift
+
+    def setup(self):
+        level, resolution, window, shift = self._geometry()
+        heads = list(self.num_heads_layers)[level]
+        self.norm1 = nn.LayerNorm()
+        self.attn = WindowAttention(
+            dim=self.in_channels, window_size=(window, window),
+            num_heads=heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop)
+        self.norm2 = nn.LayerNorm()
+        self.mlp = Mlp(in_features=self.in_channels,
+                       hidden_features=int(self.in_channels * self.mlp_ratio),
+                       activations=self.activations, drop=self.drop)
+        self._attn_mask = (
+            jnp.asarray(_shift_attn_mask((resolution, resolution),
+                                         window, shift))
+            if shift > 0 else None)
+
+    def __call__(self, x, train: bool = False):
+        _, resolution, window, shift = self._geometry()
+        b, length, c = x.shape
+        assert length == resolution * resolution, \
+            f"wrong token count L={length} for resolution {resolution}"
+
+        shortcut = x
+        x = self.norm1(x).reshape(b, resolution, resolution, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(x, window).reshape(-1, window * window, c)
+        attn_windows = self.attn(windows, mask=self._attn_mask, train=train)
+        attn_windows = attn_windows.reshape(-1, window, window, c)
+        x = window_reverse(attn_windows, window, resolution, resolution)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x.reshape(b, length, c)
+
+        x = shortcut + B.drop_path(self, x, self.stochastic_depth_rate, train)
+        return x + B.drop_path(self, self.mlp(self.norm2(x), train=train),
+                               self.stochastic_depth_rate, train)
+
+
+@register("segmentation.models.blocks.DoubleSwinTransformerBlock",
+          "double_swin_transformer_block")
+class DoubleSwinTransformerBlock(nn.Module):
+    """``depth`` stacked Swin blocks with alternating W-MSA / SW-MSA and an
+    optional final LayerNorm at the deepest channel width (reference
+    ``blocks.py:365-416``)."""
+
+    in_channels: int = 96
+    out_channels: Optional[int] = None
+    img_size: int = 224
+    patch_size: int = 4
+    depth: int = 2
+    num_heads_layers: Any = (3, 6, 12, 24)
+    activations: Any = "gelu"
+    embed_dim: int = 96
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dropout_rate: float = 0.0
+    dropout_att_rate: float = 0.0
+    stochastic_depth_rate: Any = 0.0
+
+    def setup(self):
+        out = self.out_channels or self.in_channels
+        assert self.in_channels == out, \
+            f"in_channels and out_channels are not equal " \
+            f"({self.in_channels}, {out})"
+        rates = self.stochastic_depth_rate
+        if not isinstance(rates, (list, tuple)):
+            rates = [rates] * self.depth
+        self.swin_blocks = [SwinTransformerBlock(
+            in_channels=self.in_channels, img_size=self.img_size,
+            patch_size=self.patch_size,
+            num_heads_layers=self.num_heads_layers,
+            activations=self.activations, embed_dim=self.embed_dim,
+            window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            drop=self.dropout_rate, attn_drop=self.dropout_att_rate,
+            position=i, stochastic_depth_rate=float(rates[i]))
+            for i in range(self.depth)]
+        heads = list(self.num_heads_layers)
+        self._normalize = self.embed_dim * 2 ** (len(heads) - 1) == out
+        if self._normalize:
+            self.last_norm = nn.LayerNorm()
+
+    def __call__(self, x, train: bool = False):
+        for block in self.swin_blocks:
+            x = block(x, train=train)
+        if self._normalize:
+            x = self.last_norm(x)
+        return x

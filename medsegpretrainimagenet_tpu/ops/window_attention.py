@@ -1,0 +1,190 @@
+"""Fused window attention: softmax(q k^T * scale + bias [+ mask]) v.
+
+The reference computes this with separate torch matmuls + softmax per
+window batch (``blocks.py:192-224``); here the TPU path is a single Pallas
+kernel that keeps the (N, N) attention logits in VMEM — they never touch
+HBM.  Windows are small (N = window_size² ≤ 49 in every shipped config), so
+the kernel batches several windows per grid step to fill the MXU.
+
+The backward pass is pure XLA (a custom VJP over the saved probabilities):
+four small batched matmuls that XLA fuses well; the forward is the hot
+eval/train path worth hand-fusing.
+
+``window_attention_core(q, k, v, bias, mask, scale)``:
+  q, k, v: (B_, H, N, D)   bias: (H, N, N)   mask: (nW, N, N) or None,
+  where B_ = batch * nW.  Returns (B_, H, N, D).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _logits(q, k, bias, mask, scale):
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[None].astype(logits.dtype)
+    if mask is not None:
+        n_w = mask.shape[0]
+        b_, h, n, _ = logits.shape
+        logits = logits.reshape(b_ // n_w, n_w, h, n, n) \
+            + mask[None, :, None].astype(logits.dtype)
+        logits = logits.reshape(b_, h, n, n)
+    return logits
+
+
+def _xla_window_attention(q, k, v, bias, mask, scale):
+    logits = _logits(q, k, bias, mask, scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _pallas_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                   scale: float, heads: int):
+    """One grid step: W_BLK windows x all heads, everything in VMEM.
+
+    (window, head) fold into one batch dim so both matmuls are single
+    batched ``dot_general`` calls on the MXU; logits/probs never leave
+    VMEM."""
+    w_blk, hh, n, d = q_ref.shape
+    q = (q_ref[...].astype(jnp.float32) * scale).reshape(w_blk * hh, n, d)
+    k = k_ref[...].astype(jnp.float32).reshape(w_blk * hh, n, d)
+    v = v_ref[...].astype(jnp.float32).reshape(w_blk * hh, n, d)
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(w_blk, hh, n, n)
+    logits = logits + bias_ref[...][None]
+    if mask_ref is not None:
+        logits = logits + mask_ref[...][:, None]
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs /= jnp.sum(probs, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.reshape(w_blk * hh, n, n), v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out_ref[...] = out.reshape(w_blk, hh, n, d).astype(out_ref.dtype)
+
+
+def _pallas_window_attention(q, k, v, bias, mask, scale, w_blk=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b_, heads, n, d = q.shape
+    n_w = 1 if mask is None else mask.shape[0]
+    # pick a window block that divides B_ and aligns with the mask period
+    while w_blk > 1 and (b_ % w_blk or (mask is not None and n_w % w_blk
+                                        and w_blk % n_w)):
+        w_blk //= 2
+    grid = (b_ // w_blk,)
+
+    qkv_spec = pl.BlockSpec((w_blk, heads, n, d), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
+    operands = [q, k, v, bias]
+    if mask is not None:
+        if w_blk <= n_w:
+            # block i covers windows [i*w_blk, (i+1)*w_blk) mod nW
+            mask_spec = pl.BlockSpec(
+                (w_blk, n, n), lambda i: (i % (n_w // w_blk), 0, 0),
+                memory_space=pltpu.VMEM)
+            operands.append(mask)
+        else:
+            tiled = jnp.tile(mask, (w_blk // n_w, 1, 1))
+            mask_spec = pl.BlockSpec((w_blk, n, n), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            operands.append(tiled)
+        in_specs.append(mask_spec)
+
+    kernel = functools.partial(
+        _pallas_kernel_with_mask if mask is not None else
+        _pallas_kernel_no_mask, scale=scale, heads=heads)
+    flops = 2 * 2 * b_ * heads * n * n * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b_ * heads * n * n,
+            bytes_accessed=4 * b_ * heads * n * d * q.dtype.itemsize),
+    )(*operands)
+
+
+def _pallas_kernel_no_mask(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                           scale, heads):
+    _pallas_kernel(q_ref, k_ref, v_ref, bias_ref, None, out_ref,
+                   scale=scale, heads=heads)
+
+
+def _pallas_kernel_with_mask(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                             out_ref, *, scale, heads):
+    _pallas_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                   scale=scale, heads=heads)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: Pallas forward, XLA backward over recomputed probs
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused(q, k, v, bias, mask, scale):
+    return _pallas_window_attention(q, k, v, bias, mask, scale)
+
+
+def _fused_fwd(q, k, v, bias, mask, scale):
+    return _pallas_window_attention(q, k, v, bias, mask, scale), \
+        (q, k, v, bias, mask)
+
+
+def _fused_bwd(scale, residuals, g):
+    q, k, v, bias, mask = residuals
+    probs = jax.nn.softmax(_logits(q, k, bias, mask, scale), axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", probs, g32,
+                    preferred_element_type=jnp.float32)
+    dprobs = jnp.einsum("bhnd,bhmd->bhnm", g32, v.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dq = scale * jnp.einsum("bhnm,bhmd->bhnd", dlogits,
+                            k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    dk = scale * jnp.einsum("bhnm,bhnd->bhmd", dlogits,
+                            q.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    dbias = jnp.sum(dlogits, axis=0)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), dmask)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def window_attention_core(q, k, v, bias,
+                          mask: Optional[jax.Array], scale: float,
+                          force: Optional[str] = None) -> jax.Array:
+    """Dispatch: Pallas on TPU (where it measures faster), XLA elsewhere.
+
+    Measured on v5e at Swin level-0 shapes (1536 windows, 3 heads, N=49,
+    D=32): Pallas 1510 us vs XLA 1625 us unmasked; masked (SW-MSA) the
+    extra mask block tips it to XLA (2172 vs 2010 us), so masked windows
+    take the XLA path.  ``force`` ∈ {None, 'xla', 'pallas'} pins the
+    implementation (tests)."""
+    impl = force or ("pallas" if (mask is None and jax.default_backend()
+                                  in ("tpu", "axon")) else "xla")
+    if impl == "pallas":
+        return _fused(q, k, v, bias, mask, scale)
+    return _xla_window_attention(q, k, v, bias, mask, scale)
