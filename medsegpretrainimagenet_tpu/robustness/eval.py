@@ -1,0 +1,181 @@
+"""Encoder transferability scoring (reference ``robustness/eval.py``).
+
+``eval_encoder`` color-jitters the probe images twice, runs the encoder on
+both views collecting per-level skip activations, and scores the selected
+level with a shifted-negative margin: ``max(0, d(pos) - d(neg) + margin)``
+(``eval.py:16-28``).  Negatives are built by reversing the second view's
+batch and rolling it by 2 so no index matches itself.
+
+TPU-first: the forward is one jitted batched apply per view (skip levels
+come from ``return_skip_vals``); distances and pooling are XLA reductions;
+the color jitter is a jnp reimplementation of
+``torchvision.transforms.ColorJitter(0.1, 0.05, 0.1, 0.05)`` semantics
+(per-call uniform factors, randomised op order, HSV hue shift).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distances import cosine_distance
+
+__all__ = ["Robustness", "predict_w_model", "eval_encoder", "color_jitter"]
+
+
+class Robustness:
+    """Margin scorer over two views' representations."""
+
+    def __init__(self, distance_fn: Callable = cosine_distance,
+                 margin: float = 0.5):
+        self.distance_fn = distance_fn
+        self.margin = margin
+
+    def __call__(self, preds0, preds1):
+        qs = preds0.reshape(preds0.shape[0], -1)
+        k1 = preds1.reshape(preds1.shape[0], -1)
+        # reverse to build negatives, then shift by 2 so the middle pair
+        # (which reversal maps onto itself) no longer matches
+        k0 = jnp.roll(k1[::-1], 2, axis=0)
+        neg = self.distance_fn(qs, k0)
+        pos = self.distance_fn(qs, k1)
+        return jnp.maximum(0.0, pos - neg + self.margin)
+
+
+# ---------------------------------------------------------------------------
+# color jitter (torchvision semantics, NHWC jnp)
+# ---------------------------------------------------------------------------
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _grayscale(x):
+    if x.shape[-1] != 3:
+        return jnp.mean(x, axis=-1, keepdims=True)
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def color_jitter(key: jax.Array, imgs: jax.Array,
+                 brightness: float = 0.1, contrast: float = 0.05,
+                 saturation: float = 0.1, hue: float = 0.05) -> jax.Array:
+    """One jittered view of an NHWC float batch in [0, 1]."""
+    keys = jax.random.split(key, 5)
+    order = jax.random.permutation(keys[0], 4)
+    b = jax.random.uniform(keys[1], (), minval=1 - brightness,
+                           maxval=1 + brightness)
+    c = jax.random.uniform(keys[2], (), minval=1 - contrast,
+                           maxval=1 + contrast)
+    s = jax.random.uniform(keys[3], (), minval=1 - saturation,
+                           maxval=1 + saturation)
+    h = jax.random.uniform(keys[4], (), minval=-hue, maxval=hue)
+
+    def apply_brightness(x):
+        return jnp.clip(x * b, 0.0, 1.0)
+
+    def apply_contrast(x):
+        mean = jnp.mean(_grayscale(x), axis=(1, 2, 3), keepdims=True)
+        return jnp.clip(mean + c * (x - mean), 0.0, 1.0)
+
+    def apply_saturation(x):
+        gray = _grayscale(x)
+        return jnp.clip(gray + s * (x - gray), 0.0, 1.0)
+
+    def apply_hue(x):
+        if x.shape[-1] != 3:
+            return x
+        hsv = _rgb_to_hsv(x)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + h) % 1.0)
+        return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+
+    ops = [apply_brightness, apply_contrast, apply_saturation, apply_hue]
+    for idx in order:
+        imgs = jax.lax.switch(idx, ops, imgs)
+    return imgs
+
+
+# ---------------------------------------------------------------------------
+# encoder forward
+# ---------------------------------------------------------------------------
+
+def predict_w_model(module, variables, imgs, batch_size: int = 32,
+                    level: int = -2, pool: bool = True,
+                    method: Optional[Callable] = None):
+    """Batched encoder forward collecting per-level activations.
+
+    Returns the ``level``-indexed entry of ``[*skip_levels, final]``,
+    optionally mean-pooled over the spatial axes (reference
+    ``eval.py:30-54``).
+    """
+    @jax.jit
+    def forward(x):
+        kwargs = {"train": False, "return_skip_vals": True}
+        if method is not None:
+            return method(variables, x, **kwargs)
+        return module.apply(variables, x, **kwargs)
+
+    outs = []
+    n = imgs.shape[0]
+    for start in range(0, n, batch_size):
+        x = imgs[start:start + batch_size]
+        y_hat, skips = forward(x)
+        outs.append([*skips, y_hat])
+    levels = [jnp.concatenate([batch[i] for batch in outs], axis=0)
+              for i in range(len(outs[0]))]
+    pred = levels[level]
+    if pool:
+        # NHWC: mean over spatial axes -> (N, C)
+        return jnp.mean(pred.reshape(pred.shape[0], -1, pred.shape[-1]),
+                        axis=1)
+    return pred
+
+
+def eval_encoder(module, variables, imgs, scorer: Robustness,
+                 level: int, pool: bool, key: Optional[jax.Array] = None,
+                 batch_size: int = 32, method: Optional[Callable] = None):
+    """Score one encoder: two jittered views -> margin scores (N,)."""
+    if key is None:
+        key = jax.random.key(0)
+    k0, k1 = jax.random.split(key)
+    imgs = jnp.asarray(imgs, jnp.float32)
+    imgs0 = color_jitter(k0, imgs)
+    imgs1 = color_jitter(k1, imgs)
+    preds0 = predict_w_model(module, variables, imgs0,
+                             batch_size=batch_size, level=level, pool=pool,
+                             method=method)
+    preds1 = predict_w_model(module, variables, imgs1,
+                             batch_size=batch_size, level=level, pool=pool,
+                             method=method)
+    return scorer(preds0, preds1)

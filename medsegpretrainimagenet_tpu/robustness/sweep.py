@@ -1,0 +1,78 @@
+"""Robustness sweep driver.
+
+The reference publishes ``results/robustness_scores.csv`` (25 200 rows:
+dataset x metric x margin x encoder x scheme x pooled x level x
+pretraining_length -> robustness) but ships no driver for it; this module
+provides one.  ``run_sweep`` walks the cartesian product of probe settings
+for a set of encoders and emits rows with the same columns;
+``write_scores_csv`` serialises them.
+"""
+from __future__ import annotations
+
+import csv
+import itertools
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .distances import DISTANCES
+from .eval import Robustness, eval_encoder
+
+__all__ = ["run_sweep", "write_scores_csv"]
+
+CSV_COLUMNS = ("dataset", "metric", "margin", "encoder",
+               "pretraining_scheme", "pooled", "level",
+               "pretraining_length", "robustness")
+
+
+def run_sweep(encoders: Sequence[Dict[str, Any]],
+              datasets: Dict[str, Any],
+              metrics: Iterable[str] = ("cosine_distance", "l2",
+                                        "inv_pearson"),
+              margins: Iterable[float] = (0.0, 0.5),
+              levels: Iterable[int] = (1, 2, 3, 4),
+              pooled: Iterable[bool] = (False, True),
+              batch_size: int = 32,
+              seed: int = 0) -> List[Dict[str, Any]]:
+    """Score every (encoder, dataset, metric, margin, level, pooled) cell.
+
+    ``encoders``: dicts with ``module``, ``variables`` and metadata keys
+    ``name`` / ``pretraining_scheme`` / ``pretraining_length`` (and
+    optionally ``method`` for non-standard forward signatures).
+    ``datasets``: name -> NHWC image array of probe images.
+    Returns one row dict per cell with the mean margin score.
+    """
+    rows = []
+    key = jax.random.key(seed)
+    for encoder, (ds_name, imgs) in itertools.product(
+            encoders, datasets.items()):
+        key, probe_key = jax.random.split(key)
+        for metric, margin, level, pool in itertools.product(
+                metrics, margins, levels, pooled):
+            scorer = Robustness(DISTANCES[metric], margin)
+            scores = eval_encoder(
+                encoder["module"], encoder["variables"], imgs, scorer,
+                level=level, pool=pool, key=probe_key,
+                batch_size=batch_size, method=encoder.get("method"))
+            rows.append({
+                "dataset": ds_name,
+                "metric": metric,
+                "margin": margin,
+                "encoder": encoder.get("name", "encoder"),
+                "pretraining_scheme": encoder.get("pretraining_scheme",
+                                                  "none"),
+                "pooled": pool,
+                "level": level,
+                "pretraining_length": encoder.get("pretraining_length", 0),
+                "robustness": float(np.mean(np.asarray(scores))),
+            })
+    return rows
+
+
+def write_scores_csv(path: str, rows: Iterable[Dict[str, Any]]) -> None:
+    with open(path, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=CSV_COLUMNS)
+        writer.writeheader()
+        for row in rows:
+            writer.writerow(row)

@@ -1,0 +1,183 @@
+"""Robustness/transferability module: distances, margin scorer, color
+jitter, encoder probing, sweep driver (reference ``src/robustness``)."""
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from medsegpretrainimagenet_tpu.models import UNetEncoder
+from medsegpretrainimagenet_tpu.robustness import (Robustness, color_jitter,
+                                                   cosine_distance,
+                                                   eval_encoder,
+                                                   inv_pearson_corr, l2_loss,
+                                                   predict_w_model, run_sweep,
+                                                   write_scores_csv)
+
+
+# ---------------------------------------------------------------------------
+# distances vs. torch golden values (reference distance.py formulas)
+# ---------------------------------------------------------------------------
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(
+        np.float32)
+
+
+def test_cosine_distance_matches_torch():
+    x, y = _rand((5, 12), 0), _rand((5, 12), 1)
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    golden = 1 - torch.sum(tx * ty, axis=1) / torch.sqrt(
+        torch.sum(tx ** 2, axis=1) * torch.sum(ty ** 2, axis=1))
+    np.testing.assert_allclose(np.array(cosine_distance(x, y)),
+                               golden.numpy(), rtol=1e-5)
+
+
+def test_l2_matches_torch():
+    x, y = _rand((5, 12), 2), _rand((5, 12), 3)
+    golden = torch.mean((torch.tensor(x) - torch.tensor(y)) ** 2, axis=1)
+    np.testing.assert_allclose(np.array(l2_loss(x, y)), golden.numpy(),
+                               rtol=1e-5)
+
+
+def test_inv_pearson_matches_torch():
+    x, y = _rand((4, 30), 4), _rand((4, 30), 5)
+    golden = 1 - torch.stack(
+        [torch.corrcoef(torch.stack([a.flatten(), b.flatten()]))[0, 1]
+         for a, b in zip(torch.tensor(x), torch.tensor(y))])
+    np.testing.assert_allclose(np.array(inv_pearson_corr(x, y)),
+                               golden.numpy(), rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# margin scorer
+# ---------------------------------------------------------------------------
+
+def test_robustness_negative_shift_matches_torch_indexing():
+    """k0 = reversed(k1) rolled by 2 (reference eval.py:22-24)."""
+    n = 6
+    k1 = np.arange(n, dtype=np.float32).reshape(n, 1).repeat(3, 1)
+    t = torch.tensor(k1)
+    k0_t = torch.stack([t[i - 1] for i in range(n, 0, -1)])
+    k0_t = torch.stack([k0_t[-2], k0_t[-1], *k0_t[:-2]])
+    k0_j = jnp.roll(jnp.asarray(k1)[::-1], 2, axis=0)
+    np.testing.assert_array_equal(np.array(k0_j), k0_t.numpy())
+    # and the shift guarantees no self-match anywhere
+    assert not (np.array(k0_j)[:, 0] == k1[:, 0]).any()
+
+
+def test_robustness_score_formula():
+    preds0 = jnp.asarray(_rand((6, 4, 4, 2), 6))
+    preds1 = preds0 + 0.01  # nearly identical views -> pos ~ 0
+    scorer = Robustness(cosine_distance, margin=0.0)
+    scores = np.array(scorer(preds0, preds1))
+    assert scores.shape == (6,)
+    assert (scores >= 0).all()
+    # identical views, margin 0 -> pos == 0 so score == max(0, -neg) == 0
+    zero = np.array(Robustness(cosine_distance, 0.0)(preds0, preds0))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-6)
+    # large margin dominates
+    big = np.array(Robustness(cosine_distance, 10.0)(preds0, preds0))
+    assert (big > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# color jitter
+# ---------------------------------------------------------------------------
+
+def test_color_jitter_range_shape_determinism():
+    imgs = jnp.asarray(np.random.default_rng(0).random((4, 8, 8, 3)),
+                       jnp.float32)
+    out1 = color_jitter(jax.random.key(1), imgs)
+    out2 = color_jitter(jax.random.key(1), imgs)
+    out3 = color_jitter(jax.random.key(2), imgs)
+    assert out1.shape == imgs.shape
+    assert float(out1.min()) >= 0.0 and float(out1.max()) <= 1.0
+    np.testing.assert_array_equal(np.array(out1), np.array(out2))
+    assert np.abs(np.array(out1) - np.array(out3)).max() > 0
+    # jitter is mild (torchvision factors 0.05-0.1)
+    assert np.abs(np.array(out1) - np.array(imgs)).max() < 0.35
+
+
+def test_color_jitter_grayscale_passthrough_shapes():
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 1)),
+                       jnp.float32)
+    out = color_jitter(jax.random.key(0), imgs)
+    assert out.shape == imgs.shape
+
+
+def test_hsv_roundtrip():
+    from medsegpretrainimagenet_tpu.robustness.eval import (_hsv_to_rgb,
+                                                            _rgb_to_hsv)
+    rgb = jnp.asarray(np.random.default_rng(0).random((2, 5, 5, 3)),
+                      jnp.float32)
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.array(back), np.array(rgb), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# encoder probing + sweep
+# ---------------------------------------------------------------------------
+
+def _encoder():
+    module = UNetEncoder(in_channel_size=3, channels=[4, 4, 8, 16], depth=2,
+                         width=1)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = module.init(jax.random.key(0), x, train=False)
+    return module, variables
+
+
+def test_predict_w_model_levels_and_pooling():
+    module, variables = _encoder()
+    imgs = jnp.asarray(np.random.default_rng(0).random((5, 16, 16, 3)),
+                       jnp.float32)
+    # level -2 = last skip (channels 8 at 8x8 after one downsample)
+    pooled = predict_w_model(module, variables, imgs, batch_size=2,
+                             level=-2, pool=True)
+    assert pooled.shape == (5, 8)
+    unpooled = predict_w_model(module, variables, imgs, batch_size=2,
+                               level=-2, pool=False)
+    assert unpooled.shape == (5, 8, 8, 8)
+    np.testing.assert_allclose(
+        np.array(pooled), np.array(unpooled.mean(axis=(1, 2))), rtol=1e-5)
+    # final output (level -1): bottom features 16ch at 4x4
+    final = predict_w_model(module, variables, imgs, batch_size=2,
+                            level=-1, pool=True)
+    assert final.shape == (5, 16)
+
+
+def test_eval_encoder_end_to_end():
+    module, variables = _encoder()
+    imgs = np.random.default_rng(0).random((6, 16, 16, 3))
+    scorer = Robustness(cosine_distance, margin=0.1)
+    scores = eval_encoder(module, variables, imgs, scorer, level=1,
+                          pool=True, key=jax.random.key(0), batch_size=3)
+    assert scores.shape == (6,)
+    assert (np.array(scores) >= 0).all()
+
+
+def test_run_sweep_and_csv(tmp_path):
+    module, variables = _encoder()
+    imgs = np.random.default_rng(0).random((4, 16, 16, 3))
+    rows = run_sweep(
+        encoders=[{"module": module, "variables": variables,
+                   "name": "unet_encoder", "pretraining_scheme": "simple",
+                   "pretraining_length": 20}],
+        datasets={"COVIDQUDataset": imgs},
+        metrics=("cosine_distance", "l2"),
+        margins=(0.0,), levels=(1, 2), pooled=(True, False),
+        batch_size=2)
+    assert len(rows) == 2 * 1 * 2 * 2
+    assert all(r["encoder"] == "unet_encoder" for r in rows)
+    assert all(np.isfinite(r["robustness"]) for r in rows)
+
+    path = str(tmp_path / "robustness_scores.csv")
+    write_scores_csv(path, rows)
+    with open(path) as fh:
+        read = list(csv.DictReader(fh))
+    assert len(read) == len(rows)
+    # same columns as the published results/robustness_scores.csv
+    assert list(read[0].keys()) == [
+        "dataset", "metric", "margin", "encoder", "pretraining_scheme",
+        "pooled", "level", "pretraining_length", "robustness"]
