@@ -125,17 +125,45 @@ class AvgPool2d(nn.Module):
                            if self.padding == 0 else _padding(self.padding, k))
 
 
+def _adaptive_pool_axis(x, axis: int, out: int):
+    """Adaptive average pooling of one axis to ``out`` bins (torch bin
+    boundaries: bin i covers [floor(i*n/out), ceil((i+1)*n/out)))."""
+    n = x.shape[axis]
+    if n == out:
+        return x
+    if n % out == 0:
+        step = n // out
+        shape = x.shape[:axis] + (out, step) + x.shape[axis + 1:]
+        return x.reshape(shape).mean(axis=axis + 1)
+    bins = [jnp.mean(jax.lax.slice_in_dim(
+        x, (i * n) // out, -(-((i + 1) * n) // out), axis=axis),
+        axis=axis, keepdims=True) for i in range(out)]
+    return jnp.concatenate(bins, axis=axis)
+
+
 @register("torch.nn.AdaptiveAvgPool2d", "adaptive_avg_pool2d")
 class AdaptiveAvgPool2d(nn.Module):
-    output_size: int = 1
+    """Adaptive average pool over the two innermost non-channel axes.
+
+    4D NHWC input pools (H, W).  3D (B, L, C) input follows torch's
+    unbatched-(C, H, W) reading of ``nn.AdaptiveAvgPool2d`` — the last two
+    axes are pooled, which is how the Swin pretraining head collapses
+    tokens: ``output_size (1, C)`` -> mean over L
+    (``config/pretraining/swin_transformer/simple.yaml:58-61``).
+    """
+
+    output_size: Any = 1
 
     def __call__(self, x, train: bool = False):
-        if self.output_size != 1:
-            b, h, w, c = x.shape
+        if x.ndim == 3:
             o = _pair(self.output_size)
-            x = x.reshape(b, o[0], h // o[0], o[1], w // o[1], c)
-            return x.mean(axis=(2, 4))
-        return x.mean(axis=(1, 2), keepdims=True)
+            x = _adaptive_pool_axis(x, 1, o[0])
+            return _adaptive_pool_axis(x, 2, o[1])
+        if self.output_size == 1 or self.output_size == (1, 1):
+            return x.mean(axis=(1, 2), keepdims=True)
+        o = _pair(self.output_size)
+        x = _adaptive_pool_axis(x, 1, o[0])
+        return _adaptive_pool_axis(x, 2, o[1])
 
 
 @register("torch.nn.Flatten", "flatten")
