@@ -36,7 +36,7 @@ from ..models import Model
 from ..optim import Optimizer
 from ..plotting import GeneralPlotter, export_plot
 from ..train import TrainState, checkpoint as ckpt, train_model
-from ..utils import handle_exception
+from ..utils import handle_exception, swallow
 
 __all__ = ["experiment", "run_exp", "check_for_continued",
            "plot_and_save_history", "compare_experiments",
@@ -370,6 +370,13 @@ def run_exp(train_data, val_data, test_data, destination: str,
                                    class_names=class_names,
                                    validate=to_validate)
 
+    host_loggers = []
+    if log_to_device:
+        from ..metrics.host_loggers import build_host_loggers
+        with swallow("Exception while building host loggers."):
+            host_loggers = build_host_loggers(config_dict, destination,
+                                              class_names=class_names)
+
     mesh = None
     if jax.device_count() > 1:
         from ..parallel import create_mesh, replicated
@@ -391,7 +398,7 @@ def run_exp(train_data, val_data, test_data, destination: str,
                     "training/gradient_clipping/max_value"),
                 grad_clip_norm_type=config_dict.get(
                     "training/gradient_clipping/norm", 2.0) or 2.0,
-                mesh=mesh)
+                mesh=mesh, host_loggers=host_loggers)
 
     if log_to_device and tech.get("log metric and loss plots", False):
         plot_destination = destination + "plots/"

@@ -100,6 +100,7 @@ def train_model(model, train_data, val_data, test_data,
                 grad_clip_value: Optional[float] = None,
                 grad_clip_norm_type: float = 2.0, mesh=None,
                 on_epoch: Optional[Callable] = None,
+                host_loggers: Iterable = (),
                 *args, **kwargs) -> TrainState:
     """Train for the configured number of epochs.  Returns the final state."""
     assert virtual_batch_size % true_batch_size == 0, \
@@ -131,6 +132,25 @@ def train_model(model, train_data, val_data, test_data,
                                  grad_clip_value=grad_clip_value,
                                  grad_clip_norm_type=grad_clip_norm_type)
     eval_step = make_eval_step(model, loss, calculator)
+
+    host_loggers = list(host_loggers or ())
+    module = getattr(model, "module", model)
+
+    @jax.jit
+    def _host_forward(variables, x):
+        return module.apply(variables, x, train=False)
+
+    def run_host_loggers(epoch_1idx: int, last: bool = False):
+        forward = lambda x: _host_forward(state.variables, x)  # noqa: E731
+        for logger in host_loggers:
+            if not logger.active(epoch_1idx, last=last):
+                continue
+            with swallow("Exception in a host epoch logger."):
+                logger.log(epoch_1idx, train_data, forward, train=True,
+                           last=last)
+                if val_data:
+                    logger.log(epoch_1idx, val_data, forward, train=False,
+                               last=last)
 
     def save_model(tag: str):
         ckpt.save_params_file(destination + f"{tag}_model_state_dict.msgpack",
@@ -185,10 +205,14 @@ def train_model(model, train_data, val_data, test_data,
                     destination + "optimizer_state_dict.msgpack",
                     {"opt_state": state.opt_state,
                      "step": np.asarray(state.step)})
+            run_host_loggers(epoch + 1)
             if on_epoch is not None:
                 on_epoch(epoch, row, state)
         except Exception as exc:  # noqa: BLE001 - reference error envelope
             handle_exception(exc, f"Exception occured in epoch {epoch}.")
+
+    if any(lg.do_last for lg in host_loggers):
+        run_host_loggers(num_epochs, last=True)
 
     if calculator is not None and calculator.requires_last_pass:
         with swallow("Exception in last pass."):
