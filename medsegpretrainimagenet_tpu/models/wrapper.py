@@ -240,6 +240,8 @@ class Model:
         strict = bool(enc_cfg.get("strict", True))
         try:
             from ..train.checkpoint import load_encoder_params
+            from ..train.torch_mapping import (looks_like_torch_encoder,
+                                               translate_reference_encoder)
             encoder_params = load_encoder_params(weights)
             params = variables["params"]
             if "enc" not in params:
@@ -255,10 +257,29 @@ class Model:
                         f"Unexpected keys in encoder checkpoint {weights}: "
                         f"{['/'.join(p) for p in unexpected[:8]]}")
 
+            encoder_stats = None
+            if looks_like_torch_encoder(encoder_params):
+                translated, leftover = translate_reference_encoder(
+                    encoder_params)
+                if leftover:
+                    if strict:
+                        raise KeyError(f"Unmapped torch keys in {weights}: "
+                                       f"{leftover[:8]}")
+                    warnings.warn(f"Unmapped torch keys in {weights}: "
+                                  f"{leftover[:8]} — ignored.")
+                encoder_params = translated["params"]
+                encoder_stats = translated["batch_stats"]
+
             grafted = _graft(params["enc"], encoder_params,
                              warn if not strict else None)
             out = dict(variables)
             out["params"] = _set_subtree(params, ("enc",), grafted)
+            if encoder_stats and out.get("batch_stats") \
+                    and "enc" in out["batch_stats"]:
+                out["batch_stats"] = _set_subtree(
+                    out["batch_stats"], ("enc",),
+                    _graft(out["batch_stats"]["enc"], encoder_stats,
+                           warn if not strict else None))
             print(f"Successfully initialised encoder from {weights}.")
             return out
         except Exception as exc:  # noqa: BLE001 - parity: never fatal

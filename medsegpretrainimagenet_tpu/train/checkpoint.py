@@ -59,6 +59,10 @@ def load_encoder_params(path: str):
     for key in ("layers_0", "layers.0", "enc"):
         if key in params:
             return params[key]
+    # torch checkpoints unflatten 'layers.0.*' to {'layers': {'0': ...}}
+    layers = params.get("layers")
+    if isinstance(layers, dict) and "0" in layers:
+        return layers["0"]
     # torch-style flat dict {'layers.0.xxx': tensor}
     flat = {k[len("layers.0."):]: v for k, v in params.items()
             if isinstance(k, str) and k.startswith("layers.0.")}
