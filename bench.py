@@ -26,7 +26,10 @@ def bench_jax() -> float:
     import optax
 
     from medsegpretrainimagenet_tpu.models import UNet
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
 
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)  # bf16 activations (params f32)
     module = UNet(img_ch=3, output_ch=1, depth=4)
     x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
     y = jnp.zeros((BATCH, SIZE, SIZE), jnp.float32)

@@ -320,6 +320,13 @@ def run_exp(train_data, val_data, test_data, destination: str,
     rng = jax.random.key(curr_seed)
     init_rng, weight_rng, train_rng = jax.random.split(rng, 3)
 
+    # bf16 activations/compute (params + loss/metric reductions stay f32);
+    # off by default for strict numerical parity with the reference
+    from ..models.blocks import set_compute_dtype
+    import jax.numpy as jnp
+    set_compute_dtype(
+        jnp.bfloat16 if tech.get("mixed_precision", False) else None)
+
     model = registry.build(config_dict, key="model", wrapper=Model)
     model_dict = config_dict["model"].value()
 

@@ -189,6 +189,10 @@ class Loss:
                                        False))
 
     def __call__(self, prediction, batch: Dict[str, Any]):
+        if hasattr(prediction, "dtype") and prediction.dtype == jnp.bfloat16:
+            # mixed-precision: losses reduce over millions of pixels —
+            # accumulate in f32
+            prediction = prediction.astype(jnp.float32)
         if self.PASS_ALL_INPUTS:
             return self.calculator(
                 prediction=prediction,

@@ -238,6 +238,9 @@ class MetricsCalculator:
     def update(self, state, prediction, batch,
                loss_value=None) -> Tuple[dict, Dict[str, Any]]:
         """Jittable: fold one (virtual) batch into the state."""
+        import jax.numpy as jnp
+        if hasattr(prediction, "dtype") and prediction.dtype == jnp.bfloat16:
+            prediction = prediction.astype(jnp.float32)  # mixed-precision
         new_state = dict(state)
         per_batch: Dict[str, Any] = {}
         for key, spec in self.specs.items():

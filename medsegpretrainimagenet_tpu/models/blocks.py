@@ -34,8 +34,27 @@ __all__ = [
     "ResNeXtBlock", "InvertedBottleneckBlock", "ConvNeXtBlock",
     "ChannelwiseLayerNorm", "LayerScale", "ResConnection", "ConcatBlock",
     "AttentionBlock", "ConcatLinearBlock", "drop_path", "make_block_builder",
+    "set_compute_dtype", "compute_dtype",
     "block_accepts", "mixing_out_channels",
 ]
+
+
+_COMPUTE_DTYPE = [None]  # None -> flax dtype inference (f32 with f32 params)
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the activation/compute dtype for all blocks (params stay f32).
+
+    ``jnp.bfloat16`` halves HBM traffic on the conv tower — the measured
+    bottleneck at 256² (a single level-0 activation is 256·256·64·4 B per
+    image in f32).  Must be set before module *tracing* (jit compile), not
+    before construction.
+    """
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[0]
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -94,6 +113,7 @@ class Conv2d(nn.Module):
             use_bias=self.bias,
             feature_group_count=self.groups,
             kernel_dilation=_pair(self.dilation),
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -180,7 +200,7 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.Dense(self.out_features, use_bias=self.bias)(x)
+        return nn.Dense(self.out_features, use_bias=self.bias, dtype=compute_dtype())(x)
 
 
 @register("torch.nn.LayerNorm", "layer_norm")
@@ -215,7 +235,7 @@ class Upsample(nn.Module):
 
 def _batch_norm(train: bool) -> nn.Module:
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5)
+                        epsilon=1e-5, dtype=compute_dtype())
 
 
 @register("segmentation.models.blocks.ConvBlock", "conv_block")
@@ -258,7 +278,8 @@ class ConvBlock(nn.Module):
             stride = self.stride or (2 if downsampling else 1)
             x = nn.Conv(self.out_channels, _pair(self.kernel_size),
                         strides=_pair(stride),
-                        padding=_padding(self.padding, self.kernel_size))(x)
+                        padding=_padding(self.padding, self.kernel_size),
+                        dtype=compute_dtype())(x)
             x = _batch_norm(train)(x)
             x = make_activation(self.activations)(x)
         if self.dropout:
@@ -293,7 +314,7 @@ class UpConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         x = Upsample(scale_factor=self.scale_factor)(x)
         x = nn.Conv(self.out_channels, _pair(self.kernel_size),
-                    padding="SAME")(x)
+                    padding="SAME", dtype=compute_dtype())(x)
         return make_activation(self.activation)(x)
 
 
@@ -327,14 +348,14 @@ class LayerScale(nn.Module):
 def _bottleneck_triple(x, mid, out, kernel_size, activations, train):
     """1x1 -> depthwise kxk -> 1x1, each conv+BN+act."""
     act = lambda y: make_activation(activations)(y)  # noqa: E731
-    x = nn.Conv(mid, (1, 1), padding="SAME")(x)
+    x = nn.Conv(mid, (1, 1), padding="SAME", dtype=compute_dtype())(x)
     x = _batch_norm(train)(x)
     x = act(x)
     x = nn.Conv(mid, _pair(kernel_size), padding="SAME",
-                feature_group_count=mid)(x)
+                feature_group_count=mid, dtype=compute_dtype())(x)
     x = _batch_norm(train)(x)
     x = act(x)
-    x = nn.Conv(out, (1, 1), padding="SAME")(x)
+    x = nn.Conv(out, (1, 1), padding="SAME", dtype=compute_dtype())(x)
     x = _batch_norm(train)(x)
     return act(x)
 
@@ -420,17 +441,17 @@ class ConvNeXtBlock(nn.Module):
         act = lambda y: make_activation(self.activations)(y)  # noqa: E731
 
         x = nn.Conv(channels[0], _pair(self.kernel_size), padding="SAME",
-                    feature_group_count=min(self.in_channels, channels[0]))(x)
+                    feature_group_count=min(self.in_channels, channels[0]), dtype=compute_dtype())(x)
         x = self._norm(channels[0])(x)
         if not self.reduce_number_of_activations:
             x = act(x)
 
-        x = nn.Conv(4 * channels[1], (1, 1), padding="SAME")(x)
+        x = nn.Conv(4 * channels[1], (1, 1), padding="SAME", dtype=compute_dtype())(x)
         if not self.reduce_number_of_norm_layers:
             x = self._norm(4 * channels[1])(x)
         x = act(x)
 
-        x = nn.Conv(self.out_channels, (1, 1), padding="SAME")(x)
+        x = nn.Conv(self.out_channels, (1, 1), padding="SAME", dtype=compute_dtype())(x)
         if not self.reduce_number_of_norm_layers:
             x = self._norm(self.out_channels)(x)
         if not self.reduce_number_of_activations:
@@ -498,7 +519,7 @@ class ResConnection(nn.Module):
             y = nn.Conv(cout, _pair(merged["kernel_size"]),
                         strides=(2, 2) if self.downsampling else (1, 1),
                         padding="VALID" if merged["kernel_size"] == 1
-                        else "SAME")(x)
+                        else "SAME", dtype=compute_dtype())(x)
             if merged["batch_norm"]:
                 y = _batch_norm(train)(y)
             if merged["activation"]:
@@ -544,7 +565,7 @@ class ConcatLinearBlock(nn.Module):
     @nn.compact
     def __call__(self, x, x_up, skip_val, train: bool = False):
         y = jnp.concatenate([x_up, skip_val], axis=-1)
-        return nn.Dense(self.level_out_channels)(y)
+        return nn.Dense(self.level_out_channels, dtype=compute_dtype())(y)
 
 
 @register("segmentation.models.blocks.AttentionBlock", "attention_block")
@@ -591,13 +612,13 @@ class AttentionBlock(nn.Module):
         builder = make_block_builder(gs_cfg)
         g = builder(self.x_channels, self.x_channels)(x, train=train)
 
-        g1 = nn.Conv(self.x_channels, (1, 1), padding="VALID")(g)
+        g1 = nn.Conv(self.x_channels, (1, 1), padding="VALID", dtype=compute_dtype())(g)
         g1 = _batch_norm(train)(g1)
         x1 = nn.Conv(self.x_channels, (2, 2), strides=(2, 2),
-                     padding="VALID")(skip_val)
+                     padding="VALID", dtype=compute_dtype())(skip_val)
         x1 = _batch_norm(train)(x1)
         p = nn.relu(x1 + g1)
-        p = nn.Conv(self.skip_channels, (1, 1), padding="VALID")(p)
+        p = nn.Conv(self.skip_channels, (1, 1), padding="VALID", dtype=compute_dtype())(p)
         p = _batch_norm(train)(p)
         p = nn.sigmoid(p)
         p = Upsample(scale_factor=2)(p)

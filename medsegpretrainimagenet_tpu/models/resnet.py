@@ -17,14 +17,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import register
-from .blocks import drop_path
+from .blocks import compute_dtype, drop_path
 
 __all__ = ["DeepResNet", "BasicResBlock", "BottleneckResBlock"]
 
 
 def _bn(train: bool) -> nn.Module:
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5)
+                        epsilon=1e-5, dtype=compute_dtype())
 
 
 def _zero_fill_shortcut(x, out_channels: int, downsample: bool):
@@ -52,11 +52,11 @@ class BasicResBlock(nn.Module):
         stride = (2, 2) if self.downsample else (1, 1)
         if self.version == "v1":
             y = nn.Conv(self.out_channels, (3, 3), strides=stride,
-                        padding=((1, 1), (1, 1)), use_bias=self.bias)(x)
+                        padding=((1, 1), (1, 1)), use_bias=self.bias, dtype=compute_dtype())(x)
             y = _bn(train)(y)
             y = nn.relu(y)
             y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=self.bias)(y)
+                        use_bias=self.bias, dtype=compute_dtype())(y)
             y = _bn(train)(y)
             y = drop_path(self, y, self.drop_probability, train)
             return nn.relu(y + _zero_fill_shortcut(x, self.out_channels,
@@ -65,11 +65,11 @@ class BasicResBlock(nn.Module):
         y = _bn(train)(x)
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (3, 3), strides=stride,
-                    padding=((1, 1), (1, 1)), use_bias=self.bias)(y)
+                    padding=((1, 1), (1, 1)), use_bias=self.bias, dtype=compute_dtype())(y)
         y = _bn(train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=self.bias)(y)
+                    use_bias=self.bias, dtype=compute_dtype())(y)
         y = drop_path(self, y, self.drop_probability, train)
         return y + _zero_fill_shortcut(x, self.out_channels, self.downsample)
 
@@ -86,28 +86,28 @@ class BottleneckResBlock(nn.Module):
         mid = self.out_channels // 4
         stride = (2, 2) if self.downsample else (1, 1)
         if self.version == "v1":
-            y = nn.Conv(mid, (1, 1), use_bias=self.bias)(x)
+            y = nn.Conv(mid, (1, 1), use_bias=self.bias, dtype=compute_dtype())(x)
             y = _bn(train)(y)
             y = nn.relu(y)
             y = nn.Conv(mid, (3, 3), strides=stride, padding=((1, 1), (1, 1)),
-                        use_bias=self.bias)(y)
+                        use_bias=self.bias, dtype=compute_dtype())(y)
             y = _bn(train)(y)
             y = nn.relu(y)
-            y = nn.Conv(self.out_channels, (1, 1), use_bias=self.bias)(y)
+            y = nn.Conv(self.out_channels, (1, 1), use_bias=self.bias, dtype=compute_dtype())(y)
             y = _bn(train)(y)
             y = drop_path(self, y, self.drop_probability, train)
             return nn.relu(y + _zero_fill_shortcut(x, self.out_channels,
                                                    self.downsample))
         y = _bn(train)(x)
         y = nn.relu(y)
-        y = nn.Conv(mid, (1, 1), use_bias=self.bias)(y)
+        y = nn.Conv(mid, (1, 1), use_bias=self.bias, dtype=compute_dtype())(y)
         y = _bn(train)(y)
         y = nn.relu(y)
         y = nn.Conv(mid, (3, 3), strides=stride, padding=((1, 1), (1, 1)),
-                    use_bias=self.bias)(y)
+                    use_bias=self.bias, dtype=compute_dtype())(y)
         y = _bn(train)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=self.bias)(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=self.bias, dtype=compute_dtype())(y)
         y = drop_path(self, y, self.drop_probability, train)
         return y + _zero_fill_shortcut(x, self.out_channels, self.downsample)
 
@@ -158,13 +158,13 @@ class DeepResNet(nn.Module):
         self.levels = levels
         self.stem_conv = nn.Conv(self.base_channel_size, (7, 7),
                                  strides=(2, 2), padding=((3, 3), (3, 3)),
-                                 use_bias=self.bias)
+                                 use_bias=self.bias, dtype=compute_dtype())
         if version == "v1":
-            self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+            self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
         if self.head:
             if version == "v2":
-                self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
-            self.head_dense = nn.Dense(self.output_size)
+                self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
+            self.head_dense = nn.Dense(self.output_size, dtype=compute_dtype())
 
     def __call__(self, x, train: bool = False, return_skip_vals: bool = False):
         y = self.stem_conv(x)

@@ -29,6 +29,7 @@ import numpy as np
 from ..config import ConfigDict, register
 from . import blocks as B
 from .activations import make_activation
+from .blocks import compute_dtype
 
 __all__ = [
     "PatchEmbed", "PatchMerging", "PatchExpand", "FinalPatchExpand_X4",
@@ -85,7 +86,7 @@ class PatchEmbed(nn.Module):
         x = nn.Conv(self.out_channels, (p, p), strides=(p, p),
                     padding="VALID", use_bias=self.bias,
                     feature_group_count=self.groups,
-                    kernel_dilation=(self.dilation, self.dilation))(x)
+                    kernel_dilation=(self.dilation, self.dilation), dtype=compute_dtype())(x)
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         x = nn.LayerNorm()(x)
@@ -119,7 +120,7 @@ class PatchMerging(nn.Module):
              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, -1, 4 * c)
         x = nn.LayerNorm()(x)
-        return nn.Dense(2 * c, use_bias=False)(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=compute_dtype())(x)
 
 
 @register("segmentation.models.blocks.PatchExpand", "patch_expand")
@@ -143,7 +144,7 @@ class PatchExpand(nn.Module):
         b, length, c_in = x.shape
         side = _tokens_hw(length)
         if self.dim_scale == 2:
-            x = nn.Dense(2 * c_in, use_bias=False)(x)
+            x = nn.Dense(2 * c_in, use_bias=False, dtype=compute_dtype())(x)
         c = x.shape[-1]
         c_out = c // 4
         # b (h w) (p1 p2 c) -> b (h p1 w p2) c
@@ -171,12 +172,12 @@ class FinalPatchExpand_X4(nn.Module):
         b, length, c = x.shape
         side = _tokens_hw(length)
         x = nn.LayerNorm()(x)                       # init_norm
-        x = nn.Dense(s * s * c, use_bias=False)(x)  # expand
+        x = nn.Dense(s * s * c, use_bias=False, dtype=compute_dtype())(x)  # expand
         x = x.reshape(b, side, side, s, s, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * side * s * side, c)
         x = nn.LayerNorm()(x)
         x = x.reshape(b, s * side, s * side, c)
-        return nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=compute_dtype())(x)
 
 
 @register("segmentation.models.blocks.Mlp", "swin_mlp")
@@ -193,11 +194,11 @@ class Mlp(nn.Module):
     def __call__(self, x, train: bool = False):
         hidden = self.hidden_features or self.in_features
         out = self.out_features or self.in_features
-        x = nn.Dense(hidden)(x)
+        x = nn.Dense(hidden, dtype=compute_dtype())(x)
         x = make_activation(self.activations)(x)
         if self.drop:
             x = nn.Dropout(rate=self.drop, deterministic=not train)(x)
-        x = nn.Dense(out)(x)
+        x = nn.Dense(out, dtype=compute_dtype())(x)
         if self.drop:
             x = nn.Dropout(rate=self.drop, deterministic=not train)(x)
         return x
@@ -237,7 +238,7 @@ class WindowAttention(nn.Module):
         head_dim = c // heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv", dtype=compute_dtype())(x)
         qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]     # (B_, H, N, D)
 
@@ -256,7 +257,7 @@ class WindowAttention(nn.Module):
             # the attention output (keeps the fused kernel intact)
             x = nn.Dropout(rate=self.attn_drop, deterministic=not train)(x)
         x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        x = nn.Dense(c, name="proj")(x)
+        x = nn.Dense(c, name="proj", dtype=compute_dtype())(x)
         if self.proj_drop:
             x = nn.Dropout(rate=self.proj_drop, deterministic=not train)(x)
         return x

@@ -177,3 +177,28 @@ def test_resume_reproduces_stream(tmp_path):
     la = jax.tree_util.tree_leaves(s2a.params)[0]
     lb = jax.tree_util.tree_leaves(s2b.params)[0]
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_mixed_precision_training(tmp_path):
+    """bf16 activations: loss still decreases, state/logs stay f32."""
+    from medsegpretrainimagenet_tpu.models.blocks import (compute_dtype,
+                                                          set_compute_dtype)
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        model, optimizer, state, loss, calculator, _ = build_training(
+            tmp_path)
+        data = synthetic_segmentation_data()
+        step = make_train_step(model, loss, calculator, optimizer)
+        metrics_state = calculator.init_state()
+        batch = {k: jnp.asarray(v[None, :8]) for k, v in data.items()}
+        losses = []
+        for _ in range(12):
+            state, metrics_state, per_batch = step(state, metrics_state,
+                                                   batch)
+            losses.append(float(per_batch["dice_loss"]))
+        assert losses[-1] < losses[0]
+        # parameters remain f32 master copies
+        assert all(p.dtype == jnp.float32 for p in
+                   jax.tree_util.tree_leaves(state.params))
+    finally:
+        set_compute_dtype(None)
