@@ -136,6 +136,38 @@ def train_model(model, train_data, val_data, test_data,
     host_loggers = list(host_loggers or ())
     module = getattr(model, "module", model)
 
+    # profiling hooks (SURVEY.md §5.1): per-step wall times + an optional
+    # jax.profiler trace of the first profiled epoch
+    profile_cfg = tech.get("profile", False)
+    step_times: list = []
+    if profile_cfg:
+        profile_dir = destination + "profile/"
+        os.makedirs(profile_dir, exist_ok=True)
+
+        def _on_batch_timer(i, per_batch):
+            import time
+            now = time.perf_counter()
+            if step_times:
+                step_times.append((now, now - step_times[-1][0]))
+            else:
+                step_times.append((now, 0.0))
+
+        def _dump_step_times():
+            if len(step_times) > 1:
+                append_csv_row(profile_dir + "step_times.csv", {
+                    "steps": len(step_times) - 1,
+                    "mean_s": float(np.mean([d for _, d in step_times[1:]])),
+                    "p50_s": float(np.median(
+                        [d for _, d in step_times[1:]])),
+                    "max_s": float(np.max([d for _, d in step_times[1:]])),
+                })
+            step_times.clear()
+    else:
+        _on_batch_timer = None
+
+        def _dump_step_times():
+            return None
+
     @jax.jit
     def _host_forward(variables, x):
         return module.apply(variables, x, train=False)
@@ -170,12 +202,22 @@ def train_model(model, train_data, val_data, test_data,
             row: Dict[str, Any] = {
                 "learning_rate": float(optimizer.lr_at(int(state.step)))}
 
+            trace_ctx = None
+            if profile_cfg and epoch == epoch_start:
+                with swallow("Could not start the profiler trace."):
+                    jax.profiler.start_trace(destination + "profile/trace")
+                    trace_ctx = True
             metrics_state = calculator.init_state()
             state, metrics_state = run_epoch(
                 train_step, state, metrics_state, train_data,
                 accumulation_scale, train=True, mesh=mesh,
                 log_path=destination + "batch_logs.csv" if log_batches
-                else None, calculator=calculator)
+                else None, calculator=calculator,
+                on_batch=_on_batch_timer)
+            if trace_ctx:
+                with swallow("Could not stop the profiler trace."):
+                    jax.profiler.stop_trace()
+            _dump_step_times()
             row.update(calculator.finalize_epoch(metrics_state))
 
             if val_data:

@@ -202,3 +202,17 @@ def test_mixed_precision_training(tmp_path):
                    jax.tree_util.tree_leaves(state.params))
     finally:
         set_compute_dtype(None)
+
+
+def test_profiling_hooks(tmp_path):
+    """profile: true writes step-time stats (trace capture is best-effort)."""
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=1)
+    config["meta/technical/profile"] = True
+    data = synthetic_segmentation_data(n=16)
+    loader = make_loader(data)
+    train_model(model, loader, None, None, config, optimizer, state,
+                loss=loss, metrics_and_loss=calculator, name="prof",
+                virtual_batch_size=4, true_batch_size=4, verbose=False)
+    assert os.path.isfile(str(tmp_path / "prof" / "profile" /
+                              "step_times.csv"))
