@@ -124,19 +124,72 @@ def fill_dict_with_name_fields(config_dict: ConfigDict, name_fields=None):
     return tags
 
 
-def build_transform_pipelines(config_dict: ConfigDict, seed: int):
+_DEVICE_ABLE = {
+    "segmentation.transforms.wrapped_transforms.RandomRotation",
+    "segmentation.transforms.wrapped_transforms.RandomFlip",
+    "transform.RepeatChannels",
+}
+
+
+def _split_device_augment(train_cfgs: List[ConfigDict]):
+    """Split the train transform list into a device-side prefix (the
+    standard rotation/flip/repeat chain as jnp ops inside the jitted step,
+    SURVEY.md §7 "push augmentation on device") and the host remainder."""
+    from ..ops.augment import make_device_augment
+
+    kwargs: Dict[str, Any] = {}
+    host: List[ConfigDict] = []
+    for cfg in train_cfgs:
+        name = cfg if isinstance(cfg, str) else cfg.key()
+        params = ConfigDict() if isinstance(cfg, str) else \
+            (cfg.value() if isinstance(cfg.value(), ConfigDict)
+             else ConfigDict())
+        border = params.get("border_mode", "BORDER_CONSTANT")
+        if isinstance(border, ConfigDict):
+            border = border.key()
+        if name not in _DEVICE_ABLE or (
+                name.endswith("RandomRotation")
+                and border != "BORDER_CONSTANT"):
+            host.append(cfg)
+        elif name.endswith("RandomRotation"):
+            kwargs.update(rotation_limit=params.get("limit", 180),
+                          fill=float(params.get("value", 0) or 0),
+                          mask_fill=float(params.get("mask_value", 0) or 0))
+        elif name.endswith("RandomFlip"):
+            kwargs.update(
+                flip_vertical=bool(params.get("vertical", True)),
+                flip_horizontal=bool(params.get("horizontal", False)),
+                flip_probability=params.get("probability", 0.5))
+        else:  # RepeatChannels
+            kwargs["repeat_to_channels"] = params.get("number_of_channels",
+                                                      3) or 3
+    if not kwargs:
+        return None, train_cfgs
+    return make_device_augment(**kwargs), host
+
+
+def build_transform_pipelines(config_dict: ConfigDict, seed: int,
+                              device_augmentation: bool = False):
     """Train/val transform composition with partition & datapoint counting
-    (reference ``run_experiment.py:80-107``)."""
+    (reference ``run_experiment.py:80-107``).  With *device_augmentation*
+    the standard train chain moves into the jitted step and is removed from
+    the host pipeline."""
     transforms = {"train": [], "val": []}
     partition_count = {"train": None, "val": None}
     datapoint_count = {"train": 1, "val": 1}
     trsfs = config_dict.get_or_update(
         "data/transforms", ConfigDict({"train": [], "val": []}))
+    device_augment = None
+    cfg_lists = {ds_type: list(trsfs.elements_of(ds_type))
+                 for ds_type in ("train", "val")}
+    if device_augmentation:
+        device_augment, cfg_lists["train"] = _split_device_augment(
+            cfg_lists["train"])
     for ds_type in ("train", "val"):
-        for tr_cfg in trsfs.elements_of(ds_type):
+        for tr_cfg in cfg_lists[ds_type]:
             transf = build_transform(tr_cfg, seed=seed)
             transforms[ds_type].append(transf)
-            params = tr_cfg.value()
+            params = tr_cfg.value() if not isinstance(tr_cfg, str) else None
             if isinstance(params, ConfigDict) \
                     and "number of partitions" in params:
                 partition_count[ds_type] = int(np.prod(
@@ -148,7 +201,8 @@ def build_transform_pipelines(config_dict: ConfigDict, seed: int):
                                            ConfigDict()))
     train_pipeline = Compose(*transforms["train"], caster)
     val_pipeline = Compose(*transforms["val"], caster)
-    return train_pipeline, val_pipeline, partition_count, datapoint_count
+    return (train_pipeline, val_pipeline, partition_count, datapoint_count,
+            device_augment)
 
 
 def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
@@ -176,8 +230,10 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
 
     seed = tech["seed"] + epoch_start
 
-    train_transforms, val_transforms, partition_count, datapoint_count = \
-        build_transform_pipelines(config_dict, seed)
+    (train_transforms, val_transforms, partition_count, datapoint_count,
+     device_augment) = build_transform_pipelines(
+        config_dict, seed,
+        device_augmentation=tech.get("device_augmentation", False))
 
     for key in ("model", "training/loss", "data/data"):
         registry.fill_spec(config_dict, key)
@@ -267,7 +323,8 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                     config_dict.trim(), batch_size, bs,
                     idx=i, class_names=class_names,
                     epoch_start=epoch_start * (i == run_start),
-                    continued=continued and i == run_start)
+                    continued=continued and i == run_start,
+                    device_augment=device_augment)
 
             extensions = tech.get_str_tuple("export_plots_as")
             compare_experiments(i, save_destination, extensions)
@@ -304,7 +361,8 @@ def run_exp(train_data, val_data, test_data, destination: str,
             curr_seed: int, config_dict: ConfigDict, batch_size: int,
             bs: int, idx: Optional[int] = None,
             class_names: Tuple[str, ...] = (),
-            continued: bool = False, epoch_start: int = 0, **kwargs):
+            continued: bool = False, epoch_start: int = 0,
+            device_augment=None, **kwargs):
     """One trial: build model/optimizer/loss/metrics, train, plot history."""
     import jax
     import shutil
@@ -332,7 +390,15 @@ def run_exp(train_data, val_data, test_data, destination: str,
 
     # initialise parameters from the first batch's shapes
     sample = next(iter(train_data))
-    variables = model.init(init_rng, {"x": sample["x"]})
+    sample_x = sample["x"]
+    if device_augment is not None:
+        # the on-device chain may change shapes (e.g. RepeatChannels);
+        # initialise parameters on the post-augmentation geometry
+        sample_x = device_augment(
+            jax.random.key(0),
+            {k: jnp.asarray(v) for k, v in sample.items()
+             if hasattr(v, "shape")})["x"]
+    variables = model.init(init_rng, {"x": sample_x})
 
     if continued:
         weights_path = os.path.join(destination,
@@ -405,7 +471,8 @@ def run_exp(train_data, val_data, test_data, destination: str,
                     "training/gradient_clipping/max_value"),
                 grad_clip_norm_type=config_dict.get(
                     "training/gradient_clipping/norm", 2.0) or 2.0,
-                mesh=mesh, host_loggers=host_loggers)
+                mesh=mesh, host_loggers=host_loggers,
+                device_augment=device_augment)
 
     if log_to_device and tech.get("log metric and loss plots", False):
         plot_destination = destination + "plots/"

@@ -1,0 +1,165 @@
+"""On-device (jittable) batched augmentation.
+
+SURVEY.md §7: "host numpy augmentation can starve a v5e — push
+normalize/flip/rotate/mixup on device".  These ops run *inside* the jitted
+train step on the already-transferred batch, so the host pipeline reduces
+to batch slicing + one H2D copy:
+
+* ``rotate_batch``  — per-sample random-angle rotation about the image
+  centre (bilinear for images, nearest for integer masks, constant fill),
+  the device analog of the reference's albumentations ``Rotate``
+  (``segmentation/transforms/transforms.py:12-71``);
+* ``flip_batch``    — per-sample vertical/horizontal flips via ``jnp.where``
+  on the reversed tensor (no gathers);
+* ``make_device_augment`` — composes the standard segmentation chain
+  (rotation → flip → channel repeat) into one function
+  ``(rng, batch) -> batch`` for the train step.
+
+Everything is static-shaped; the resample is two chained 1-D gathers
+(rows then columns) which XLA lowers to efficient dynamic-slices, with all
+FLOPs on the VPU.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rotate_batch", "flip_batch", "repeat_channels",
+           "make_device_augment"]
+
+
+def _grid(h: int, w: int, angles_rad: jax.Array):
+    """Inverse-mapped source coordinates, (N, H, W) each."""
+    cx, cy = w / 2.0 - 0.5, h / 2.0 - 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) - cy
+    xs = jnp.arange(w, dtype=jnp.float32) - cx
+    dy, dx = jnp.meshgrid(ys, xs, indexing="ij")        # (H, W)
+    ca = jnp.cos(angles_rad)[:, None, None]
+    sa = jnp.sin(angles_rad)[:, None, None]
+    sx = ca * dx[None] - sa * dy[None] + cx
+    sy = sa * dx[None] + ca * dy[None] + cy
+    return sx, sy
+
+
+def _gather_hw(img, iy, ix):
+    """img (H, W, C), iy/ix (H, W) int -> (H, W, C) via two 1-D takes."""
+    rows = jnp.take(img, iy.reshape(-1), axis=0)        # (H*W, W, C)
+    vals = jnp.take_along_axis(
+        rows, ix.reshape(-1)[:, None, None], axis=1)    # (H*W, 1, C)
+    return vals.reshape(*iy.shape, img.shape[-1])
+
+
+def rotate_batch(images: jax.Array, angles_deg: jax.Array,
+                 fill: float = 0.0, nearest: bool = False) -> jax.Array:
+    """Rotate (N, H, W, C) by per-sample degrees (counter-clockwise,
+    cv2/albumentations convention); constant border."""
+    n, h, w, c = images.shape
+    # same inverse map as the native kernel (cv2.warpAffine semantics)
+    angles = jnp.deg2rad(angles_deg.astype(jnp.float32))
+    sx, sy = _grid(h, w, angles)
+
+    def sample_one(img, sx, sy):
+        if nearest:
+            ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
+            iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
+            out = _gather_hw(img, iy, ix)
+            valid = ((jnp.round(sx) >= 0) & (jnp.round(sx) < w)
+                     & (jnp.round(sy) >= 0) & (jnp.round(sy) < h))
+            return jnp.where(valid[..., None], out,
+                             jnp.asarray(fill, img.dtype))
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        img_f = img.astype(jnp.float32)
+        fill_v = jnp.float32(fill)
+
+        def corner(yi, xi):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            vals = _gather_hw(img_f, jnp.clip(yi, 0, h - 1),
+                              jnp.clip(xi, 0, w - 1))
+            return jnp.where(valid[..., None], vals, fill_v)
+
+        v00 = corner(y0i, x0i)
+        v01 = corner(y0i, x0i + 1)
+        v10 = corner(y0i + 1, x0i)
+        v11 = corner(y0i + 1, x0i + 1)
+        out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+               + fy * ((1 - fx) * v10 + fx * v11))
+        return out.astype(images.dtype) if images.dtype != jnp.int32 \
+            else out
+    return jax.vmap(sample_one)(images, sx, sy)
+
+
+def flip_batch(images: jax.Array, flip_v: jax.Array,
+               flip_h: jax.Array) -> jax.Array:
+    """Per-sample flips of (N, H, W, ...) with boolean flag vectors."""
+    expand = (slice(None),) + (None,) * (images.ndim - 1)
+    out = jnp.where(flip_v[expand], images[:, ::-1], images)
+    return jnp.where(flip_h[expand], out[:, :, ::-1], out)
+
+
+def repeat_channels(x: jax.Array, n: int = 3) -> jax.Array:
+    """Gray -> n-channel (reference ``transform.RepeatChannels``)."""
+    if x.shape[-1] == n:
+        return x
+    return jnp.repeat(x, n, axis=-1)
+
+
+def make_device_augment(rotation_limit: Optional[float] = None,
+                        flip_vertical: bool = False,
+                        flip_horizontal: bool = False,
+                        flip_probability: float = 0.5,
+                        repeat_to_channels: Optional[int] = None,
+                        mask_keys: Sequence[str] = ("mask",),
+                        fill: float = 0.0, mask_fill: float = 0.0
+                        ) -> Callable:
+    """Compose the standard train-time chain into ``(rng, batch) -> batch``.
+
+    Applied inside the jitted train step per fragment; geometry draws are
+    shared between ``x`` and the mask columns (joint transform semantics).
+    """
+
+    def augment(rng: jax.Array, batch: Dict[str, jax.Array]):
+        batch = dict(batch)
+        x = batch["x"]
+        n = x.shape[0]
+        k_rot, k_v, k_h = jax.random.split(rng, 3)
+
+        if rotation_limit:
+            angles = jax.random.uniform(
+                k_rot, (n,), minval=-rotation_limit, maxval=rotation_limit)
+            x = rotate_batch(x, angles, fill=fill)
+            for key in mask_keys:
+                if key in batch and batch[key] is not None \
+                        and batch[key].ndim >= 3:
+                    mask = batch[key]
+                    squeeze = mask.ndim == 3
+                    m = mask[..., None] if squeeze else mask
+                    m = rotate_batch(m, angles, fill=mask_fill,
+                                     nearest=jnp.issubdtype(
+                                         mask.dtype, jnp.integer))
+                    m = m.astype(mask.dtype)
+                    batch[key] = m[..., 0] if squeeze else m
+
+        if flip_vertical or flip_horizontal:
+            fv = jax.random.bernoulli(k_v, flip_probability, (n,)) \
+                if flip_vertical else jnp.zeros((n,), bool)
+            fh = jax.random.bernoulli(k_h, flip_probability, (n,)) \
+                if flip_horizontal else jnp.zeros((n,), bool)
+            x = flip_batch(x, fv, fh)
+            for key in mask_keys:
+                if key in batch and batch[key] is not None \
+                        and batch[key].ndim >= 3:
+                    batch[key] = flip_batch(batch[key], fv, fh)
+
+        if repeat_to_channels:
+            x = repeat_channels(x, repeat_to_channels)
+        batch["x"] = x
+        return batch
+
+    return augment

@@ -101,6 +101,7 @@ def train_model(model, train_data, val_data, test_data,
                 grad_clip_norm_type: float = 2.0, mesh=None,
                 on_epoch: Optional[Callable] = None,
                 host_loggers: Iterable = (),
+                device_augment=None,
                 *args, **kwargs) -> TrainState:
     """Train for the configured number of epochs.  Returns the final state."""
     assert virtual_batch_size % true_batch_size == 0, \
@@ -130,7 +131,8 @@ def train_model(model, train_data, val_data, test_data,
     calculator = metrics_and_loss
     train_step = make_train_step(model, loss, calculator, optimizer,
                                  grad_clip_value=grad_clip_value,
-                                 grad_clip_norm_type=grad_clip_norm_type)
+                                 grad_clip_norm_type=grad_clip_norm_type,
+                                 device_augment=device_augment)
     eval_step = make_eval_step(model, loss, calculator)
 
     host_loggers = list(host_loggers or ())
@@ -172,14 +174,27 @@ def train_model(model, train_data, val_data, test_data,
     def _host_forward(variables, x):
         return module.apply(variables, x, train=False)
 
+    def _augmented_loader(loader):
+        if device_augment is None:
+            return loader
+
+        def gen():
+            import jax.numpy as jnp
+            for i, batch in enumerate(loader):
+                yield device_augment(
+                    jax.random.fold_in(jax.random.key(0), i),
+                    {k: jnp.asarray(v) for k, v in batch.items()
+                     if hasattr(v, "shape")})
+        return gen()
+
     def run_host_loggers(epoch_1idx: int, last: bool = False):
         forward = lambda x: _host_forward(state.variables, x)  # noqa: E731
         for logger in host_loggers:
             if not logger.active(epoch_1idx, last=last):
                 continue
             with swallow("Exception in a host epoch logger."):
-                logger.log(epoch_1idx, train_data, forward, train=True,
-                           last=last)
+                logger.log(epoch_1idx, _augmented_loader(train_data),
+                           forward, train=True, last=last)
                 if val_data:
                     logger.log(epoch_1idx, val_data, forward, train=False,
                                last=last)
@@ -258,9 +273,12 @@ def train_model(model, train_data, val_data, test_data,
 
     if calculator is not None and calculator.requires_last_pass:
         with swallow("Exception in last pass."):
+            eval_train = train_data if device_augment is None else [
+                {k: np.asarray(v) for k, v in batch.items()}
+                for batch in _augmented_loader(train_data)]
             metrics_state = calculator.init_state()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
-                                         train_data, accumulation_scale,
+                                         eval_train, accumulation_scale,
                                          train=False, mesh=mesh)
             calculator.finalize_epoch(metrics_state)
             metrics_state = calculator.init_state()

@@ -54,25 +54,34 @@ def _merge_fragments(tree):
 def make_train_step(model, loss_fn: Callable, calculator,
                     optimizer, grad_clip_value: Optional[float] = None,
                     grad_clip_norm_type: float = 2.0,
-                    donate: bool = True):
+                    donate: bool = True, device_augment=None):
     """Build the jitted train step.
 
     ``model``: Model wrapper (or bare flax module with ``apply``).
     ``loss_fn(prediction, batch) -> scalar``.
     ``calculator``: MetricsCalculator (device-state protocol) or None.
     ``optimizer``: optim.Optimizer (``.tx`` optax transform, ``.lr_at``).
+    ``device_augment``: optional ``(rng, fragment) -> fragment`` applied on
+    device before the forward (ops.augment) — keeps the host pipeline to
+    batch slicing + one H2D copy.
     """
     module = getattr(model, "module", model)
     tx = optimizer.tx
 
     def fragment_forward(params, batch_stats, fragment, rng):
+        if device_augment is not None:
+            aug_rng, rng = jax.random.split(rng)
+            fragment = device_augment(aug_rng, fragment)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         pred, updates = module.apply(
             variables, fragment["x"], train=True,
             mutable=["batch_stats"], rngs={"dropout": rng})
-        return loss_fn(pred, fragment), (pred, updates.get("batch_stats", {}))
+        # the (augmented) fragment rides along so metrics compare the
+        # prediction against the same geometry it was computed on
+        return loss_fn(pred, fragment), (pred, updates.get("batch_stats", {}),
+                                         fragment)
 
     grad_fn = jax.value_and_grad(fragment_forward, has_aux=True)
 
@@ -84,14 +93,15 @@ def make_train_step(model, loss_fn: Callable, calculator,
             grads_acc, batch_stats, loss_acc = carry
             fragment, frag_idx = inputs
             rng = jax.random.fold_in(step_rng, frag_idx)
-            (loss_value, (pred, new_stats)), grads = grad_fn(
+            (loss_value, (pred, new_stats, aug_frag)), grads = grad_fn(
                 state.params, batch_stats, fragment, rng)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return ((grads_acc, new_stats, loss_acc + loss_value), pred)
+            return ((grads_acc, new_stats, loss_acc + loss_value),
+                    (pred, aug_frag))
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, jnp.float32), state.params)
-        (grads, batch_stats, loss_sum), preds = jax.lax.scan(
+        (grads, batch_stats, loss_sum), (preds, aug_stack) = jax.lax.scan(
             scan_body, (zero_grads, state.batch_stats, jnp.zeros(())),
             (batch_stack, jnp.arange(n_frag)))
 
@@ -115,7 +125,7 @@ def make_train_step(model, loss_fn: Callable, calculator,
                      "learning_rate": optimizer.lr_at(state.step)}
         if calculator is not None:
             merged_pred = preds.reshape((-1,) + preds.shape[2:])
-            merged_batch = _merge_fragments(batch_stack)
+            merged_batch = _merge_fragments(aug_stack)
             metrics_state, metric_values = calculator.update(
                 metrics_state, merged_pred, merged_batch,
                 loss_value=loss_value)

@@ -54,7 +54,7 @@ def test_reference_config_builds(path):
     cd = _fill(ConfigDict(configs[0]))
 
     # --- transforms -----------------------------------------------------
-    train_tr, val_tr, _, _ = build_transform_pipelines(cd, seed=0)
+    train_tr, val_tr, _, _, _ = build_transform_pipelines(cd, seed=0)
     assert train_tr is not None and val_tr is not None
 
     # --- model ----------------------------------------------------------
