@@ -81,9 +81,10 @@ def binary_cm_from_multiclass(cm: np.ndarray, idx: int):
 
 class MCAccuracySpec(MetricSpec):
     """Mean of per-step accuracies (reference ``multiclass_metrics.Accuracy``
-    averages batch accuracies over the epoch rather than pooling)."""
+    averages batch accuracies over the epoch rather than pooling).
+    Self-contained: computes from predictions, not the K×K CM."""
 
-    reads = ("multiclass_cm",)
+    reads = ()
 
     def __init__(self, num_classes: int, label_type: str = "label"):
         self.num_classes = num_classes
