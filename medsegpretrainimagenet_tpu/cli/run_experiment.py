@@ -220,6 +220,20 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
     tech = config_dict["meta/technical"].trim()
     config_dict["meta/technical"] = tech
 
+    # host resource guards (reference ``run_experiment.py:53-65``): RLIMIT
+    # memory cap; thread caps are moot under XLA (TPU does the compute).
+    # JAX is deterministic by default, so ``use_deterministic_algorithms``
+    # needs no action; its TPU-side analog is the NaN check below.
+    mem_limit = tech.get("memory_usage_limit", -1)
+    if mem_limit and mem_limit > 0:
+        with swallow("Could not set the memory limit."):
+            import resource
+            resource.setrlimit(resource.RLIMIT_DATA,
+                               (int(mem_limit * 2 ** 30),
+                                resource.RLIM_INFINITY))
+    if tech.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     device_count = max(jax.device_count(), 1)
 
     BalancedDataLoader.fill_kwargs(

@@ -165,3 +165,36 @@ def test_experiment_resume(covidqu_env):
     # checkpoint backups created on resume
     assert os.path.isfile(os.path.join(
         save_path, "run_1", "last_model_state_dict_checkpoint.msgpack"))
+
+
+def test_acdc_experiment_end_to_end(tmp_path, monkeypatch, rng):
+    """ACDC reader -> full experiment path (the acdc/unet.yaml shape)."""
+    from medsegpretrainimagenet_tpu.data.readers import save_nii
+
+    root = tmp_path / "data" / "ACDC"
+    for part, n in (("training", 3), ("testing", 2)):
+        for p in range(n):
+            d = root / part / f"patient{p:03d}"
+            d.mkdir(parents=True)
+            for frame in (1, 12):
+                img = (rng.random((20, 20, 2)) * 60).astype(np.float32)
+                gt = rng.integers(0, 4, (20, 20, 2)).astype(np.uint8)
+                save_nii(str(d / f"patient{p:03d}_frame{frame:02d}.nii.gz"),
+                         img)
+                save_nii(str(d / f"patient{p:03d}_frame{frame:02d}"
+                             "_gt.nii.gz"), gt)
+    monkeypatch.setenv("MST_DATA_DIR", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+
+    cd = minimal_config(tmp_path, epochs=1)
+    cd["data"]["data"] = {"segmentation.datasets.ACDC": {
+        "image_sizes": 16, "validate_on_test": True}}
+    cd["meta"]["technical"]["experiment_name"] = "acdc_e2e"
+    experiment(ConfigDict(cd))
+
+    run_dir = glob.glob(str(tmp_path / "logs" / "*" / "acdc_e2e*"))[0]
+    with open(os.path.join(run_dir, "run_1", "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 1
+    assert "metrics/dice_index_threshold_0.5" in rows[0]
+    assert "val_dice_loss" in rows[0]
