@@ -1,5 +1,5 @@
 from .plotters import (ConfMtxPlotter, GeneralPlotter,  # noqa: F401
-                       ScatterPlotter, export_plot)
+                       PCAPlotter, ScatterPlotter, export_plot)
 
-__all__ = ["GeneralPlotter", "ScatterPlotter", "ConfMtxPlotter",
+__all__ = ["GeneralPlotter", "PCAPlotter", "ScatterPlotter", "ConfMtxPlotter",
            "export_plot"]

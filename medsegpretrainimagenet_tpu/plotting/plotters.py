@@ -207,6 +207,66 @@ class ConfMtxPlotter(BasePlotter):
         return fig
 
 
+class PCAPlotter(BasePlotter):
+    """2-D PCA scatter of one or more vector sets + TensorFlow-projector
+    TSV export (reference ``plotters.py:700-883``)."""
+
+    DEFAULTS = {
+        "vectors": [], "labels": None, "title": "", "xlabel": "x",
+        "ylabel": "y", "dirname": ".", "fname": "PCA_plot",
+        "legend": {"labels": [], "location": "bottom_right"},
+        "circle_size": 15, "opacity": 0.2,
+    }
+
+    def _groups(self):
+        vectors = self.vectors
+        if vectors and not isinstance(vectors[0][0], (list, np.ndarray)):
+            vectors = [vectors]
+        return [np.asarray(group, np.float64) for group in vectors]
+
+    def _project(self):
+        groups = self._groups()
+        stacked = np.concatenate(groups, axis=0)
+        centred = stacked - stacked.mean(axis=0, keepdims=True)
+        _, _, vt = np.linalg.svd(centred, full_matrices=False)
+        projected = centred @ vt[:2].T
+        out, start = [], 0
+        for group in groups:
+            out.append(projected[start:start + len(group)])
+            start += len(group)
+        return out
+
+    def render_matplotlib(self, plt):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        labels = (self.legend or {}).get("labels", []) or []
+        for i, pts in enumerate(self._project()):
+            ax.scatter(pts[:, 0], pts[:, 1], s=self.circle_size,
+                       alpha=max(self.opacity, 0.4),
+                       label=labels[i] if i < len(labels) else None)
+        ax.set_xlabel(self.xlabel)
+        ax.set_ylabel(self.ylabel)
+        if self.title:
+            ax.set_title(self.title)
+        if labels:
+            ax.legend()
+        ax.grid(alpha=0.3)
+        return fig
+
+    def export_tsv(self):
+        """TensorFlow-projector format: vectors.tsv + metadata.tsv."""
+        groups = self._groups()
+        labels = (self.legend or {}).get("labels", []) or []
+        base = self._path("tsv")[:-4]
+        with open(base + "_vectors.tsv", "w") as fh:
+            for group in groups:
+                for vec in group:
+                    fh.write("\t".join(str(float(v)) for v in vec) + "\n")
+        with open(base + "_metadata.tsv", "w") as fh:
+            for i, group in enumerate(groups):
+                name = labels[i] if i < len(labels) else f"group_{i}"
+                fh.writelines(f"{name}\n" for _ in range(len(group)))
+
+
 def export_plot(plotter: BasePlotter, extensions: Iterable[str],
                 *args, **kwargs) -> None:
     """Export a plotter to each requested format, non-fatally."""

@@ -245,3 +245,24 @@ def test_calculator_hd95_and_auc(rng):
     values = calc.finalize_epoch(state)
     assert values["metrics/modified_hausdorff_distance_threshold_0.5"] > 0
     assert 0.0 <= values["metrics/area_under_roc"] <= 1.0
+
+
+def test_pca_plotter(tmp_path):
+    import json
+    import numpy as np
+    from medsegpretrainimagenet_tpu.plotting import PCAPlotter, export_plot
+    rng = np.random.default_rng(0)
+    groups = [rng.normal(i * 3, 1, (10, 6)).tolist() for i in range(2)]
+    plotter = PCAPlotter({"vectors": groups,
+                          "legend": {"labels": ["a", "b"]},
+                          "dirname": str(tmp_path), "fname": "pca"})
+    export_plot(plotter, ("json", "png"))
+    plotter.export_tsv()
+    assert (tmp_path / "pca.json").exists()
+    assert (tmp_path / "pca.png").exists()
+    vecs = (tmp_path / "pca_vectors.tsv").read_text().strip().split("\n")
+    meta = (tmp_path / "pca_metadata.tsv").read_text().strip().split("\n")
+    assert len(vecs) == 20 and len(meta) == 20 and meta[0] == "a"
+    # PCA separates the two far-apart clusters along the first axis
+    proj = plotter._project()
+    assert abs(proj[0][:, 0].mean() - proj[1][:, 0].mean()) > 3
