@@ -1,0 +1,91 @@
+"""Data-parallel correctness: the 8-device sharded train step reproduces
+single-device numerics (same data, same params -> same loss/params), and
+metric-state reductions agree.  Runs on the virtual CPU mesh (conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.losses import DiceLoss, Loss
+from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
+from medsegpretrainimagenet_tpu.models import UNet
+from medsegpretrainimagenet_tpu.optim import Optimizer
+from medsegpretrainimagenet_tpu.parallel import (batch_sharding, create_mesh,
+                                                 replicated, shard_batch)
+from medsegpretrainimagenet_tpu.train import TrainState, make_train_step
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs the 8-device CPU mesh")
+
+
+def _setup():
+    module = UNet(img_ch=1, output_ch=1, channels=[4, 8], depth=1)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+    optimizer = Optimizer(ConfigDict({"sgd": {
+        "momentum": 0.9,
+        "learning_rate": {"constant": {"base": 0.05}}}}),
+        num_epochs=1, batches_per_epoch=4)
+    state = TrainState.create(variables, optimizer.tx.init(
+        variables["params"]), jax.random.key(1))
+    loss = Loss(DiceLoss, ConfigDict({"label type": "mask"}))
+    calculator = MetricsCalculator(ConfigDict({"metrics": {
+        "metrics": ("metrics.DiceIndex",),
+        "calculation": {"thresholds": 0.5, "label_type": "mask"}}}),
+        loss=loss)
+    return module, optimizer, state, loss, calculator
+
+
+def _batch(n=16, frag=2, rng=None):
+    rng = rng or np.random.default_rng(0)
+    x = rng.random((frag, n, 16, 16, 1)).astype(np.float32)
+    mask = (x[..., 0] > 0.6).astype(np.int32)
+    return {"x": x, "mask": mask}
+
+
+def test_sharded_step_matches_single_device():
+    module, optimizer, state, loss, calculator = _setup()
+    step = make_train_step(module, loss, calculator, optimizer,
+                           donate=False)
+    batch = _batch()
+
+    # single device
+    s1, m1, pb1 = step(state, calculator.init_state(),
+                       jax.device_put(batch, jax.devices()[0]))
+
+    # 8-device data-parallel
+    mesh = create_mesh(("data",))
+    state_r = jax.device_put(state, replicated(mesh))
+    metrics_r = jax.device_put(calculator.init_state(), replicated(mesh))
+    batch_s = shard_batch(batch, mesh, batch_dim=1)
+    with mesh:
+        s8, m8, pb8 = step(state_r, metrics_r, batch_s)
+
+    np.testing.assert_allclose(float(pb1["dice_loss"]),
+                               float(pb8["dice_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    v1 = calculator.finalize_epoch(m1)
+    v8 = calculator.finalize_epoch(m8)
+    for key in v1:
+        np.testing.assert_allclose(v1[key], v8[key], rtol=1e-5,
+                                   err_msg=key)
+
+
+def test_sharded_batch_layout():
+    mesh = create_mesh(("data",))
+    batch = _batch()
+    sharded = shard_batch(batch, mesh, batch_dim=1)
+    sh = sharded["x"].sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec == P(None, "data")
+    assert batch_sharding(mesh).spec == P("data")
+
+
+def test_multichip_dryrun_entrypoint():
+    """The driver-facing dryrun compiles + executes on this mesh."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
