@@ -198,3 +198,46 @@ def test_acdc_experiment_end_to_end(tmp_path, monkeypatch, rng):
     assert len(rows) == 1
     assert "metrics/dice_index_threshold_0.5" in rows[0]
     assert "val_dice_loss" in rows[0]
+
+
+def test_multi_trial_variance_statistics(covidqu_env):
+    cd = minimal_config(covidqu_env, epochs=1)
+    cd["experiment"]["number_of_trials"] = 2
+    cd["meta"]["technical"]["experiment_name"] = "variance_test"
+    cd["meta"]["technical"]["name_fields"] = ()
+    experiment(ConfigDict(cd))
+    exp_dir = glob.glob(str(covidqu_env / "logs" / "*" /
+                            "variance_test*"))[0]
+    assert os.path.isdir(os.path.join(exp_dir, "run_1"))
+    assert os.path.isdir(os.path.join(exp_dir, "run_2"))
+    stats_path = os.path.join(exp_dir, "variance_comparisons",
+                              "statistics.json")
+    assert os.path.isfile(stats_path)
+    import json
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    # mean/median/std of last+best values per metric
+    flat = json.dumps(stats)
+    assert "mean" in flat and "std" in flat
+
+
+def test_grid_expansion_runs_all_experiments(covidqu_env):
+    cd = minimal_config(covidqu_env, epochs=1)
+    # a LIST is a sweep axis: two learning rates -> two experiments
+    cd["training"]["optimizer"]["sgd"]["learning_rate"][
+        "optim.scheduler.PolyLearningRateDecay"]["base"] = [0.05, 0.01]
+    cd["meta"]["technical"]["experiment_name"] = "grid_test"
+    cd["meta"]["technical"]["name_fields"] = ()
+    from medsegpretrainimagenet_tpu.cli.experiment import (
+        run_experiment_from_dict)
+    cfg_path = str(covidqu_env / "grid.yaml")
+    with open(cfg_path, "w") as fh:
+        # yaml.dump keeps tuples as !!python/tuple (literals, not sweep
+        # axes) exactly like the shipped reference configs
+        yaml.dump(cd, fh)
+    run_experiment_from_dict(cfg_path, [])
+    dirs = sorted(glob.glob(str(covidqu_env / "logs" / "*" /
+                                "grid_test*")))
+    assert len(dirs) == 2, dirs
+    for d in dirs:
+        assert os.path.isfile(os.path.join(d, "run_1", "epoch_logs.csv"))
