@@ -132,13 +132,17 @@ _DEVICE_ABLE = {
 
 
 def _split_device_augment(train_cfgs: List[ConfigDict]):
-    """Split the train transform list into a device-side prefix (the
+    """Split the train transform list into a device-side *prefix* (the
     standard rotation/flip/repeat chain as jnp ops inside the jitted step,
-    SURVEY.md §7 "push augmentation on device") and the host remainder."""
+    SURVEY.md §7 "push augmentation on device") and the host remainder.
+    Only a leading run of device-able transforms is lifted — the first
+    host-only transform ends the prefix so the configured order (and thus
+    the augmentation distribution) is preserved."""
     from ..ops.augment import make_device_augment
 
     kwargs: Dict[str, Any] = {}
     host: List[ConfigDict] = []
+    prefix_open = True
     for cfg in train_cfgs:
         name = cfg if isinstance(cfg, str) else cfg.key()
         params = ConfigDict() if isinstance(cfg, str) else \
@@ -147,22 +151,28 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
         border = params.get("border_mode", "BORDER_CONSTANT")
         if isinstance(border, ConfigDict):
             border = border.key()
-        if name not in _DEVICE_ABLE or (
+        if not prefix_open or name not in _DEVICE_ABLE or (
                 name.endswith("RandomRotation")
                 and border != "BORDER_CONSTANT"):
+            prefix_open = False
             host.append(cfg)
         elif name.endswith("RandomRotation"):
-            kwargs.update(rotation_limit=params.get("limit", 180),
-                          fill=float(params.get("value", 0) or 0),
-                          mask_fill=float(params.get("mask_value", 0) or 0))
+            # defaults mirror the host transform
+            # (transforms/segmentation.py RandomRotation)
+            kwargs.update(
+                rotation_limit=params.get("limit", 180),
+                rotation_probability=params.get(
+                    "probability", params.get("p", None)) or 1,
+                fill=float(params.get("value", 0) or 0),
+                mask_fill=float(params.get("mask_value", 0) or 0))
         elif name.endswith("RandomFlip"):
             kwargs.update(
                 flip_vertical=bool(params.get("vertical", True)),
                 flip_horizontal=bool(params.get("horizontal", False)),
-                flip_probability=params.get("probability", 0.5))
-        else:  # RepeatChannels
-            kwargs["repeat_to_channels"] = params.get("number_of_channels",
-                                                      3) or 3
+                flip_probability=params.get(
+                    "probability", params.get("p", None)) or 1)
+        else:  # transform.RepeatChannels
+            kwargs["repeat_to_channels"] = params.get("repeats", 3) or 3
     if not kwargs:
         return None, train_cfgs
     return make_device_augment(**kwargs), host

@@ -78,9 +78,11 @@ class MixedDataset(Dataset):
             train_len = len(next(iter(train_ds.values())))
             val_len = len(next(iter(val_ds.values()))) if val_ds else 0
 
-            if not self.preload_data:
-                ds.train = {kw: np.arange(train_len) for kw in train_ds}
-                ds.val = {kw: np.arange(val_len) for kw in val_ds}
+            # lazy mode drops the payloads of the *inactive* datasets;
+            # both split pointers start at dataset 0, which stays loaded
+            if not self.preload_data and ds_idx != 0:
+                ds.train = {kw: [np.nan] * train_len for kw in train_ds}
+                ds.val = {kw: [np.nan] * val_len for kw in val_ds}
 
             ds.train["ds_idx"] = [ds_idx] * train_len
             ds.val["ds_idx"] = [ds_idx] * val_len
@@ -141,6 +143,7 @@ class MixedDataset(Dataset):
             setattr(self, f"full_{kw}_len", full_len)
 
         keys.add("ds_idx")
+        self._union_keys = set(keys)
         self.train = {"train_counter": [True] * self.full_train_len,
                       "val_counter": [False] * self.full_train_len,
                       **{kw: [True] * self.full_train_len for kw in keys}}
@@ -227,7 +230,8 @@ class MixedDataset(Dataset):
             new_idx = int(next(getattr(self, f"_{ds_type}_ds_iter")))
         if new_idx != getattr(self, f"curr_{ds_type}_ds"):
             if not self.preload_data:
-                self._reload_ds(getattr(self, f"curr_{ds_type}_ds"), new_idx)
+                self._reload_ds(getattr(self, f"curr_{ds_type}_ds"),
+                                new_idx, ds_type)
             setattr(self, f"curr_{ds_type}_ds", new_idx)
         setattr(self, f"curr_{ds_type}_record",
                 self._next_record(ds_type, new_idx))
@@ -249,16 +253,22 @@ class MixedDataset(Dataset):
         raw = getattr(self.dss[ds_idx], ds_type)[keyword][record]
         return self.load_functions[ds_idx][keyword](raw)
 
-    def _reload_ds(self, old_idx: int, new_idx: int):
+    def _reload_ds(self, old_idx: int, new_idx: int, ds_type: str):
         from ..config import registry
-        self.dss[old_idx].train = {}
-        self.dss[old_idx].val = {}
-        self.dss[new_idx] = registry.build(
+        # drop only the split being switched away from — the other split's
+        # pointer may still sit on old_idx (reference dataset.py:228-230)
+        sizes = getattr(self, f"{ds_type}_ds_sizes")
+        old = getattr(self.dss[old_idx], ds_type)
+        setattr(self.dss[old_idx], ds_type,
+                {kw: [np.nan] * sizes[old_idx] for kw in old})
+        fresh = registry.build(
             self.dataset_configs[new_idx], wrapper=Dataset,
             seed=self.seed, *self.args, **self.kwargs)
-        self.dss[new_idx].train["ds_idx"] = \
-            [new_idx] * len(next(iter(self.dss[new_idx].train.values())))
-        val = getattr(self.dss[new_idx], "val", {}) or {}
-        self.dss[new_idx].val = val
-        if val:
-            val["ds_idx"] = [new_idx] * len(next(iter(val.values())))
+        fresh.val = getattr(fresh, "val", {}) or {}
+        for kw, length in (("train", self.train_ds_sizes[new_idx]),
+                           ("val", self.val_ds_sizes[new_idx])):
+            data_dict = getattr(fresh, kw)
+            data_dict["ds_idx"] = [new_idx] * length
+            for key in self._union_keys:
+                data_dict.setdefault(key, [np.nan] * length)
+        self.dss[new_idx] = fresh

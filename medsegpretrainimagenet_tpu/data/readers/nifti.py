@@ -89,7 +89,7 @@ def save_nii(path: str, data: np.ndarray, affine: np.ndarray = None) -> None:
                      *([0.0] * (7 - data.ndim)))  # pixdim
     struct.pack_into("<f", header, 108, 352)      # vox_offset
     struct.pack_into("<2f", header, 112, 1.0, 0.0)
-    struct.pack_into("<h", header, 252, 1)        # sform_code
+    struct.pack_into("<h", header, 254, 1)        # sform_code (252 is qform)
     if affine is None:
         affine = np.eye(4)
     struct.pack_into("<12f", header, 280,

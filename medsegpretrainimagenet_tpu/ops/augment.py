@@ -111,9 +111,10 @@ def repeat_channels(x: jax.Array, n: int = 3) -> jax.Array:
 
 
 def make_device_augment(rotation_limit: Optional[float] = None,
+                        rotation_probability: float = 1.0,
                         flip_vertical: bool = False,
                         flip_horizontal: bool = False,
-                        flip_probability: float = 0.5,
+                        flip_probability: float = 1.0,
                         repeat_to_channels: Optional[int] = None,
                         mask_keys: Sequence[str] = ("mask",),
                         fill: float = 0.0, mask_fill: float = 0.0
@@ -121,18 +122,24 @@ def make_device_augment(rotation_limit: Optional[float] = None,
     """Compose the standard train-time chain into ``(rng, batch) -> batch``.
 
     Applied inside the jitted train step per fragment; geometry draws are
-    shared between ``x`` and the mask columns (joint transform semantics).
+    shared between ``x`` and the mask columns, and the flip semantics match
+    the host ``RandomFlip`` (albumentations ``Flip``: with probability p,
+    pick one of {both, vertical, horizontal} when both directions are on).
     """
 
     def augment(rng: jax.Array, batch: Dict[str, jax.Array]):
         batch = dict(batch)
         x = batch["x"]
         n = x.shape[0]
-        k_rot, k_v, k_h = jax.random.split(rng, 3)
+        k_rot, k_rgate, k_fgate, k_code = jax.random.split(rng, 4)
 
         if rotation_limit:
             angles = jax.random.uniform(
                 k_rot, (n,), minval=-rotation_limit, maxval=rotation_limit)
+            if rotation_probability < 1.0:
+                gate = jax.random.bernoulli(k_rgate, rotation_probability,
+                                            (n,))
+                angles = jnp.where(gate, angles, 0.0)
             x = rotate_batch(x, angles, fill=fill)
             for key in mask_keys:
                 if key in batch and batch[key] is not None \
@@ -147,10 +154,16 @@ def make_device_augment(rotation_limit: Optional[float] = None,
                     batch[key] = m[..., 0] if squeeze else m
 
         if flip_vertical or flip_horizontal:
-            fv = jax.random.bernoulli(k_v, flip_probability, (n,)) \
-                if flip_vertical else jnp.zeros((n,), bool)
-            fh = jax.random.bernoulli(k_h, flip_probability, (n,)) \
-                if flip_horizontal else jnp.zeros((n,), bool)
+            gate = jax.random.bernoulli(k_fgate, flip_probability, (n,))
+            if flip_vertical and flip_horizontal:
+                # albumentations Flip codes: -1 both, 0 vertical, 1 horiz.
+                code = jax.random.randint(k_code, (n,), -1, 2)
+                fv = gate & (code <= 0)
+                fh = gate & (code != 0)
+            elif flip_vertical:
+                fv, fh = gate, jnp.zeros((n,), bool)
+            else:
+                fv, fh = jnp.zeros((n,), bool), gate
             x = flip_batch(x, fv, fh)
             for key in mask_keys:
                 if key in batch and batch[key] is not None \

@@ -126,8 +126,14 @@ class GeneralPlotter(BasePlotter):
         labels = (self.legend or {}).get("labels", []) or []
         for i, ys in enumerate(ys_list):
             xs = self.x if self.x is not None else range(1, len(ys) + 1)
+            xs = list(xs)
+            if len(xs) != len(ys):
+                # short auxiliary series (e.g. the ROC diagonal [0, 1])
+                # spans the x range
+                lo, hi = (min(xs), max(xs)) if xs else (0.0, 1.0)
+                xs = list(np.linspace(lo, hi, len(ys)))
             label = labels[i] if i < len(labels) else None
-            ax.plot(list(xs), list(ys), label=label)
+            ax.plot(xs, list(ys), label=label)
         baselines = self.baselines or {}
         for label, value in zip(baselines.get("labels", []),
                                 baselines.get("values", [])):
@@ -152,6 +158,9 @@ class GeneralPlotter(BasePlotter):
         for i, ys in enumerate(self.Ys or []):
             xs = list(self.x) if self.x is not None \
                 else list(range(1, len(ys) + 1))
+            if len(xs) != len(ys):
+                lo, hi = (min(xs), max(xs)) if xs else (0.0, 1.0)
+                xs = list(np.linspace(lo, hi, len(ys)))
             kwargs = {"legend_label": labels[i]} if i < len(labels) else {}
             fig.line(xs, list(ys), **kwargs)
         output_file(self._path("html"))

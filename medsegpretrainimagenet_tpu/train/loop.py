@@ -273,9 +273,9 @@ def train_model(model, train_data, val_data, test_data,
 
     if calculator is not None and calculator.requires_last_pass:
         with swallow("Exception in last pass."):
-            eval_train = train_data if device_augment is None else [
+            eval_train = train_data if device_augment is None else (
                 {k: np.asarray(v) for k, v in batch.items()}
-                for batch in _augmented_loader(train_data)]
+                for batch in _augmented_loader(train_data))
             metrics_state = calculator.init_state()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          eval_train, accumulation_scale,

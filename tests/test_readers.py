@@ -335,3 +335,20 @@ def test_mixed_dataset_through_loader():
                         else batch["x"]).reshape(-1)
         idcs = np.asarray(batch["ds_idx"]).reshape(-1)
         np.testing.assert_array_equal(xs, idcs + 1)
+
+
+def test_mixed_dataset_lazy_reload():
+    """preload_data=False: the active dataset serves real values from the
+    start, and switching reloads without losing union-key NaN fills."""
+    ds = _mixed({"preload_data": False})
+    rows = _drain(ds)
+    for r in rows:
+        assert r["x"] == r["ds_idx"] + 1, rows
+        if r["ds_idx"] == 0:
+            assert r["y"] == 10
+        else:
+            assert np.isnan(r["y"])
+    # second epoch exercises reload back to dataset 0
+    rows2 = _drain(ds)
+    for r in rows2:
+        assert r["x"] == r["ds_idx"] + 1
