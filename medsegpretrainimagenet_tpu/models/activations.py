@@ -41,7 +41,8 @@ class Activation(nn.Module):
         if name in ("leaky relu", "leaky_relu"):
             return nn.leaky_relu(x, negative_slope=self.negative_slope)
         if name == "gelu":
-            return nn.gelu(x)
+            # exact (erf) form, matching torch.nn.GELU's default
+            return nn.gelu(x, approximate=False)
         if name in ("linear", "identity"):
             return x
         if name == "prelu":

@@ -103,8 +103,10 @@ def _randomise_torch(module, seed=0):
     with torch.no_grad():
         for p in module.parameters():
             p.normal_(0, 0.15, generator=gen)
-        for b in module.buffers():
-            if b.dtype.is_floating_point:
+        for name, b in module.named_buffers():
+            # only BN running stats — other buffers (attn_mask,
+            # relative_position_index) are structural
+            if "running" in name and b.dtype.is_floating_point:
                 b.uniform_(0.5, 1.5, generator=gen)
 
 
@@ -198,3 +200,112 @@ def test_load_encoder_params_strips_layers0(tmp_path):
     tree = load_encoder_params(path)
     assert "first_block" in tree
     assert "layers.3.weight" not in str(tree.keys())
+
+
+def test_swin_encoder_transfer_forward_parity(reference_encoder_factory,
+                                              tmp_path):
+    """Swin U-Net encoder checkpoints translate and match numerically."""
+    import sys
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import utils as ref_utils
+        from segmentation.models import unet_models as ref_unet
+        RefCD = ref_utils.config_dict.ConfigDict
+        bb = RefCD({"segmentation.models.blocks.SwinTransformerBlock": {
+            "img_size": 32, "patch_size": 4, "embed_dim": 8,
+            "num_heads_layers": (2, 4), "window_size": 4}})
+        ref_utils.fill_dict(bb)
+        ref = ref_unet.UNet_encoder(
+            in_channel_size=3, channels=[8, 16], depth=1, width=2,
+            change_channel_in_block=False, trainable_downsampling=True,
+            stem=RefCD({"segmentation.models.blocks.PatchEmbed":
+                        {"patch_size": 4}}),
+            downsampling=RefCD({"segmentation.models.blocks.PatchMerging":
+                                {}}),
+            basic_block=bb)
+    finally:
+        sys.path.remove("/root/reference/src")
+    _randomise_torch(ref, seed=3)
+    ref.eval()
+
+    path = str(tmp_path / "swin_encoder.pt")
+    torch.save(ref.state_dict(), path)
+    torch_tree = load_torch_state_dict(path)
+    translated, leftover = translate_reference_encoder(torch_tree)
+    assert leftover == [], f"unmapped: {leftover[:6]}"
+
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    ours = UNetEncoder(
+        in_channel_size=3, channels=[8, 16], depth=1, width=2,
+        change_channel_in_block=False, trainable_downsampling=True,
+        stem=ConfigDict({"segmentation.models.blocks.PatchEmbed":
+                         {"patch_size": 4}}),
+        downsampling=ConfigDict({"segmentation.models.blocks.PatchMerging":
+                                 {}}),
+        basic_block=ConfigDict(
+            {"segmentation.models.blocks.SwinTransformerBlock": {
+                "img_size": 32, "patch_size": 4, "embed_dim": 8,
+                "num_heads_layers": (2, 4), "window_size": 4}}))
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = ours.init(jax.random.key(0), x, train=False)
+    params = _graft(variables["params"], translated["params"], None)
+
+    rng = np.random.default_rng(5)
+    x_np = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    out_flax, skips_flax = ours.apply(
+        {"params": params}, jnp.asarray(x_np), train=False,
+        return_skip_vals=True)
+    with torch.no_grad():
+        out_torch, skips_torch = ref(
+            torch.tensor(x_np.transpose(0, 3, 1, 2)), return_skip_vals=True)
+    # both are (B, L, C) token tensors
+    np.testing.assert_allclose(np.array(out_flax), out_torch.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    for a, b in zip(skips_flax, skips_torch):
+        np.testing.assert_allclose(np.array(a), b.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_resnet_encoder_transfer_forward_parity(reference_encoder_factory,
+                                                tmp_path):
+    """DeepResNet encoder checkpoints translate and match numerically."""
+    import sys
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import classification.models as ref_cm
+        ref = ref_cm.DeepResNet(version="v1", bottleneck=True,
+                                channel_sizes=(8, 16), widths=(1, 2),
+                                in_channels=3, base_channel_size=4)
+    finally:
+        sys.path.remove("/root/reference/src")
+    _randomise_torch(ref, seed=7)
+    ref.eval()
+
+    path = str(tmp_path / "resnet.pt")
+    torch.save(ref.state_dict(), path)
+    torch_tree = load_torch_state_dict(path)
+    assert looks_like_torch_encoder(torch_tree)
+    translated, leftover = translate_reference_encoder(torch_tree)
+    assert leftover == [], f"unmapped: {leftover[:6]}"
+
+    from medsegpretrainimagenet_tpu.models import DeepResNet
+    ours = DeepResNet(version="v1", bottleneck=True, channel_sizes=(8, 16),
+                      widths=(1, 2), in_channels=3, base_channel_size=4)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = ours.init(jax.random.key(0), x, train=False)
+    params = _graft(variables["params"], translated["params"], None)
+    stats = _graft(variables["batch_stats"], translated["batch_stats"],
+                   None)
+
+    rng = np.random.default_rng(9)
+    x_np = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    out_flax, skips_flax = ours.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_np),
+        train=False, return_skip_vals=True)
+    with torch.no_grad():
+        out_torch, skips_torch = ref(
+            torch.tensor(x_np.transpose(0, 3, 1, 2)), return_skip_vals=True)
+    np.testing.assert_allclose(
+        np.array(out_flax), out_torch.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-3, atol=1e-4)
+    assert len(skips_flax) == len(skips_torch)
