@@ -412,16 +412,21 @@ def run_exp(train_data, val_data, test_data, destination: str,
     model = registry.build(config_dict, key="model", wrapper=Model)
     model_dict = config_dict["model"].value()
 
-    # initialise parameters from the first batch's shapes
+    # initialise parameters from the first batch's shapes — all on the
+    # host CPU (hundreds of small init/weight-scheme ops dispatch far too
+    # slowly on an accelerator, let alone a remote TPU tunnel); the first
+    # jitted train step moves the finished tree to the device once
+    cpu = jax.local_devices(backend="cpu")[0]
     sample = next(iter(train_data))
     sample_x = sample["x"]
     if device_augment is not None:
         # the on-device chain may change shapes (e.g. RepeatChannels);
         # initialise parameters on the post-augmentation geometry
-        sample_x = device_augment(
-            jax.random.key(0),
-            {k: jnp.asarray(v) for k, v in sample.items()
-             if hasattr(v, "shape")})["x"]
+        with jax.default_device(cpu):
+            sample_x = device_augment(
+                jax.random.key(0),
+                {k: jax.device_put(np.asarray(v)) for k, v in sample.items()
+                 if hasattr(v, "shape")})["x"]
     variables = model.init(init_rng, {"x": sample_x})
 
     if continued:
@@ -433,7 +438,8 @@ def run_exp(train_data, val_data, test_data, destination: str,
         shutil.copy(weights_path, os.path.join(
             destination, "last_model_state_dict_checkpoint.msgpack"))
     else:
-        variables = model.init_weight(model_dict, variables, weight_rng)
+        with jax.default_device(cpu):
+            variables = model.init_weight(model_dict, variables, weight_rng)
     model.freeze_and_unfreeze(model_dict)
     trainable_mask = model.trainable_mask(variables["params"]) \
         if model.frozen_paths else None
@@ -445,7 +451,8 @@ def run_exp(train_data, val_data, test_data, destination: str,
         batches_per_epoch=batches_per_epoch,
         trainable_mask=trainable_mask)
 
-    opt_state = optimizer.tx.init(variables["params"])
+    with jax.default_device(cpu):
+        opt_state = optimizer.tx.init(variables["params"])
     state = TrainState.create(variables, opt_state, train_rng)
     if continued:
         opt_path = os.path.join(destination, "optimizer_state_dict.msgpack")

@@ -84,10 +84,10 @@ class COVIDQUDataset(Dataset):
         if validate_on_test:
             imgs = np.concatenate(
                 [imgs, self._load_imgs(task_path, "test")], axis=0)
-        imgs = np.squeeze(imgs) / 255.0
-        imgs = np.stack([cv2.resize(img.astype(np.float32), size)
-                         for img in imgs])
-        imgs = imgs[..., None].astype(np.float32)  # (N, H, W, 1)
+        imgs = np.squeeze(imgs).astype(np.float32) / np.float32(255.0)
+        if imgs.shape[1:3] != tuple(size):
+            imgs = np.stack([cv2.resize(img, size) for img in imgs])
+        imgs = imgs[..., None]  # (N, H, W, 1)
 
         if validate_on_test:
             train_idcs = np.concatenate(
@@ -111,9 +111,11 @@ class COVIDQUDataset(Dataset):
                     [masks, self._load_masks(task_path, task, "test")],
                     axis=0)
             masks = np.squeeze(masks)
-            masks = np.stack([cv2.resize(mask, size,
-                                         interpolation=cv2.INTER_LINEAR)
-                              for mask in masks]).astype(np.int32)
+            if masks.shape[1:3] != tuple(size):
+                masks = np.stack([cv2.resize(mask, size,
+                                             interpolation=cv2.INTER_LINEAR)
+                                  for mask in masks])
+            masks = masks.astype(np.int32)
             train_data["mask"] = masks[train_idcs]
             val_data["mask"] = masks[val_idcs]
 

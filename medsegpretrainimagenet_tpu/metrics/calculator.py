@@ -278,8 +278,10 @@ class MetricsCalculator:
     def batch_values(self, per_batch: Dict[str, Any]) -> Dict[str, float]:
         """Host view of one step's metric scalars (for batch_logs.csv),
         including derived CM values computed from the step's counts."""
-        host = {k: np.asarray(jax.device_get(v)) for k, v in
-                per_batch.items()}
+        # ONE transfer for the whole dict: per-entry device_get costs a
+        # host<->device roundtrip each (ruinous over a remote TPU tunnel)
+        host = {k: np.asarray(v) for k, v in
+                jax.device_get(per_batch).items()}
         values = {}
         for key, value in host.items():
             if value.ndim == 0:

@@ -98,12 +98,22 @@ class Model:
 
     def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array],
              train: bool = True):
-        """Initialise variables ({'params', 'batch_stats', ...})."""
+        """Initialise variables ({'params', 'batch_stats', ...}).
+
+        One *jitted* call on a batch-1 sample: unjitted init dispatches
+        hundreds of small ops one by one (measured 141 s for a 31M-param
+        U-Net over the remote TPU tunnel vs 10 s jitted), and parameter
+        shapes never depend on the batch size.
+        """
+        import functools
         x = sample_batch["x"] if isinstance(sample_batch, dict) \
             else sample_batch
+        x = x[:1] if hasattr(x, "shape") and x.shape and x.shape[0] > 1 \
+            else x
         params_key, dropout_key = jax.random.split(rng)
-        return self.module.init(
-            {"params": params_key, "dropout": dropout_key}, x, train=False)
+        init_fn = jax.jit(functools.partial(self.module.init, train=False))
+        return init_fn({"params": params_key, "dropout": dropout_key},
+                       jnp.asarray(x))
 
     def apply(self, variables, x, train: bool = False,
               rngs: Optional[dict] = None, mutable=False, **kwargs):

@@ -72,6 +72,8 @@ def run_epoch(step_fn, state, metrics_state, loader,
     """One pass over *loader*.  Returns (state, metrics_state)."""
     from ..parallel import shard_batch
 
+    pending = None  # previous step's device scalars, converted one step
+    # late so the host->CSV sync never stalls the dispatch pipeline
     for i, batch_stack in enumerate(
             _virtual_batches(loader, accumulation_scale)):
         try:
@@ -84,11 +86,17 @@ def run_epoch(step_fn, state, metrics_state, loader,
                 metrics_state, per_batch = step_fn(
                     state, metrics_state, batch_stack)
             if log_path is not None and calculator is not None:
-                append_csv_row(log_path, calculator.batch_values(per_batch))
+                if pending is not None:
+                    append_csv_row(log_path,
+                                   calculator.batch_values(pending))
+                pending = per_batch
             if on_batch is not None:
                 on_batch(i, per_batch)
         except Exception as exc:  # noqa: BLE001 - reference error envelope
             handle_exception(exc, f"Exception occured in batch {i}.")
+    if pending is not None:
+        with swallow("Exception writing the last batch log row."):
+            append_csv_row(log_path, calculator.batch_values(pending))
     return state, metrics_state
 
 
