@@ -102,6 +102,51 @@ class BalancedSource:
             self.cut = {"amount": 0}
             self.balance_factor = balanced
 
+    # -- vectorized fast path -------------------------------------------
+    # when nothing in the pipeline is per-item (no lazy loads, no k-extra
+    # sampling, no partitions, transforms at most dtype casts) a whole
+    # batch is one fancy-index per column — the hot configuration under
+    # on-device augmentation, where the host's only job is slicing.
+
+    def supports_vectorized(self) -> bool:
+        cached = getattr(self, "_vectorizable", None)
+        if cached is not None:
+            return cached
+        ok = (self.k == 0 and self.partition_count == 1
+              and self.load_function is None)
+        if ok and self.transforms is not None:
+            from .transforms.core import Compose, ConvertToType
+            stages = self.transforms.transforms \
+                if isinstance(self.transforms, Compose) \
+                else (self.transforms,)
+            ok = all(isinstance(t, ConvertToType) for t in stages)
+        if ok:
+            try:
+                self._column_arrays = {
+                    key: values if isinstance(values, np.ndarray)
+                    else np.asarray(values)
+                    for key, values in self.data.items()}
+            except (ValueError, TypeError):   # ragged / non-numeric
+                ok = False
+        self._vectorizable = ok
+        return ok
+
+    def get_batch_vectorized(self, indices) -> Dict[str, np.ndarray]:
+        """Batch fetch with the same index remap as ``__getitem__``."""
+        idx = np.asarray(list(indices), np.int64)
+        if not self.pos_only:
+            neg = idx < self.neg_len
+            remapped = np.empty_like(idx)
+            remapped[neg] = self.negative_idcs[idx[neg]]
+            remapped[~neg] = self.positive_idcs[
+                (idx[~neg] - self.neg_len) % max(self.pos_len, 1)]
+            idx = remapped
+        batch = {key: values[idx]
+                 for key, values in self._column_arrays.items()}
+        if self.transforms is not None:
+            batch = self.transforms(**batch)
+        return batch
+
     def __len__(self) -> int:
         if self.pos_only:
             real_length = self.pos_len
@@ -208,6 +253,9 @@ def assemble_batch(source, indices: Iterable[int],
                    pad_with: Optional[float] = None) -> Dict[str, np.ndarray]:
     """Stack items into a numpy batch, right-padding the last axis when
     lengths differ (reference ``get_batch``)."""
+    if pad_with is None and hasattr(source, "supports_vectorized") \
+            and source.supports_vectorized():
+        return source.get_batch_vectorized(indices)
     columns: Dict[str, list] = {}
     for idx in indices:
         item = source[int(idx)]
