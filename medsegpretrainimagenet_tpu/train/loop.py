@@ -65,20 +65,43 @@ def _virtual_batches(loader, accumulation_scale: int):
         yield _stack_fragments(pending)
 
 
+def _prefetched(iterator, mesh, depth: int = 2):
+    """Device-put *depth* batches ahead so H2D transfer overlaps compute
+    (steps dispatch asynchronously; the queue keeps the copy engine busy)."""
+    import collections
+
+    from ..parallel import shard_batch
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(batch, mesh, batch_dim=1)
+        return jax.device_put(batch)
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        while len(queue) < depth:
+            queue.append(put(next(it)))
+    except StopIteration:
+        it = iter(())
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
 def run_epoch(step_fn, state, metrics_state, loader,
               accumulation_scale: int = 1, train: bool = True,
               mesh=None, log_path: Optional[str] = None,
               calculator=None, on_batch: Optional[Callable] = None):
     """One pass over *loader*.  Returns (state, metrics_state)."""
-    from ..parallel import shard_batch
-
     pending = None  # previous step's device scalars, converted one step
     # late so the host->CSV sync never stalls the dispatch pipeline
-    for i, batch_stack in enumerate(
-            _virtual_batches(loader, accumulation_scale)):
+    for i, batch_stack in enumerate(_prefetched(
+            _virtual_batches(loader, accumulation_scale), mesh)):
         try:
-            if mesh is not None:
-                batch_stack = shard_batch(batch_stack, mesh, batch_dim=1)
             if train:
                 state, metrics_state, per_batch = step_fn(
                     state, metrics_state, batch_stack)

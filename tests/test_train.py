@@ -264,3 +264,33 @@ def test_device_augmentation_end_to_end(tmp_path):
     # augmentation is active: the same batch yields different losses
     # across steps beyond what pure optimisation noise would give
     assert len(set(round(l, 6) for l in losses)) > 5
+
+
+def test_training_converges_on_learnable_task(tmp_path):
+    """The full loop learns: high train+val Dice on an easy synthetic
+    segmentation task after a few epochs (loss/optimizer/schedule/metrics
+    coherence check)."""
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, channels=(8, 16), epochs=12)
+    optimizer = Optimizer(ConfigDict({"sgd": {
+        "momentum": 0.9, "weight_decay": 0.0,
+        "learning_rate": {"constant": {"base": 0.2}}}}),
+        num_epochs=12, batches_per_epoch=8)
+    state = TrainState.create(state.variables, optimizer.tx.init(
+        state.params), jax.random.key(1))
+    train_loader = make_loader(synthetic_segmentation_data(
+        n=32, rng=np.random.default_rng(1)))
+    val_loader = make_loader(synthetic_segmentation_data(
+        n=8, rng=np.random.default_rng(2)))
+    state = train_model(model, train_loader, val_loader, None, config,
+                        optimizer, state, loss=loss,
+                        metrics_and_loss=calculator, name="conv",
+                        virtual_batch_size=4, true_batch_size=4,
+                        verbose=False)
+    with open(str(tmp_path / "conv" / "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    final = rows[-1]
+    assert float(final["val_metrics/dice_index_threshold_0.5"]) > 0.85, final
+    assert float(final["val_dice_loss"]) < 0.2
+    # loss decreased monotonically-ish
+    assert float(rows[-1]["dice_loss"]) < float(rows[0]["dice_loss"]) * 0.5
