@@ -99,11 +99,20 @@ def _linear(params, base, unit, num_epochs, bpe):
 def _poly(params, base, unit, num_epochs, bpe):
     exponent = float(_get(params, "exponent", 0.9))
     minimum = _get(params, "minimum", None) or 0.0
+    last_epoch = int(_get(params, "last_epoch", -1))
     total = _horizon(_get(params, "number_of_iterations", "auto"), unit,
                      num_epochs, bpe, "PolyLearningRateDecay")
 
     def fn(step):
-        frac = jnp.clip(1.0 - step / max(total, 1), 0.0, 1.0)
+        # trajectory parity with the reference's hand-rolled step()
+        # (``optim/scheduler.py:390-402``): its counter starts at
+        # ``last_epoch`` (default -1) and is read *before* incrementing,
+        # so the lr used at training step s is (1 - (s - 2)/N)^gamma
+        # (with a (1 + 1/N)^gamma bump at s == 1).  The published results
+        # were trained with this exact sequence.
+        i = step + last_epoch - 1
+        frac = jnp.where(step == 0, 1.0,
+                         jnp.clip(1.0 - i / max(total, 1), 0.0, None))
         return jnp.maximum(base * frac ** exponent, minimum)
     return fn
 

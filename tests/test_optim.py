@@ -24,8 +24,12 @@ def test_poly_schedule():
         "number_of_iterations": "auto"}})
     spec = build_schedule(cfg, num_epochs=2, batches_per_epoch=5)
     values = lr_seq(spec, 10)
+    # reference trajectory: lr at step s is (1 - (s-2)/N)^gamma with a
+    # (1 + 1/N)^gamma bump at s == 1 (its step() reads the counter
+    # pre-increment from last_epoch=-1) — see test_scheduler_parity.py
     assert values[0] == 1.0
-    assert np.allclose(values[5], (1 - 5 / 10) ** 0.9)
+    assert np.allclose(values[1], (1 + 1 / 10) ** 0.9)
+    assert np.allclose(values[5], (1 - 3 / 10) ** 0.9)
     assert values[-1] < values[0]
 
 
@@ -195,4 +199,5 @@ def test_fill_kwargs_parity_with_reference_config():
     assert opt.schedule.unit == "batch"
     assert opt.schedule.base == 0.05
     assert float(opt.lr_at(jnp.asarray(0))) == pytest.approx(0.05)
-    assert float(opt.lr_at(jnp.asarray(150 * 7))) == pytest.approx(0.0)
+    # the reference trajectory lags two steps, so lr hits 0 at N + 2
+    assert float(opt.lr_at(jnp.asarray(150 * 7 + 2))) == pytest.approx(0.0)

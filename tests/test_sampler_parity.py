@@ -15,9 +15,10 @@ from medsegpretrainimagenet_tpu.data import BalancedDataLoader
 from medsegpretrainimagenet_tpu.data.sampling import (BalancedSource,
                                                       batch_index_plan)
 
+# only modules genuinely absent from this image — mocking installed ones
+# (sympy, scipy, ...) breaks torch internals
 _MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
-               "neptune", "einops", "timm", "nibabel", "sympy", "cv2",
-               "scipy", "pandas", "sklearn", "matplotlib", "PIL")
+               "neptune", "einops", "timm", "nibabel")
 
 
 class _MockLoader(importlib.abc.Loader):

@@ -1,0 +1,128 @@
+"""LR-schedule parity against the reference's actual SchedulerWrapper
+(imported from /root/reference with mocked heavy deps, driven by real
+torch optimizers): for each scheduler family the per-step learning rates
+must match the torch trajectory."""
+import importlib.abc
+import importlib.util
+import sys
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+import torch
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.optim import Optimizer
+
+# only modules genuinely absent from this image — mocking installed ones
+# (sympy, scipy, ...) breaks torch internals
+_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
+               "neptune", "einops", "timm", "nibabel")
+
+
+class _MockLoader(importlib.abc.Loader):
+    def create_module(self, spec):
+        mod = MagicMock()
+        mod.__name__ = spec.name
+        mod.__path__ = []
+        mod.__spec__ = spec
+        return mod
+
+    def exec_module(self, module):
+        pass
+
+
+@pytest.fixture(scope="module")
+def reference_optim():
+    finder = type("F", (importlib.abc.MetaPathFinder,), {
+        "find_spec": staticmethod(
+            lambda fullname, path=None, target=None:
+            importlib.util.spec_from_loader(fullname, _MockLoader(),
+                                            is_package=True)
+            if fullname.split(".")[0] in _MOCK_ROOTS else None)})()
+    sys.meta_path.insert(0, finder)
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import importlib as _il
+        yield (_il.import_module("optim.optimizer"),
+               _il.import_module("optim.scheduler"),
+               _il.import_module("utils"))
+    finally:
+        sys.meta_path.remove(finder)
+        sys.path.remove("/root/reference/src")
+
+
+NUM_EPOCHS, BPE = 4, 5   # 20 steps
+
+
+def _reference_lrs(reference_optim, lr_cfg: dict, base: float):
+    """Run the reference Optimizer+SchedulerWrapper over NUM_EPOCHS
+    (mirrors ``run_experiment.py:298-312``)."""
+    ref_optim_mod, ref_sched_mod, ref_utils = reference_optim
+    RefCD = ref_utils.config_dict.ConfigDict
+    params = [torch.nn.Parameter(torch.zeros(2))]
+    optim_cfg = RefCD({"sgd": {"learning_rate": lr_cfg,
+                               "momentum": 0.9, "weight_decay": 0.0,
+                               "nesterov_momentum": False,
+                               "momentum_dampening": 0.0}})
+    ref_optim_mod.Optimizer.fill_kwargs(optim_cfg)
+    optimizer = ref_optim_mod.Optimizer(optim_cfg, params)
+    scheduler_dict = optim_cfg.value()["learning_rate"]
+    scheduler = ref_utils.create_object_from_dict(
+        scheduler_dict, wrapper_class=ref_sched_mod.SchedulerWrapper,
+        optimizer=optimizer, num_epochs=NUM_EPOCHS, batches_per_epoch=BPE)
+    lrs = []
+    for _ in range(NUM_EPOCHS):
+        for _ in range(BPE):
+            lrs.append(float(optimizer.param_groups[0]["lr"]))
+            if scheduler.batch_update:
+                scheduler.step()
+        if scheduler.epoch_update:
+            scheduler.step()
+    return np.asarray(lrs, np.float64)
+
+
+def _our_lrs(lr_cfg: dict):
+    opt = Optimizer(ConfigDict({"sgd": {
+        "momentum": 0.9, "weight_decay": 0.0,
+        "learning_rate": lr_cfg}}),
+        num_epochs=NUM_EPOCHS, batches_per_epoch=BPE)
+    return np.asarray([float(opt.lr_at(i))
+                       for i in range(NUM_EPOCHS * BPE)], np.float64)
+
+
+SCHEDULES = {
+    "poly_batch": {"optim.scheduler.PolyLearningRateDecay": {
+        "base": 0.05, "exponent": 0.9, "iteration_unit": "batch",
+        "number_of_iterations": "auto", "last_epoch": -1}},
+    # explicit horizons like the shipped configs (the reference's own
+    # 'auto' resolution breaks at step time for torch-subclass schedulers)
+    "cosine_batch": {"torch.optim.lr_scheduler.CosineAnnealingLR": {
+        "base": 0.01, "eta_min": 1e-6, "T_max": 20,
+        "iteration_unit": "batch"}},
+    "linear_batch": {"optim.scheduler.LinearLR": {
+        "base": 0.02, "start_factor": 1.0, "end_factor": 0.1,
+        "total_iters": "auto", "iteration_unit": "batch"}},
+    "exponential_epoch": {"torch.optim.lr_scheduler.ExponentialLR": {
+        "base": 0.1, "gamma": 0.5, "iteration_unit": "epoch"}},
+    "step_epoch": {"optim.scheduler.StepLearningRateScheduler": {
+        "base": 0.1, "iteration_unit": "epoch",
+        "learning_rates_dict": {2: 0.01}}},
+    "warmup_cosine": {"optim.scheduler.LinearWarmupScheduler": {
+        "base": 0.04, "warmup_length": 5,
+        "main_scheduler": {"torch.optim.lr_scheduler.CosineAnnealingLR": {
+            "eta_min": 1e-6, "T_max": 15}},
+        "iteration_unit": "batch"}},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCHEDULES))
+def test_schedule_matches_reference(reference_optim, name):
+    cfg = SCHEDULES[name]
+    try:
+        ref = _reference_lrs(reference_optim, cfg, 0.0)
+    except Exception as exc:  # noqa: BLE001 - reference path unsupported
+        pytest.skip(f"reference scheduler path failed: {exc}")
+    ours = _our_lrs(ConfigDict(cfg))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-9,
+                               err_msg=f"{name}\nref={ref}\nours={ours}")
