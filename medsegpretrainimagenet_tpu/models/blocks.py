@@ -658,6 +658,11 @@ def make_block_builder(block_cfg: Any):
     """
     if isinstance(block_cfg, str):
         block_cfg = ConfigDict({block_cfg: {}})
+    elif not isinstance(block_cfg, ConfigDict):
+        # flax freezes dict-typed dataclass fields of top-level modules
+        # into FrozenDicts; thaw back into ConfigDict
+        import flax.core
+        block_cfg = ConfigDict(flax.core.unfreeze(block_cfg))
     name, params = block_cfg.item()
     if not isinstance(params, ConfigDict):
         params = ConfigDict()

@@ -56,8 +56,9 @@ def _normalize_block_cfg(cfg):
         return None
     if isinstance(cfg, str):
         return ConfigDict({cfg: {}})
-    if isinstance(cfg, dict) and not isinstance(cfg, ConfigDict):
-        return ConfigDict(cfg)
+    if not isinstance(cfg, ConfigDict):
+        import flax.core
+        return ConfigDict(flax.core.unfreeze(cfg))
     return cfg
 
 

@@ -1,0 +1,107 @@
+"""Transferability sweep CLI: ``python -m medsegpretrainimagenet_tpu.robustness cfg.yaml``.
+
+The reference ships the swept output (``results/robustness_scores.csv``,
+25 200 rows) but no driver; this is the missing driver.  The YAML names
+probe datasets (built through the registry, probe images taken from the
+train split), encoders (a model config + optional checkpoint weights +
+metadata), and the sweep axes:
+
+```yaml
+data:
+  COVIDQUDataset:
+    segmentation.datasets.COVIDQUDataset:
+      lung_or_infection: inf
+      image_sizes: 224
+probe_images: 64
+encoders:
+  - name: unet_encoder
+    pretraining_scheme: simple
+    pretraining_length: 20
+    weights: ../encoder_weights/..._epoch_20.pt   # optional
+    model:
+      segmentation.models.UNet_encoder:
+        in_channel_size: 3
+metrics: [cosine_distance, l2, inv_pearson]
+margins: [0.0, 0.5]
+levels: [1, 2, 3, 4]
+pooled: [false, true]
+output: robustness_scores.csv
+seed: 0
+```
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    import yaml
+
+    from ..config import ConfigDict, registry
+    from ..models import Model
+    from ..models.wrapper import _graft
+    from ..data import Dataset
+    from ..train.checkpoint import load_encoder_params
+    from ..train.torch_mapping import (looks_like_torch_encoder,
+                                       translate_reference_encoder)
+    from .sweep import run_sweep, write_scores_csv
+
+    with open(argv[0]) as fh:
+        cfg = ConfigDict(yaml.full_load(fh))
+
+    seed = cfg.get("seed", 0)
+    n_probe = cfg.get("probe_images", 64)
+
+    datasets = {}
+    for alias in cfg["data"].keys():
+        ds = registry.build(cfg[f"data/{alias}"].trim(),
+                            wrapper=Dataset, seed=seed)
+        imgs = np.asarray(ds.train["x"][:n_probe], np.float32)
+        if imgs.shape[-1] == 1:
+            imgs = np.repeat(imgs, 3, axis=-1)
+        datasets[alias.split(".")[-1]] = imgs
+
+    encoders = []
+    for enc_cfg in cfg.elements_of("encoders"):
+        model = registry.build(enc_cfg["model"].trim(), wrapper=Model)
+        sample = datasets[next(iter(datasets))][:1]
+        variables = model.init(jax.random.key(seed), {"x": sample})
+        weights = enc_cfg.get("weights")
+        if weights:
+            loaded = load_encoder_params(weights)
+            if looks_like_torch_encoder(loaded):
+                loaded, _ = translate_reference_encoder(loaded)
+                loaded = loaded["params"]
+            variables = dict(variables)
+            variables["params"] = _graft(variables["params"], loaded, None)
+        encoders.append({
+            "module": model.module, "variables": variables,
+            "name": enc_cfg.get("name", "encoder"),
+            "pretraining_scheme": enc_cfg.get("pretraining_scheme", "none"),
+            "pretraining_length": enc_cfg.get("pretraining_length", 0),
+        })
+
+    rows = run_sweep(
+        encoders, datasets,
+        metrics=cfg.get_str_tuple("metrics") or ("cosine_distance", "l2",
+                                                 "inv_pearson"),
+        margins=cfg.get_tuple("margins", (0.0, 0.5)),
+        levels=cfg.get_tuple("levels", (1, 2, 3, 4)),
+        pooled=tuple(bool(p) for p in cfg.get_tuple("pooled",
+                                                    (False, True))),
+        batch_size=cfg.get("batch_size", 32), seed=seed)
+    out = cfg.get("output", "robustness_scores.csv")
+    write_scores_csv(out, rows)
+    print(f"wrote {len(rows)} rows to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

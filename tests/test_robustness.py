@@ -181,3 +181,54 @@ def test_run_sweep_and_csv(tmp_path):
     assert list(read[0].keys()) == [
         "dataset", "metric", "margin", "encoder", "pretraining_scheme",
         "pooled", "level", "pretraining_length", "robustness"]
+
+
+def test_sweep_cli(tmp_path, monkeypatch):
+    """python -m medsegpretrainimagenet_tpu.robustness cfg.yaml"""
+    import yaml
+    from medsegpretrainimagenet_tpu.robustness.__main__ import main
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data" / "COVID_QU" / "Inf_segm" / "data arrays" \
+        / "COVID-19"
+    for part, n in (("train and val", 10), ("test", 2)):
+        d = root / part
+        d.mkdir(parents=True)
+        np.save(d / "imgs.npy",
+                (rng.random((n, 1, 16, 16)) * 255).astype(np.uint8))
+        m = np.zeros((n, 1, 16, 16), np.uint8)
+        m[:, :, 5:10, 5:10] = 2
+        np.save(d / "inf_masks.npy", m)
+    monkeypatch.setenv("MST_DATA_DIR", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+
+    cfg = {
+        "data": {"COVIDQUDataset": {
+            "segmentation.datasets.COVIDQUDataset": {
+                "lung_or_infection": "inf", "image_sizes": 16,
+                "validate_on_test": True}}},
+        "probe_images": 6,
+        "encoders": [{
+            "name": "tiny", "pretraining_scheme": "simple",
+            "pretraining_length": 1,
+            "model": {"segmentation.models.UNet_encoder": {
+                "in_channel_size": 3, "channels": (4, 8), "depth": 1}},
+        }],
+        "metrics": ["cosine_distance", "l2"],
+        "margins": [0.0],
+        "levels": [1],
+        "pooled": [True],
+        "batch_size": 3,
+        "output": str(tmp_path / "robustness_scores.csv"),
+        "seed": 0,
+    }
+    cfg_path = str(tmp_path / "rb.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main([cfg_path]) == 0
+    import csv as _csv
+    with open(tmp_path / "robustness_scores.csv") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert len(rows) == 2
+    assert rows[0]["encoder"] == "tiny"
+    assert all(np.isfinite(float(r["robustness"])) for r in rows)
