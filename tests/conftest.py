@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat suite runs skip most XLA CPU compiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/mst_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except AttributeError:  # older jax: the XLA_FLAGS path covers it

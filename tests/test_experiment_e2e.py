@@ -241,3 +241,6 @@ def test_grid_expansion_runs_all_experiments(covidqu_env):
     assert len(dirs) == 2, dirs
     for d in dirs:
         assert os.path.isfile(os.path.join(d, "run_1", "epoch_logs.csv"))
+        # cross-experiment comparisons written into each run dir
+        comp = glob.glob(os.path.join(d, "run_1", "comparisons", "*"))
+        assert comp, f"no comparison outputs in {d}"
