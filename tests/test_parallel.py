@@ -89,3 +89,37 @@ def test_multichip_dryrun_entrypoint():
     """The driver-facing dryrun compiles + executes on this mesh."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tensor_parallel_2d_mesh_step():
+    """DP x TP: params' large output channels sharded over 'model', batch
+    over 'data'; the jitted step compiles, executes, and matches the
+    replicated numerics."""
+    from medsegpretrainimagenet_tpu.parallel import (shard_train_state,
+                                                     tensor_parallel_shardings)
+
+    module, optimizer, state, loss, calculator = _setup()
+    step = make_train_step(module, loss, calculator, optimizer,
+                           donate=False)
+    batch = _batch()
+
+    ref_state, _, ref_pb = step(state, calculator.init_state(),
+                                jax.device_put(batch, jax.devices()[0]))
+
+    mesh = create_mesh(("data", "model"), shape=(4, 2))
+    shardings = tensor_parallel_shardings(state.params, mesh,
+                                          min_channels=8)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(shardings)}
+    assert any(spec != P() for spec in specs), "nothing got TP-sharded"
+
+    state_tp = shard_train_state(state, mesh, min_channels=8)
+    metrics_tp = jax.device_put(calculator.init_state(), replicated(mesh))
+    batch_tp = shard_batch(batch, mesh, batch_dim=1)
+    with mesh:
+        out_state, _, pb = step(state_tp, metrics_tp, batch_tp)
+    np.testing.assert_allclose(float(pb["dice_loss"]),
+                               float(ref_pb["dice_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
