@@ -56,20 +56,10 @@ def shard_train_state(state, mesh: Mesh, axis: str = "model",
     and replicated everything else."""
     param_sh = tensor_parallel_shardings(state.params, mesh, axis,
                                          min_channels)
-
-    def put_like(tree):
-        # optimizer moments mirror the param tree structure where they do;
-        # anything else is replicated
-        try:
-            return jax.device_put(tree, param_sh)
-        except ValueError:
-            return jax.device_put(tree, NamedSharding(mesh, P()))
-
     params = jax.device_put(state.params, param_sh)
     repl = NamedSharding(mesh, P())
-    opt_state = jax.tree_util.tree_map(
-        lambda x: x, state.opt_state)  # structure preserved
-    # put each optimizer leaf with the param sharding when shapes match
+    # optimizer moments mirror param shapes; match them by shape so they
+    # co-locate with their parameters (anything else replicates)
     flat_params, _ = jax.tree_util.tree_flatten(state.params)
     flat_shard, _ = jax.tree_util.tree_flatten(param_sh)
     shape_to_sh = {}
