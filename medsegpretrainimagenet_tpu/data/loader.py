@@ -163,11 +163,14 @@ class BalancedDataLoader:
             yield assemble_batch(self.source, chunk, pad_with=self.pad_with)
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None,
+                       put=None, on_error=None):
     """Double-buffered host->device prefetch.
 
-    Pulls *size* batches ahead, moving each to device (optionally with a
-    ``NamedSharding``) so H2D DMA overlaps the running step.
+    Pulls *size* batches ahead, moving each to device (with a
+    ``NamedSharding`` or a custom ``put``) so H2D DMA overlaps the running
+    step.  With ``on_error``, a batch whose transfer fails is reported and
+    skipped instead of aborting the stream (the per-batch error envelope).
     """
     import collections
 
@@ -175,19 +178,39 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     queue = collections.deque()
 
-    def put(batch):
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
+    if put is None:
+        def put(batch):
+            if sharding is not None:
+                return jax.device_put(batch, sharding)
+            return jax.device_put(batch)
 
     it = iter(iterator)
-    try:
-        for _ in range(size):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
+
+    def fill_one() -> bool:
+        while True:
+            try:
+                batch = next(it)
+            except StopIteration:
+                return False
+            except Exception as exc:  # noqa: BLE001 - generator is dead
+                if on_error is None:
+                    raise
+                on_error(exc)
+                return False
+            try:
+                queue.append(put(batch))
+                return True
+            except Exception as exc:  # noqa: BLE001
+                if on_error is None:
+                    raise
+                on_error(exc)
+
+    for _ in range(size):
+        if not fill_one():
+            break
     while queue:
         yield queue.popleft()
+        fill_one()
         try:
             queue.append(put(next(it)))
         except StopIteration:

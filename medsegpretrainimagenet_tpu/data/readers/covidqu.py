@@ -85,7 +85,9 @@ class COVIDQUDataset(Dataset):
             imgs = np.concatenate(
                 [imgs, self._load_imgs(task_path, "test")], axis=0)
         imgs = np.squeeze(imgs).astype(np.float32) / np.float32(255.0)
-        if imgs.shape[1:3] != tuple(size):
+        # skip the no-op resize only in the square case (cv2 dsize is
+        # (w, h), so a non-square equality would be transposed)
+        if not (size[0] == size[1] == imgs.shape[1] == imgs.shape[2]):
             imgs = np.stack([cv2.resize(img, size) for img in imgs])
         imgs = imgs[..., None]  # (N, H, W, 1)
 
@@ -111,7 +113,7 @@ class COVIDQUDataset(Dataset):
                     [masks, self._load_masks(task_path, task, "test")],
                     axis=0)
             masks = np.squeeze(masks)
-            if masks.shape[1:3] != tuple(size):
+            if not (size[0] == size[1] == masks.shape[1] == masks.shape[2]):
                 masks = np.stack([cv2.resize(mask, size,
                                              interpolation=cv2.INTER_LINEAR)
                                   for mask in masks])

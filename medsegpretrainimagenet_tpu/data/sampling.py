@@ -122,10 +122,15 @@ class BalancedSource:
             ok = all(isinstance(t, ConvertToType) for t in stages)
         if ok:
             try:
-                self._column_arrays = {
+                arrays = {
                     key: values if isinstance(values, np.ndarray)
                     else np.asarray(values)
                     for key, values in self.data.items()}
+                # replace (don't duplicate) the per-item columns: array
+                # columns index identically in __getitem__, and keeping
+                # both doubles host memory on image-stack datasets
+                self.data = arrays
+                self._column_arrays = arrays
             except (ValueError, TypeError):   # ragged / non-numeric
                 ok = False
         self._vectorizable = ok
@@ -145,6 +150,8 @@ class BalancedSource:
                  for key, values in self._column_arrays.items()}
         if self.transforms is not None:
             batch = self.transforms(**batch)
+            batch.pop("k", None)        # transform bookkeeping keys, same
+            batch.pop("_index", None)   # as the per-item path
         return batch
 
     def __len__(self) -> int:

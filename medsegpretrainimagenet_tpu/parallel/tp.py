@@ -24,15 +24,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["tensor_parallel_shardings", "shard_train_state"]
 
 
-def _spec_for(path_leaf, value, axis: str, min_channels: int):
+def _spec_for(path_leaf, value, axis: str, min_channels: int,
+              axis_size: int):
     shape = getattr(value, "shape", ())
     name = str(path_leaf[-1]) if path_leaf else ""
     if "kernel" in name and len(shape) >= 2 \
-            and shape[-1] >= min_channels and shape[-1] % 2 == 0:
+            and shape[-1] >= min_channels and shape[-1] % axis_size == 0:
         # conv kernels (H, W, I, O) / dense kernels (I, O): shard O
         return P(*([None] * (len(shape) - 1) + [axis]))
     if name in ("bias", "scale") and len(shape) == 1 \
-            and shape[0] >= min_channels and shape[0] % 2 == 0:
+            and shape[0] >= min_channels and shape[0] % axis_size == 0:
         return P(axis)
     return P()
 
@@ -42,11 +43,14 @@ def tensor_parallel_shardings(params, mesh: Mesh, axis: str = "model",
     """NamedSharding pytree: big output-channel dims sharded over *axis*.
 
     Small parameters stay replicated — sharding tiny tensors costs more in
-    collectives than it saves in memory/FLOPs.
+    collectives than it saves in memory/FLOPs.  Only channel counts
+    divisible by the mesh axis size are sharded.
     """
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
     def to_sharding(path, value):
         return NamedSharding(mesh, _spec_for(path, value, axis,
-                                             min_channels))
+                                             min_channels, axis_size))
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 

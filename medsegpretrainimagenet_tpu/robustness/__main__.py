@@ -76,11 +76,21 @@ def main(argv=None):
         weights = enc_cfg.get("weights")
         if weights:
             loaded = load_encoder_params(weights)
+            stats = None
             if looks_like_torch_encoder(loaded):
-                loaded, _ = translate_reference_encoder(loaded)
+                loaded, leftover = translate_reference_encoder(loaded)
+                if leftover:
+                    print(f"warning: unmapped torch keys in {weights}: "
+                          f"{leftover[:6]}")
+                stats = loaded["batch_stats"]
                 loaded = loaded["params"]
             variables = dict(variables)
             variables["params"] = _graft(variables["params"], loaded, None)
+            if stats and variables.get("batch_stats"):
+                # BN running stats matter: the probe forward runs in eval
+                # mode and normalizes with them
+                variables["batch_stats"] = _graft(variables["batch_stats"],
+                                                  stats, None)
         encoders.append({
             "module": model.module, "variables": variables,
             "name": enc_cfg.get("name", "encoder"),

@@ -66,10 +66,10 @@ def _virtual_batches(loader, accumulation_scale: int):
 
 
 def _prefetched(iterator, mesh, depth: int = 2):
-    """Device-put *depth* batches ahead so H2D transfer overlaps compute
-    (steps dispatch asynchronously; the queue keeps the copy engine busy)."""
-    import collections
-
+    """Device-put *depth* batches ahead so H2D transfer overlaps compute;
+    a batch whose sharding/transfer fails is logged and skipped (the
+    reference's per-batch error envelope)."""
+    from ..data.loader import prefetch_to_device
     from ..parallel import shard_batch
 
     def put(batch):
@@ -77,19 +77,11 @@ def _prefetched(iterator, mesh, depth: int = 2):
             return shard_batch(batch, mesh, batch_dim=1)
         return jax.device_put(batch)
 
-    queue = collections.deque()
-    it = iter(iterator)
-    try:
-        while len(queue) < depth:
-            queue.append(put(next(it)))
-    except StopIteration:
-        it = iter(())
-    while queue:
-        yield queue.popleft()
-        try:
-            queue.append(put(next(it)))
-        except StopIteration:
-            pass
+    def on_error(exc):
+        handle_exception(exc, "Exception while transferring a batch.")
+
+    return prefetch_to_device(iterator, size=depth, put=put,
+                              on_error=on_error)
 
 
 def run_epoch(step_fn, state, metrics_state, loader,

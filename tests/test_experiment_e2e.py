@@ -269,6 +269,7 @@ def test_bad_experiment_does_not_kill_the_grid(covidqu_env):
     done = [d for d in dirs
             if os.path.isfile(os.path.join(d, "run_1", "epoch_logs.csv"))]
     assert done, dirs
-    # and the failure left an exception dump
-    assert glob.glob(str(covidqu_env / "exceptions" / "error_*.txt")) \
-        or glob.glob("exceptions/error_*.txt") or True
+    # exactly the good entry completed: the bogus one failed non-fatally
+    # (its short traceback goes to stderr; only >1000-char ones are dumped
+    # to exceptions/, matching the reference's handle_exception)
+    assert len(done) == 1, dirs
