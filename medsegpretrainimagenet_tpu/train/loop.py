@@ -285,6 +285,17 @@ def train_model(model, train_data, val_data, test_data,
                     destination + "optimizer_state_dict.msgpack",
                     {"opt_state": state.opt_state,
                      "step": np.asarray(state.step)})
+                # file-role parity with the reference's
+                # scheduler_state_dict.pt: our schedules are pure functions
+                # of the step counter, so the "state" is that counter plus
+                # the schedule identity (forensics + resume sanity)
+                schedule = getattr(optimizer, "schedule", None)
+                if schedule is not None:
+                    ckpt.save_state_file(
+                        destination + "scheduler_state_dict.msgpack",
+                        {"step": np.asarray(state.step),
+                         "unit": schedule.unit,
+                         "base": float(schedule.base)})
             run_host_loggers(epoch + 1)
             if on_epoch is not None:
                 on_epoch(epoch, row, state)
