@@ -125,3 +125,57 @@ def test_resnet_attention_unet_family_e2e(covidqu_env):
             "nonlinearity": "relu"}}},
     }}
     _run_and_check(covidqu_env, cd, "attn_e2e")
+
+
+def test_idrid_experiment_end_to_end(tmp_path, monkeypatch, rng):
+    """IDRiD reader + RandomPick/Partition transforms through the full
+    experiment path (the idrid/unet.yaml shape, scaled down)."""
+    from PIL import Image
+
+    base = tmp_path / "data" / "idrid" / "Segmentation" / "A. Segmentation"
+    imgs = base / "1. Original Images"
+    masks = base / "2. All Segmentation Groundtruths"
+    size = (64, 224)
+    idx = 1
+    for part, n in (("a. Training Set", 4), ("b. Testing Set", 2)):
+        (imgs / part).mkdir(parents=True)
+        (masks / part / "1. Microaneurysms").mkdir(parents=True)
+        for _ in range(n):
+            arr = np.zeros((*size, 3), np.uint8)
+            arr[8:-8, 16:-16] = rng.integers(100, 255,
+                                             (size[0] - 16, size[1] - 32, 3))
+            Image.fromarray(arr).save(imgs / part / f"IDRiD_{idx:02d}.jpg")
+            m = np.zeros(size, np.uint8)
+            m[10:20, 100:120] = 255
+            Image.fromarray(m).save(
+                masks / part / "1. Microaneurysms" /
+                f"IDRiD_{idx:02d}_MA.tif")
+            idx += 1
+    monkeypatch.setenv("MST_DATA_DIR", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+
+    cd = _base_config(tmp_path, "idrid_e2e")
+    cd["data"]["data"] = {"segmentation.datasets.IDRiD": {
+        "task": "MA", "base_image_sizes": (32, 48),
+        "cropped_image_sizes": (32, 32), "train_crop_stride": (16, 16),
+        "darkness_threshold": 1.1,  # keep all crops of the tiny tree
+        "validation_set": "test", "train_set_size": 4}}
+    cd["data"]["transforms"] = {
+        "train": (
+            {"segmentation.transforms.wrapped_transforms.RandomPick": {
+                "crop_size": 16}},
+            {"segmentation.transforms.wrapped_transforms.RandomFlip": {}},
+        ),
+        "val": {"segmentation.transforms.wrapped_transforms.Partition": {
+            "number_of_partitions": (2, 2), "size": 16}},
+        "casting": {"mask": "torch.LongTensor"},
+    }
+    cd["model"] = {"segmentation.models.UNet": {
+        "architecture": {
+            "in_channel_size": 3, "out_channel_size": 1,
+            "channels": (4, 8), "depth": 1,
+            "activation_function": {"final": "sigmoid"}},
+        "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
+            "nonlinearity": "relu"}}},
+    }}
+    _run_and_check(tmp_path, cd, "idrid_e2e")
