@@ -108,6 +108,18 @@ SCHEDULES = {
     "step_epoch": {"optim.scheduler.StepLearningRateScheduler": {
         "base": 0.1, "iteration_unit": "epoch",
         "learning_rates_dict": {2: 0.01}}},
+    "gaussian_batch": {"optim.scheduler.GaussianLRDecay": {
+        "base": 0.1, "min_scale": 0.001,
+        "number_of_iterations": 20, "iteration_unit": "batch"}},
+    "sequential": {"optim.scheduler.SequentialLR": {
+        "base": 0.05, "iteration_unit": "batch",
+        "milestones_unit": "epoch", "milestones": (2,),
+        "schedulers": (
+            {"optim.scheduler.LinearLR": {
+                "start_factor": 1.0, "end_factor": 0.5,
+                "total_iters": 10}},
+            {"torch.optim.lr_scheduler.ExponentialLR": {"gamma": 0.9}},
+        )}},
     "warmup_cosine": {"optim.scheduler.LinearWarmupScheduler": {
         "base": 0.04, "warmup_length": 5,
         "main_scheduler": {"torch.optim.lr_scheduler.CosineAnnealingLR": {
