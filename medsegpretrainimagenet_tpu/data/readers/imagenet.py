@@ -31,6 +31,15 @@ def _load_npy_image(path: str) -> np.ndarray:
     return arr.astype(np.float32) / 255.0
 
 
+def _load_npy_image_uint8(path: str) -> np.ndarray:
+    """uint8 passthrough: /255 happens on device (train step), so the
+    host->device transfer ships a quarter of the bytes."""
+    arr = np.load(path)
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[0] < arr.shape[-1]:
+        arr = np.moveaxis(arr, 0, -1)
+    return np.ascontiguousarray(arr)
+
+
 @register("classification.datasets.ImageNet", "imagenet")
 class ImageNet(Dataset):
     PARAMS = {
@@ -71,8 +80,11 @@ class ImageNet(Dataset):
 
         self.train = subset(~is_val)
         self.val = subset(is_val)
-        #: lazy per-column loader consumed by BalancedSource
-        self.load_function = {"x": _load_npy_image}
+        #: lazy per-column loader consumed by BalancedSource;
+        #: ``uint8_transfer: true`` keeps images uint8 until the device
+        uint8 = ds_dict.get("uint8_transfer", False)
+        self.load_function = {"x": _load_npy_image_uint8 if uint8
+                              else _load_npy_image}
 
     def __iter__(self):
         return iter((self.train, self.val))

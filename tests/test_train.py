@@ -294,3 +294,22 @@ def test_training_converges_on_learnable_task(tmp_path):
     assert float(final["val_dice_loss"]) < 0.2
     # loss decreased monotonically-ish
     assert float(rows[-1]["dice_loss"]) < float(rows[0]["dice_loss"]) * 0.5
+
+
+def test_uint8_device_dequantization(tmp_path):
+    """uint8 batches train identically to pre-scaled f32 batches (the /255
+    happens inside the jitted step)."""
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data()
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+    f32_batch = {k: jnp.asarray(v[None, :8]) for k, v in data.items()}
+    u8_batch = dict(f32_batch)
+    u8_batch["x"] = jnp.asarray(
+        np.round(data["x"][None, :8] * 255)).astype(jnp.uint8)
+
+    s_f32, _, pb_f32 = step(state, calculator.init_state(), {
+        "x": jnp.round(f32_batch["x"] * 255) / 255.0,
+        "mask": f32_batch["mask"]})
+    s_u8, _, pb_u8 = step(state, calculator.init_state(), u8_batch)
+    np.testing.assert_allclose(float(pb_f32["dice_loss"]),
+                               float(pb_u8["dice_loss"]), rtol=1e-5)
