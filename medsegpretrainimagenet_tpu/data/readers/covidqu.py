@@ -42,6 +42,8 @@ class COVIDQUDataset(Dataset):
         "validate on test": {"argument name": "validate_on_test",
                              "default": False},
         "image sizes": {"argument name": "image_sizes", "default": 256},
+        "uint8_transfer": {"argument name": "uint8_transfer",
+                           "default": False},
     }
 
     @staticmethod
@@ -84,12 +86,18 @@ class COVIDQUDataset(Dataset):
         if validate_on_test:
             imgs = np.concatenate(
                 [imgs, self._load_imgs(task_path, "test")], axis=0)
-        imgs = np.squeeze(imgs).astype(np.float32) / np.float32(255.0)
+        uint8 = ds_dict.get("uint8_transfer", False)
+        imgs = np.squeeze(imgs)
+        if not uint8:
+            imgs = imgs.astype(np.float32) / np.float32(255.0)
         # skip the no-op resize only in the square case (cv2 dsize is
         # (w, h), so a non-square equality would be transposed)
         if not (size[0] == size[1] == imgs.shape[1] == imgs.shape[2]):
             imgs = np.stack([cv2.resize(img, size) for img in imgs])
-        imgs = imgs[..., None]  # (N, H, W, 1)
+            if uint8:
+                imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
+        imgs = imgs[..., None]  # (N, H, W, 1); uint8 images are /255'd
+        # on device by the train/eval steps (train/step.py)
 
         if validate_on_test:
             train_idcs = np.concatenate(

@@ -195,6 +195,8 @@ def train_model(model, train_data, val_data, test_data,
 
     @jax.jit
     def _host_forward(variables, x):
+        from .step import _dequantize_inputs
+        x = _dequantize_inputs({"x": x})["x"]
         return module.apply(variables, x, train=False)
 
     def _augmented_loader(loader):
