@@ -52,16 +52,23 @@ def _merge_fragments(tree):
 
 
 def _dequantize_inputs(batch):
-    """uint8 images -> float32/255 *on device*.
+    """uint8 inputs widen *on device*: images -> float32/255, integer
+    targets (mask/label) -> int32.
 
-    Shipping images over the host->device link as uint8 (cast with
-    ``casting: {x: torch.ByteTensor}``) quarters the transfer volume — on
-    this remote-TPU tunnel that is the difference between 78 and ~890
-    img/s for ImageNet-style pretraining batches."""
+    Shipping batches over the host->device link as uint8 (cast with
+    ``casting: {x: torch.ByteTensor, mask: torch.ByteTensor}``) quarters
+    the transfer volume — on this remote-TPU tunnel that is the difference
+    between 78 and ~890 img/s for ImageNet-style pretraining batches."""
+    out = None
     if batch.get("x") is not None and batch["x"].dtype == jnp.uint8:
-        batch = dict(batch)
-        batch["x"] = batch["x"].astype(jnp.float32) / 255.0
-    return batch
+        out = dict(batch)
+        out["x"] = out["x"].astype(jnp.float32) / 255.0
+    for key in ("mask", "label"):
+        value = batch.get(key)
+        if value is not None and getattr(value, "dtype", None) == jnp.uint8:
+            out = dict(batch) if out is None else out
+            out[key] = value.astype(jnp.int32)
+    return out if out is not None else batch
 
 
 def make_train_step(model, loss_fn: Callable, calculator,

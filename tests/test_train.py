@@ -313,3 +313,18 @@ def test_uint8_device_dequantization(tmp_path):
     s_u8, _, pb_u8 = step(state, calculator.init_state(), u8_batch)
     np.testing.assert_allclose(float(pb_f32["dice_loss"]),
                                float(pb_u8["dice_loss"]), rtol=1e-5)
+
+
+def test_uint8_mask_device_widening(tmp_path):
+    """uint8 masks widen to int32 on device and train identically."""
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data()
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+    base = {"x": jnp.asarray(data["x"][None, :8]),
+            "mask": jnp.asarray(data["mask"][None, :8])}
+    u8 = dict(base)
+    u8["mask"] = base["mask"].astype(jnp.uint8)
+    _, _, pb_a = step(state, calculator.init_state(), base)
+    _, _, pb_b = step(state, calculator.init_state(), u8)
+    np.testing.assert_allclose(float(pb_a["dice_loss"]),
+                               float(pb_b["dice_loss"]), rtol=1e-6)
