@@ -189,3 +189,25 @@ def test_unet_from_reference_yaml_config():
         lambda r, x: model.module.init(r, x, train=False),
         {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)))
     assert nparams(shapes["params"]) == 31_080_449
+
+
+def test_param_and_flop_counting(tmp_path):
+    """Model.get_num_params / get_number_of_flops (reference
+    model/model.py:257-276, via XLA cost analysis instead of fvcore)."""
+    import jax.numpy as jnp
+
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.models import Model, UNet
+
+    model = Model(UNet, ConfigDict({}))
+    model.module = UNet(img_ch=1, output_ch=1, channels=[4, 8], depth=1)
+    variables = model.init(jax.random.key(0),
+                           {"x": jnp.zeros((1, 16, 16, 1))})
+    n = model.get_num_params(variables)
+    expected = sum(p.size for p in
+                   jax.tree_util.tree_leaves(variables["params"]))
+    assert n == expected
+    flops = model.get_number_of_flops(variables, jnp.zeros((1, 16, 16, 1)))
+    if flops is not None:  # backend-dependent cost analysis
+        # at least the stem conv's MACs
+        assert flops > 2 * 16 * 16 * 9 * 4
