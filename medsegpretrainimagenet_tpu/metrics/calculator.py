@@ -137,6 +137,11 @@ class MetricsCalculator:
             if "multiclass_cm" not in self.specs:
                 add(MultiClassCMSpec(num_classes, label_type=label_type))
 
+        if calc.get("log_confusion_matrix", False):
+            # the epoch CM image export needs the K x K accumulator even
+            # when no multiclass metric reads it
+            ensure_mc_cm()
+
         for name in names:
             if name in _BINARY_DERIVED:
                 for t in thresholds:
@@ -274,6 +279,17 @@ class MetricsCalculator:
             values[self.loss_name] = float(loss_state["sum"]) / count \
                 if count else 0.0
         return values
+
+    def epoch_confusion_matrix(self, state):
+        """Host copy of the pooled K x K confusion matrix, or None.
+
+        Consumed by the trainer when ``metrics/calculation/
+        log_confusion_matrix`` is on (reference
+        ``multiclass_metrics.py:129-153`` logs CM images at epochs)."""
+        if "multiclass_cm" not in self.specs:
+            return None
+        import numpy as np
+        return np.asarray(jax.device_get(state["multiclass_cm"]["cm"]))
 
     def batch_values(self, per_batch: Dict[str, Any]) -> Dict[str, float]:
         """Host view of one step's metric scalars (for batch_logs.csv),

@@ -32,6 +32,27 @@ from .step import make_eval_step, make_train_step
 __all__ = ["train_model", "run_epoch", "append_csv_row"]
 
 
+def _export_confusion_matrix(calculator, metrics_state, destination: str,
+                             epoch: int, config_dict) -> None:
+    """K x K validation CM image per epoch (reference
+    ``multiclass_metrics.py:129-153``)."""
+    cm = calculator.epoch_confusion_matrix(metrics_state)
+    if cm is None:
+        return
+    from ..plotting import ConfMtxPlotter, export_plot
+    labels = config_dict.get_str_tuple("metrics/calculation/class_names") \
+        or None
+    out_dir = os.path.join(destination, "confusion_matrices")
+    os.makedirs(out_dir, exist_ok=True)
+    plotter = ConfMtxPlotter({
+        "matrix": cm, "labels": list(labels) if labels else None,
+        "title": f"validation confusion matrix, epoch {epoch}",
+        "dirname": out_dir, "fname": f"confusion_matrix_epoch_{epoch}"})
+    extensions = config_dict.get_str_tuple(
+        "meta/technical/export_plots_as") or ("png",)
+    export_plot(plotter, extensions)
+
+
 def append_csv_row(path: str, row: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_header = not os.path.isfile(path)
@@ -267,6 +288,12 @@ def train_model(model, train_data, val_data, test_data,
                     accumulation_scale, train=False, mesh=mesh)
                 row.update({f"val_{k}": v for k, v in
                             calculator.finalize_epoch(metrics_state).items()})
+                if log_to_device and config_dict.get(
+                        "metrics/calculation/log_confusion_matrix", False):
+                    with swallow("Exception logging the confusion matrix."):
+                        _export_confusion_matrix(
+                            calculator, metrics_state, destination,
+                            epoch + 1, config_dict)
 
             if log_to_device:
                 append_csv_row(destination + "epoch_logs.csv", row)

@@ -75,7 +75,7 @@ def pretraining_config(tmp_path, epochs=2):
                             "apply_softmax": True,
                             "number_of_classes": 5,
                             "label_type": "label",
-                            "log_confusion_matrix": False},
+                            "log_confusion_matrix": True},
         },
         "meta": {"technical": {
             "experiment_name": "pretrain_test",
@@ -153,6 +153,11 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
     # checkpoint has the FeedForwardModel layer structure
     encoder_tree = load_encoder_params(ckpt_path)
     assert "stem_block" in encoder_tree
+
+    # confusion-matrix images logged per epoch (log_confusion_matrix: true)
+    cms = glob.glob(os.path.join(run_dir, "run_1", "confusion_matrices",
+                                 "confusion_matrix_epoch_*.json"))
+    assert len(cms) == 2, cms
 
     # --- downstream run with encoder transfer ------------------------------
     # build COVID-QU data
