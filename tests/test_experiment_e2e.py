@@ -273,3 +273,24 @@ def test_bad_experiment_does_not_kill_the_grid(covidqu_env):
     # (its short traceback goes to stderr; only >1000-char ones are dumped
     # to exceptions/, matching the reference's handle_exception)
     assert len(done) == 1, dirs
+
+
+def test_mixed_dataset_experiment_end_to_end(covidqu_env):
+    """data.MixedDataset as the experiment dataset: virtual columns flow
+    through the loader's load_function protocol inside the full path."""
+    cd = minimal_config(covidqu_env, epochs=1)
+    inner = cd["data"]["data"]
+    cd["data"]["data"] = {"data.MixedDataset": {
+        "datasets": (inner, inner),
+        "switch_frequency": 2,
+        "preserve_order": True,
+        "balancing_strategy": {"train": "under", "val": "under"},
+    }}
+    cd["meta"]["technical"]["experiment_name"] = "mixed_e2e"
+    cd["meta"]["technical"]["name_fields"] = ()
+    experiment(ConfigDict(cd))
+    run_dir = glob.glob(str(covidqu_env / "logs" / "*" / "mixed_e2e*"))[0]
+    with open(os.path.join(run_dir, "run_1", "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 1
+    assert 0.0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1.0
