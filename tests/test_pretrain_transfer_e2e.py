@@ -70,7 +70,8 @@ def pretraining_config(tmp_path, epochs=2):
                 "betas": (0.9, 0.999), "weight_decay": 0.05}},
         },
         "metrics": {
-            "metrics": ("metrics.multiclass_metrics.Accuracy",),
+            "metrics": ("metrics.multiclass_metrics.Accuracy",
+                        "metrics.multiclass_metrics.AUROC"),
             "calculation": {"include_background_in_averages": True,
                             "apply_softmax": True,
                             "number_of_classes": 5,
@@ -149,6 +150,10 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
                not c.startswith("val_")]
     assert acc_col, f"no accuracy column in {list(rows[0])}"
     assert 0.0 <= float(rows[-1][acc_col[0]]) <= 1.0
+    auroc_col = [c for c in rows[0] if "roc" in c.lower() and
+                 not c.startswith("val_")]
+    assert auroc_col, f"no AUROC column in {list(rows[0])}"
+    assert 0.0 <= float(rows[-1][auroc_col[0]]) <= 1.0
 
     # checkpoint has the FeedForwardModel layer structure
     encoder_tree = load_encoder_params(ckpt_path)
