@@ -9,6 +9,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -49,7 +50,7 @@ def bench_jax() -> float:
         dice = (2 * inter + eps) / (jnp.sum(y) + jnp.sum(pred ** 2) + eps)
         return 1 - dice, updates["batch_stats"]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, y):
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, x, y)

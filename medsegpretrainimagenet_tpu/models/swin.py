@@ -251,7 +251,7 @@ class WindowAttention(nn.Module):
             ws[0] * ws[1], ws[0] * ws[1], heads).transpose(2, 0, 1)
 
         from ..ops import window_attention_core
-        x = window_attention_core(q, k, v, bias, mask, scale)
+        x = window_attention_core(q, k, v, bias, mask, scale, train=train)
         if self.attn_drop:
             # reference drops attention probs; we approximate by dropping
             # the attention output (keeps the fused kernel intact)

@@ -55,20 +55,24 @@ def _pallas_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     batched ``dot_general`` calls on the MXU; logits/probs never leave
     VMEM."""
     w_blk, hh, n, d = q_ref.shape
-    q = (q_ref[...].astype(jnp.float32) * scale).reshape(w_blk * hh, n, d)
-    k = k_ref[...].astype(jnp.float32).reshape(w_blk * hh, n, d)
-    v = v_ref[...].astype(jnp.float32).reshape(w_blk * hh, n, d)
+    # keep the input dtype on the MXU (bf16 inputs run the systolic array at
+    # full rate; accumulation is f32 via preferred_element_type) — mirrors
+    # the XLA path's `q * scale` + einsum dtype handling exactly
+    q = (q_ref[...] * jnp.asarray(scale, q_ref.dtype)).reshape(
+        w_blk * hh, n, d)
+    k = k_ref[...].reshape(w_blk * hh, n, d)
+    v = v_ref[...].reshape(w_blk * hh, n, d)
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).reshape(w_blk, hh, n, n)
-    logits = logits + bias_ref[...][None]
+    logits = logits + bias_ref[...][None].astype(jnp.float32)
     if mask_ref is not None:
-        logits = logits + mask_ref[...][:, None]
+        logits = logits + mask_ref[...][:, None].astype(jnp.float32)
     logits -= jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     probs /= jnp.sum(probs, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        probs.reshape(w_blk * hh, n, n), v,
+        probs.astype(v.dtype).reshape(w_blk * hh, n, n), v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     out_ref[...] = out.reshape(w_blk, hh, n, d).astype(out_ref.dtype)
@@ -175,15 +179,24 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def window_attention_core(q, k, v, bias,
                           mask: Optional[jax.Array], scale: float,
-                          force: Optional[str] = None) -> jax.Array:
-    """Dispatch: Pallas on TPU (where it measures faster), XLA elsewhere.
+                          force: Optional[str] = None,
+                          train: bool = False) -> jax.Array:
+    """Dispatch: Pallas for the bf16 no-grad forward on TPU, XLA otherwise.
 
-    Measured on v5e at Swin level-0 shapes (1536 windows, 3 heads, N=49,
-    D=32): Pallas 1510 us vs XLA 1625 us unmasked; masked (SW-MSA) the
-    extra mask block tips it to XLA (2172 vs 2010 us), so masked windows
-    take the XLA path.  ``force`` ∈ {None, 'xla', 'pallas'} pins the
-    implementation (tests)."""
-    impl = force or ("pallas" if (mask is None and jax.default_backend()
+    The kernel feeds the MXU in the input dtype (f32 accumulation), so
+    bf16 runs the systolic array at full rate.  Measured on v5e at the
+    reference Swin U-Net shapes (N=49, D=32; level 0: 1536 windows x 3
+    heads, level 1: 384 x 6), the bf16 Pallas *forward* wins every case,
+    masked (SW-MSA) included: 1759-2596 us vs XLA 2638-2985 us.  Under
+    training the picture flips: the custom VJP recomputes logits+softmax
+    in the backward, and the full Swin U-Net 224² bf16 train step measures
+    364 img/s forced-XLA vs 328 img/s with the Pallas forward — so
+    ``train=True`` takes the XLA path (XLA's autodiff shares the forward
+    probs with the backward).  For f32 the two are within noise of each
+    other, so f32 also stays on XLA.  ``force`` ∈ {None, 'xla', 'pallas'}
+    pins the implementation (tests)."""
+    impl = force or ("pallas" if (not train and q.dtype == jnp.bfloat16
+                                  and jax.default_backend()
                                   in ("tpu", "axon")) else "xla")
     if impl == "pallas":
         return _fused(q, k, v, bias, mask, scale)
