@@ -2,8 +2,9 @@
 
 The reference only produces predictions inside the training loop's test
 pass (``train_model.py:16-130``); deploying a trained model means writing
-ad-hoc torch code.  Here a trained checkpoint (native msgpack or the
-reference's released torch ``.pt``) serves directly:
+ad-hoc torch code.  Here a trained checkpoint (native msgpack —
+``last/best_model_state_dict.msgpack`` from any experiment run) serves
+directly:
 
     python -m medsegpretrainimagenet_tpu.predict config.yaml \
         --checkpoint run_1/best_model_state_dict.msgpack \
@@ -98,9 +99,16 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
     model = registry.build(config, key="model", wrapper=Model)
 
     imgs = np.load(input_path, mmap_mode="r")
-    imgs_nhwc_shape = _to_nhwc(imgs[:1]).shape  # probe layout cheaply
     n_total = imgs.shape[0]
+    if n_total == 0:
+        raise ValueError(f"input stack {input_path!r} is empty "
+                         f"(shape {imgs.shape})")
+    imgs_nhwc_shape = _to_nhwc(imgs[:1]).shape  # probe layout cheaply
     channels = imgs_nhwc_shape[-1]
+    # float stacks scaled 0-255 normalize like the readers do (uint8
+    # normalizes on device; the probe is host-side so shapes stay static)
+    scale_float = imgs.dtype != np.uint8 and \
+        float(np.asarray(imgs[:min(4, n_total)]).max()) > 1.5
     if repeat_channels is None:
         want = _model_in_channels(config)
         repeat_channels = bool(want and want == 3 and channels == 1)
@@ -124,6 +132,16 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
             x = np.concatenate([x, pad], axis=0)
         return x
 
+    if str(checkpoint).endswith((".pt", ".pth")):
+        # torch .pt translation only exists for *encoder* checkpoints
+        # (train/torch_mapping.py — the reference's released pretraining
+        # weights); a bare encoder cannot serve a full model.
+        raise ValueError(
+            "torch .pt serving is not supported: only encoder checkpoints "
+            "have a torch->flax translation (used by the encoder-transfer "
+            "training path). Train/fine-tune through the experiment CLI "
+            "and serve the resulting *_model_state_dict.msgpack.")
+
     # initialise on host CPU (shape inference only), then load weights
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -134,13 +152,18 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
     loaded = ckpt.load_params_file(checkpoint)
     if "params" not in loaded:
         loaded = {"params": loaded}
-    variables = {"params": loaded["params"],
-                 "batch_stats": loaded.get("batch_stats",
-                                           variables.get("batch_stats", {}))}
+    # one H2D transfer of the weights up front — forward would otherwise
+    # re-ship the full tree (host numpy after msgpack restore) every batch
+    variables = jax.device_put(
+        {"params": loaded["params"],
+         "batch_stats": loaded.get("batch_stats",
+                                   variables.get("batch_stats", {}))})
 
     @jax.jit
     def forward(variables, x):
         if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        elif scale_float:
             x = x.astype(jnp.float32) / 255.0
         pred = model.apply(variables, x, train=False)
         pred = pred.astype(jnp.float32)
@@ -187,7 +210,8 @@ def main(argv=None) -> int:
     parser.add_argument("config", help="experiment YAML (model section is "
                                        "used)")
     parser.add_argument("--checkpoint", required=True,
-                        help="msgpack or torch .pt model checkpoint")
+                        help="native msgpack model checkpoint "
+                             "(*_model_state_dict.msgpack)")
     parser.add_argument("--input", required=True,
                         help=".npy image stack: (N,H,W), (N,C,H,W) or "
                              "(N,H,W,C); uint8 stacks ship as-is and "

@@ -89,6 +89,37 @@ def test_predict_cli_threshold_masks(tmp_path, trained_checkpoint, capsys):
     assert stats["shape"] == [3, 16, 16]
 
 
+def test_predict_float_0_255_inputs_normalize(tmp_path, trained_checkpoint):
+    """float32 stacks scaled 0-255 normalize exactly like uint8 stacks."""
+    rng = np.random.default_rng(3)
+    raw = (rng.random((3, 16, 16, 3)) * 255).astype(np.uint8)
+    np.save(tmp_path / "u8.npy", raw)
+    np.save(tmp_path / "f32.npy", raw.astype(np.float32))
+    cfg = _write_config(tmp_path)
+    for name in ("u8", "f32"):
+        predict_from_config(
+            str(cfg), str(trained_checkpoint), str(tmp_path / f"{name}.npy"),
+            str(tmp_path / f"{name}_out.npy"), batch_size=3)
+    np.testing.assert_allclose(np.load(tmp_path / "u8_out.npy"),
+                               np.load(tmp_path / "f32_out.npy"),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_predict_empty_stack_and_torch_pt_error(tmp_path,
+                                                trained_checkpoint):
+    np.save(tmp_path / "empty.npy", np.zeros((0, 16, 16, 3), np.uint8))
+    cfg = _write_config(tmp_path)
+    with pytest.raises(ValueError, match="empty"):
+        predict_from_config(str(cfg), str(trained_checkpoint),
+                            str(tmp_path / "empty.npy"),
+                            str(tmp_path / "out.npy"))
+    np.save(tmp_path / "one.npy", np.zeros((1, 16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="msgpack"):
+        predict_from_config(str(cfg), str(tmp_path / "weights.pt"),
+                            str(tmp_path / "one.npy"),
+                            str(tmp_path / "out.npy"))
+
+
 def test_predict_matches_direct_apply(tmp_path, trained_checkpoint):
     """The CLI's prediction equals a direct eval-mode apply."""
     import jax
