@@ -72,6 +72,7 @@ class BalancedDataLoader:
         self.empty = not data or any(len(v) == 0 for v in data.values())
         self.bs = bs
         self.actual_bs = actual_bs
+        self._plan_len: Optional[int] = None
         self.rng = np.random.default_rng(seed)
         if self.empty:
             self.source = None
@@ -144,12 +145,20 @@ class BalancedDataLoader:
             if self.drop_last:
                 return n // self.actual_bs
             return math.ceil(n / self.actual_bs)
-        _, plan = batch_index_plan(
-            len(self.source), self.source.pos_len
-            * math.ceil(self.source.balance_factor),
-            int(self.min_pos * self.bs), int(self.min_neg * self.bs),
-            self.bs, self.source.cut, np.random.default_rng(0))
-        return math.ceil(len(plan) / self.actual_bs)
+        # the plan's length is deterministic (only its ordering depends on
+        # the rng); build it once and cache — len() is called per epoch
+        # (batches_per_epoch, progress bars) and the plan assembly walks
+        # the whole dataset
+        if self._plan_len is None:
+            _, plan = batch_index_plan(
+                len(self.source), self.source.pos_len
+                * math.ceil(self.source.balance_factor),
+                int(self.min_pos * self.bs), int(self.min_neg * self.bs),
+                self.bs, self.source.cut, np.random.default_rng(0))
+            self._plan_len = len(plan)
+        # __iter__ stops before a ragged tail in planned mode (reference
+        # DataIterator semantics), so floor — not ceil
+        return self._plan_len // self.actual_bs
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.empty:
@@ -211,7 +220,3 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
     while queue:
         yield queue.popleft()
         fill_one()
-        try:
-            queue.append(put(next(it)))
-        except StopIteration:
-            continue

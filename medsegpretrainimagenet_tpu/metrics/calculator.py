@@ -44,7 +44,6 @@ _BINARY_DERIVED = {
     "metrics.DiceIndex": "dice_index",
     "metrics.JaccardIndex": "jaccard_index",
     "metrics.MCC": "mcc",
-    "metrics.TverskyIndex": "dice_index",
 }
 
 
@@ -142,11 +141,30 @@ class MetricsCalculator:
             # when no multiclass metric reads it
             ensure_mc_cm()
 
+        # reference Dice/Jaccard/Tversky read eps from the calc dict
+        # (``metrics.py:248-250,262,274`` via the PARAMS fill)
+        cm_eps = float(calc.get("eps", 1))
+
         for name in names:
             if name in _BINARY_DERIVED:
                 for t in thresholds:
                     ensure_cm(t)
-                    add(DerivedCMSpec(_BINARY_DERIVED[name], threshold=t))
+                    eps = cm_eps if _BINARY_DERIVED[name] in (
+                        "dice_index", "jaccard_index") else None
+                    add(DerivedCMSpec(_BINARY_DERIVED[name], threshold=t,
+                                      eps=eps))
+            elif name == "metrics.TverskyIndex":
+                # general Tversky: name + weights from the calc dict
+                # (reference ``metrics.py:237-259``, defaults (1, 1, 1))
+                weights = (float(calc.get("weight_of_tps", 1)),
+                           float(calc.get("weight_of_fps", 1)),
+                           float(calc.get("weight_of_fns", 1)))
+                tname = str(calc.get("name", "tversky_index"))
+                for t in thresholds:
+                    ensure_cm(t)
+                    add(DerivedCMSpec("tversky_index", threshold=t,
+                                      eps=cm_eps, weights=weights,
+                                      display_name=tname))
             elif name == "metrics.ConfusionMatrix":
                 for t in thresholds:
                     ensure_cm(t)
@@ -279,6 +297,16 @@ class MetricsCalculator:
             values[self.loss_name] = float(loss_state["sum"]) / count \
                 if count else 0.0
         return values
+
+    def evaluate_at_end(self, *args, **kwargs) -> None:
+        """End-of-training export hooks (reference
+        ``metric_wrapper.py:324-329``): invoked once after the optional
+        last pass; specs with an ``evaluate_at_end`` callable export their
+        accumulated artifacts (classwise histories etc.)."""
+        for spec in self.specs.values():
+            hook = getattr(spec, "evaluate_at_end", None)
+            if callable(hook):
+                hook(*args, **kwargs)
 
     def epoch_confusion_matrix(self, state):
         """Host copy of the pooled K x K confusion matrix, or None.

@@ -164,11 +164,17 @@ DERIVED_CM_METRICS = {
 }
 
 
-def derived_cm_value(name: str, tp, fp, tn, fn, eps: Optional[float] = None):
-    calc, neutral = DERIVED_CM_METRICS[name]
-    if eps is not None and name in ("dice_index", "jaccard_index"):
-        weights = (2, 1, 1) if name == "dice_index" else (1, 1, 1)
-        calc = _tversky(*weights, eps)
+def derived_cm_value(name: str, tp, fp, tn, fn, eps: Optional[float] = None,
+                     weights=None):
+    """``weights=(w_tp, w_fp, w_fn)`` evaluates a general Tversky index
+    (reference ``metrics.py:237-259``; defaults there are (1, 1, 1))."""
+    if weights is not None:
+        calc, neutral = _tversky(*weights, 1 if eps is None else eps), 1
+    else:
+        calc, neutral = DERIVED_CM_METRICS[name]
+        if eps is not None and name in ("dice_index", "jaccard_index"):
+            w = (2, 1, 1) if name == "dice_index" else (1, 1, 1)
+            calc = _tversky(*w, eps)
     value = calc(float(tp), float(fp), float(tn), float(fn))
     return neutral if value == "invalid" else value
 
@@ -177,12 +183,14 @@ class DerivedCMSpec(MetricSpec):
     """A metric derived from a shared ConfusionMatrixSpec's state."""
 
     def __init__(self, name: str, threshold: float = 0.5,
-                 eps: Optional[float] = None):
+                 eps: Optional[float] = None, weights=None,
+                 display_name: Optional[str] = None):
         self.base_name = name
         self.threshold = threshold
         self.eps = eps
+        self.weights = tuple(weights) if weights is not None else None
         tag = threshold_tag(threshold)
-        self.name = f"{name}_threshold_{tag}"
+        self.name = f"{display_name or name}_threshold_{tag}"
         self.key = self.name
         self.reads = (f"cm_{tag}",)
 
@@ -196,10 +204,12 @@ class DerivedCMSpec(MetricSpec):
         cm = read_states[self.reads[0]]
         tp, fp, tn, fn = (np.asarray(cm[k]) for k in ("tp", "fp", "tn", "fn"))
         if tp.ndim == 0:
-            value = derived_cm_value(self.base_name, tp, fp, tn, fn, self.eps)
+            value = derived_cm_value(self.base_name, tp, fp, tn, fn, self.eps,
+                                     weights=self.weights)
             return {self.name: float(value)}
         # multilabel: macro average over classes
-        values = [derived_cm_value(self.base_name, *cls, eps=self.eps)
+        values = [derived_cm_value(self.base_name, *cls, eps=self.eps,
+                                   weights=self.weights)
                   for cls in zip(tp, fp, tn, fn)]
         return {self.name: float(np.mean(values))}
 
@@ -211,4 +221,5 @@ class DerivedCMSpec(MetricSpec):
         tn = float(np.sum(counts[f"true_negatives_threshold_{tag}"]))
         fn = float(np.sum(counts[f"false_negatives_threshold_{tag}"]))
         return {self.name: float(derived_cm_value(
-            self.base_name, tp, fp, tn, fn, self.eps))}
+            self.base_name, tp, fp, tn, fn, self.eps,
+            weights=self.weights))}

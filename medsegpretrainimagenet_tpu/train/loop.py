@@ -70,20 +70,27 @@ def _stack_fragments(fragments):
 
 
 def _virtual_batches(loader, accumulation_scale: int):
-    """Group loader fragments into virtual batches; equal-shaped fragments
-    are stacked, a ragged tail forms its own (smaller) stack."""
+    """Group loader fragments into virtual batches.
+
+    Yields ``(stack, is_full)``: equal-shaped fragments are stacked into
+    (n_frag, frag_bs, ...); a shape change or the epoch end flushes a
+    *partial* group with ``is_full=False`` — the train step then runs the
+    forward/metrics/BN path but skips the optimizer update, matching the
+    reference where fragments past the last accumulation boundary never
+    reach ``optimizer.step()`` (``train_model.py:55-58,107-110``)."""
     pending = []
     for fragment in loader:
-        if pending and any(
-                fragment[k].shape != pending[0][k].shape for k in fragment):
-            yield _stack_fragments(pending)
+        if pending and (fragment.keys() != pending[0].keys() or any(
+                fragment[k].shape != pending[0][k].shape
+                for k in fragment)):
+            yield _stack_fragments(pending), False
             pending = []
         pending.append(fragment)
         if len(pending) == accumulation_scale:
-            yield _stack_fragments(pending)
+            yield _stack_fragments(pending), True
             pending = []
     if pending:
-        yield _stack_fragments(pending)
+        yield _stack_fragments(pending), False
 
 
 def _prefetched(iterator, mesh, depth: int = 2):
@@ -93,10 +100,11 @@ def _prefetched(iterator, mesh, depth: int = 2):
     from ..data.loader import prefetch_to_device
     from ..parallel import shard_batch
 
-    def put(batch):
+    def put(item):
+        batch, is_full = item  # the flag stays host-side (it is jit-static)
         if mesh is not None:
-            return shard_batch(batch, mesh, batch_dim=1)
-        return jax.device_put(batch)
+            return shard_batch(batch, mesh, batch_dim=1), is_full
+        return jax.device_put(batch), is_full
 
     def on_error(exc):
         handle_exception(exc, "Exception while transferring a batch.")
@@ -112,12 +120,13 @@ def run_epoch(step_fn, state, metrics_state, loader,
     """One pass over *loader*.  Returns (state, metrics_state)."""
     pending = None  # previous step's device scalars, converted one step
     # late so the host->CSV sync never stalls the dispatch pipeline
-    for i, batch_stack in enumerate(_prefetched(
+    for i, (batch_stack, is_full) in enumerate(_prefetched(
             _virtual_batches(loader, accumulation_scale), mesh)):
         try:
             if train:
                 state, metrics_state, per_batch = step_fn(
-                    state, metrics_state, batch_stack)
+                    state, metrics_state, batch_stack,
+                    apply_update=is_full)
             else:
                 metrics_state, per_batch = step_fn(
                     state, metrics_state, batch_stack)
@@ -173,11 +182,17 @@ def train_model(model, train_data, val_data, test_data,
             log_best = False
 
     calculator = metrics_and_loss
+    # donate=False: the per-batch catch-and-continue envelope must be able
+    # to keep using the old state after a failed step; with donation the
+    # inputs' buffers are already marked deleted when a runtime error
+    # (device OOM, tunnel drop) surfaces, poisoning every later step.
+    # Donation only trims peak HBM here, it does not change step time.
     train_step = make_train_step(model, loss, calculator, optimizer,
                                  grad_clip_value=grad_clip_value,
                                  grad_clip_norm_type=grad_clip_norm_type,
-                                 device_augment=device_augment)
-    eval_step = make_eval_step(model, loss, calculator)
+                                 device_augment=device_augment,
+                                 donate=False)
+    eval_step = make_eval_step(model, loss, calculator, donate=False)
 
     host_loggers = list(host_loggers or ())
     module = getattr(model, "module", model)
@@ -192,6 +207,14 @@ def train_model(model, train_data, val_data, test_data,
 
         def _on_batch_timer(i, per_batch):
             import time
+            # drain the dispatch queue so the timestamp bounds the real
+            # step, not the async enqueue (block_until_ready does not sync
+            # over the axon tunnel; a scalar readback does) — profiling
+            # mode trades pipelining for honest numbers
+            for value in per_batch.values():
+                if hasattr(value, "block_until_ready"):
+                    float(np.asarray(value).reshape(-1)[0])
+                    break
             now = time.perf_counter()
             if step_times:
                 step_times.append((now, now - step_times[-1][0]))
@@ -245,8 +268,8 @@ def train_model(model, train_data, val_data, test_data,
                     logger.log(epoch_1idx, val_data, forward, train=False,
                                last=last)
 
-    def save_model(tag: str):
-        ckpt.save_params_file(destination + f"{tag}_model_state_dict.msgpack",
+    def save_model(filename: str):
+        ckpt.save_params_file(destination + filename,
                               {"params": state.params,
                                "batch_stats": state.batch_stats})
 
@@ -268,17 +291,22 @@ def train_model(model, train_data, val_data, test_data,
                 with swallow("Could not start the profiler trace."):
                     jax.profiler.start_trace(destination + "profile/trace")
                     trace_ctx = True
-            metrics_state = calculator.init_state()
-            state, metrics_state = run_epoch(
-                train_step, state, metrics_state, train_data,
-                accumulation_scale, train=True, mesh=mesh,
-                log_path=destination + "batch_logs.csv" if log_batches
-                else None, calculator=calculator,
-                on_batch=_on_batch_timer)
-            if trace_ctx:
-                with swallow("Could not stop the profiler trace."):
-                    jax.profiler.stop_trace()
-            _dump_step_times()
+            try:
+                metrics_state = calculator.init_state()
+                state, metrics_state = run_epoch(
+                    train_step, state, metrics_state, train_data,
+                    accumulation_scale, train=True, mesh=mesh,
+                    log_path=destination + "batch_logs.csv" if log_batches
+                    else None, calculator=calculator,
+                    on_batch=_on_batch_timer)
+            finally:
+                # stop/flush even when the train pass raises — otherwise
+                # the profiler keeps tracing for the rest of the run and
+                # step_times mixes epochs into one CSV row
+                if trace_ctx:
+                    with swallow("Could not stop the profiler trace."):
+                        jax.profiler.stop_trace()
+                _dump_step_times()
             row.update(calculator.finalize_epoch(metrics_state))
 
             if val_data:
@@ -298,18 +326,14 @@ def train_model(model, train_data, val_data, test_data,
             if log_to_device:
                 append_csv_row(destination + "epoch_logs.csv", row)
                 if log_last:
-                    save_model("last")
+                    save_model("last_model_state_dict.msgpack")
                 if log_best and watched_metric in row:
                     current = row[watched_metric]
                     if pick(best_value, current) == current:
                         best_value = current
-                        save_model("best")
+                        save_model("best_model_state_dict.msgpack")
                 if (epoch + 1) in checkpoints:
-                    ckpt.save_params_file(
-                        destination
-                        + f"model_state_dict_epoch_{epoch + 1}.msgpack",
-                        {"params": state.params,
-                         "batch_stats": state.batch_stats})
+                    save_model(f"model_state_dict_epoch_{epoch + 1}.msgpack")
                 ckpt.save_state_file(
                     destination + "optimizer_state_dict.msgpack",
                     {"opt_state": state.opt_state,
@@ -349,6 +373,11 @@ def train_model(model, train_data, val_data, test_data,
                                          val_data, accumulation_scale,
                                          train=False, mesh=mesh)
             calculator.finalize_epoch(metrics_state)
+
+    if calculator is not None:
+        # reference train_model.py:294: end-of-training metric export hooks
+        with swallow("Exception in the end-of-training metric hooks."):
+            calculator.evaluate_at_end()
 
     if test_data:
         try:

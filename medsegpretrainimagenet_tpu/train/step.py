@@ -106,7 +106,15 @@ def make_train_step(model, loss_fn: Callable, calculator,
 
     grad_fn = jax.value_and_grad(fragment_forward, has_aux=True)
 
-    def train_step(state: TrainState, metrics_state, batch_stack):
+    def train_step(state: TrainState, metrics_state, batch_stack,
+                   apply_update: bool = True):
+        """One optimizer step over a (n_frag, frag_bs, ...) stack.
+
+        ``apply_update=False`` runs the forward/metrics/BN-stats path but
+        leaves params, optimizer state and the step counter untouched —
+        the reference's trailing-fragment semantics: fragments after the
+        last accumulation boundary backward but never reach
+        ``optimizer.step()`` (``train_model.py:55-58,107-110``)."""
         n_frag = jax.tree_util.tree_leaves(batch_stack)[0].shape[0]
         step_rng = state.step_rng()
 
@@ -136,11 +144,15 @@ def make_train_step(model, loss_fn: Callable, calculator,
         else:
             grad_norm = global_norm(grads, grad_clip_norm_type)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        new_state = state.replace(params=params, batch_stats=batch_stats,
-                                  opt_state=opt_state, step=state.step + 1)
+        if apply_update:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=params, batch_stats=batch_stats,
+                                      opt_state=opt_state,
+                                      step=state.step + 1)
+        else:
+            new_state = state.replace(batch_stats=batch_stats)
 
         per_batch = {"gradient_magnitude": grad_norm,
                      "learning_rate": optimizer.lr_at(state.step)}
@@ -155,7 +167,8 @@ def make_train_step(model, loss_fn: Callable, calculator,
             per_batch["loss"] = loss_value
         return new_state, metrics_state, per_batch
 
-    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else (),
+                   static_argnames=("apply_update",))
 
 
 def make_eval_step(model, loss_fn: Optional[Callable], calculator,

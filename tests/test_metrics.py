@@ -266,3 +266,32 @@ def test_pca_plotter(tmp_path):
     # PCA separates the two far-apart clusters along the first axis
     proj = plotter._project()
     assert abs(proj[0][:, 0].mean() - proj[1][:, 0].mean()) > 3
+
+
+def test_tversky_index_reference_weights_and_name():
+    """metrics.TverskyIndex: general weights + config name (reference
+    ``metrics.py:237-259``; defaults (1,1,1) = Jaccard-form, eps 1)."""
+    import jax.numpy as jnp
+
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
+
+    cfg = ConfigDict({"metrics": {
+        "metrics": ("metrics.TverskyIndex", "metrics.DiceIndex"),
+        "calculation": {"thresholds": 0.5, "label_type": "mask",
+                        "name": "tversky_0.3_0.7",
+                        "weight_of_tps": 1, "weight_of_fps": 0.3,
+                        "weight_of_fns": 0.7}}})
+    calc = MetricsCalculator(cfg)
+    state = calc.init_state()
+    pred = jnp.asarray([[0.9, 0.8, 0.2, 0.1]])   # tp=1 fp=1 fn=1 tn=1
+    target = jnp.asarray([[1, 0, 1, 0]], jnp.int32)
+    state, _ = calc.update(state, pred[..., None], {"mask": target})
+    row = calc.finalize_epoch(state)
+    tp, fp, fn = 1.0, 1.0, 1.0
+    expected = (1 * tp + 1) / (1 * tp + 0.3 * fp + 0.7 * fn + 1)
+    assert row["metrics/tversky_0.3_0.7_threshold_0.5"] == \
+        pytest.approx(expected)
+    # DiceIndex coexists under its own column (no key collision)
+    assert row["metrics/dice_index_threshold_0.5"] == \
+        pytest.approx((2 * tp + 1) / (2 * tp + fp + fn + 1))

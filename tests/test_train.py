@@ -328,3 +328,80 @@ def test_uint8_mask_device_widening(tmp_path):
     _, _, pb_b = step(state, calculator.init_state(), u8)
     np.testing.assert_allclose(float(pb_a["dice_loss"]),
                                float(pb_b["dice_loss"]), rtol=1e-6)
+
+
+def test_partial_group_skips_optimizer_update(tmp_path):
+    """apply_update=False (the trailing-fragment group) must leave params,
+    opt state and the step counter untouched while still folding metrics
+    and BN stats (reference train_model.py:55-58,107-110 semantics)."""
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data()
+    # donate=False so the pre-step state stays readable for comparison
+    # (the epoch loop also runs without donation for its error envelope)
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+    batch = {k: jnp.asarray(v[None, :8]) for k, v in data.items()}
+    ms0 = calculator.init_state()
+    new_state, ms1, per_batch = step(state, ms0, batch, apply_update=False)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == int(state.step)
+    # metrics still folded in
+    row = calculator.finalize_epoch(ms1)
+    assert "metrics/dice_index_threshold_0.5" in row
+    # BN running stats did update (train-mode forward ran)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(new_state.batch_stats)))
+    assert changed
+
+
+def test_virtual_batches_grouping_and_tail_flag():
+    from medsegpretrainimagenet_tpu.train.loop import _virtual_batches
+
+    def frags(shapes):
+        for n in shapes:
+            yield {"x": np.zeros((n, 4, 4, 1), np.float32),
+                   "mask": np.zeros((n, 4, 4), np.int32)}
+
+    # scale 4 over [8]*5: one full group of 4 + a partial tail of 1
+    out = list(_virtual_batches(frags([8] * 5), 4))
+    assert [(o["x"].shape[0] for o in (s,)) is not None and f
+            for s, f in out] == [True, False]
+    assert out[0][0]["x"].shape == (4, 8, 4, 4, 1)
+    assert out[1][0]["x"].shape == (1, 8, 4, 4, 1)
+    # scale 1: every fragment is a full group, ragged tail included
+    out = list(_virtual_batches(frags([8, 8, 2]), 1))
+    assert [f for _, f in out] == [True, True, True]
+    # shape change mid-group flushes a partial (no-update) group
+    out = list(_virtual_batches(frags([8, 8, 2, 8, 8]), 2))
+    flags = [f for _, f in out]
+    sizes = [s["x"].shape[0] for s, _ in out]
+    assert sizes == [2, 1, 2]
+    assert flags == [True, False, True]
+
+
+def test_prefetch_yields_each_batch_once_and_skips_bad():
+    from medsegpretrainimagenet_tpu.data.loader import prefetch_to_device
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(6)]
+    got = list(prefetch_to_device(iter(batches), size=2,
+                                  put=lambda b: b))
+    assert [int(b["x"][0, 0]) for b in got] == [0, 1, 2, 3, 4, 5]
+
+    def flaky():
+        for i in range(5):
+            yield {"x": np.full((2, 2), i, np.float32)}
+
+    errors = []
+
+    def bad_put(b):
+        if int(b["x"][0, 0]) == 2:
+            raise RuntimeError("transfer failed")
+        return b
+
+    got = list(prefetch_to_device(flaky(), size=2, put=bad_put,
+                                  on_error=errors.append))
+    assert [int(b["x"][0, 0]) for b in got] == [0, 1, 3, 4]
+    assert len(errors) == 1
