@@ -151,21 +151,26 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
         border = params.get("border_mode", "BORDER_CONSTANT")
         if isinstance(border, ConfigDict):
             border = border.key()
-        if not prefix_open or name not in _DEVICE_ABLE or (
-                name.endswith("RandomRotation")
-                and border != "BORDER_CONSTANT"):
+        family = ("rotation" if name.endswith("RandomRotation") else
+                  "flip" if name.endswith("RandomFlip") else "repeat")
+        lifted = {"rotation": "rotation_limit", "flip": "flip_probability",
+                  "repeat": "repeat_to_channels"}[family] in kwargs
+        if not prefix_open or name not in _DEVICE_ABLE or lifted or (
+                family == "rotation" and border != "BORDER_CONSTANT"):
+            # a second transform of an already-lifted family must not be
+            # collapsed into the first (two rotations != one rotation):
+            # the prefix closes and the rest stays on the host pipeline
             prefix_open = False
             host.append(cfg)
-        elif name.endswith("RandomRotation"):
-            # defaults mirror the host transform
-            # (transforms/segmentation.py RandomRotation)
+        elif family == "rotation":
+            # defaults mirror the host transform exactly
+            # (transforms/segmentation.py RandomRotation reads only 'p')
             kwargs.update(
                 rotation_limit=params.get("limit", 180),
-                rotation_probability=params.get(
-                    "probability", params.get("p", None)) or 1,
+                rotation_probability=params.get("p", None) or 1,
                 fill=float(params.get("value", 0) or 0),
                 mask_fill=float(params.get("mask_value", 0) or 0))
-        elif name.endswith("RandomFlip"):
+        elif family == "flip":
             kwargs.update(
                 flip_vertical=bool(params.get("vertical", True)),
                 flip_horizontal=bool(params.get("horizontal", False)),
@@ -195,9 +200,17 @@ def build_transform_pipelines(config_dict: ConfigDict, seed: int,
     if device_augmentation:
         device_augment, cfg_lists["train"] = _split_device_augment(
             cfg_lists["train"])
+    transform_idx = 0
     for ds_type in ("train", "val"):
         for tr_cfg in cfg_lists[ds_type]:
-            transf = build_transform(tr_cfg, seed=seed)
+            # distinct stream per transform: identical seeds would give
+            # every transform byte-identical rng state, correlating their
+            # gate decisions and draws (the reference's albumentations ops
+            # share one sequential global stream)
+            transform_idx += 1
+            transf = build_transform(
+                tr_cfg, seed=None if seed is None
+                else seed + 7919 * transform_idx)
             transforms[ds_type].append(transf)
             params = tr_cfg.value() if not isinstance(tr_cfg, str) else None
             if isinstance(params, ConfigDict) \
@@ -250,7 +263,16 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
         config_dict.get_or_update("data/sampling", ConfigDict()))
     max_bs = tech["maximum actual batch size"]
     batch_size = config_dict["data/sampling/batch size"]
-    bs = max(d for d in _divisors(batch_size) if d <= device_count * max_bs)
+    # largest divisor of the virtual batch whose *per-device* fragment
+    # stays within maximum_actual_batch_size — the mesh later uses the
+    # largest divisor of bs <= device_count devices, so the cap must hold
+    # for that device count, not for device_count in aggregate
+    # (reference ``run_experiment.py:68-75`` is the single-device case)
+
+    def _per_device(d: int) -> int:
+        return d // max(n for n in _divisors(d) if n <= device_count)
+
+    bs = max(d for d in _divisors(batch_size) if _per_device(d) <= max_bs)
 
     seed = tech["seed"] + epoch_start
 
@@ -427,7 +449,13 @@ def run_exp(train_data, val_data, test_data, destination: str,
                 jax.random.key(0),
                 {k: jax.device_put(np.asarray(v)) for k, v in sample.items()
                  if hasattr(v, "shape")})["x"]
-    variables = model.init(init_rng, {"x": sample_x})
+    # the jitted init must also run under the host-CPU default device —
+    # otherwise the parameter tree lands on the (remote) accelerator and
+    # every per-leaf weight-scheme / optimizer-init op below dispatches
+    # there leaf by leaf despite the cpu contexts (committed operands win
+    # over jax.default_device)
+    with jax.default_device(cpu):
+        variables = model.init(init_rng, {"x": sample_x})
 
     if continued:
         weights_path = os.path.join(destination,

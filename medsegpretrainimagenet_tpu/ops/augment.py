@@ -6,7 +6,7 @@ train step on the already-transferred batch, so the host pipeline reduces
 to batch slicing + one H2D copy:
 
 * ``rotate_batch``  — per-sample random-angle rotation about the image
-  centre (bilinear for images, nearest for integer masks, constant fill),
+  centre (bilinear for images, nearest for mask columns, constant fill),
   the device analog of the reference's albumentations ``Rotate``
   (``segmentation/transforms/transforms.py:12-71``);
 * ``flip_batch``    — per-sample vertical/horizontal flips via ``jnp.where``
@@ -116,7 +116,7 @@ def make_device_augment(rotation_limit: Optional[float] = None,
                         flip_horizontal: bool = False,
                         flip_probability: float = 1.0,
                         repeat_to_channels: Optional[int] = None,
-                        mask_keys: Sequence[str] = ("mask",),
+                        mask_keys: Sequence[str] = ("mask", "distance_map"),
                         fill: float = 0.0, mask_fill: float = 0.0
                         ) -> Callable:
     """Compose the standard train-time chain into ``(rng, batch) -> batch``.
@@ -147,9 +147,11 @@ def make_device_augment(rotation_limit: Optional[float] = None,
                     mask = batch[key]
                     squeeze = mask.ndim == 3
                     m = mask[..., None] if squeeze else mask
+                    # nearest by column *name*, like the host joint
+                    # transforms (ConvertToType may have cast the mask to
+                    # float, but it is still a mask)
                     m = rotate_batch(m, angles, fill=mask_fill,
-                                     nearest=jnp.issubdtype(
-                                         mask.dtype, jnp.integer))
+                                     nearest=True)
                     m = m.astype(mask.dtype)
                     batch[key] = m[..., 0] if squeeze else m
 
