@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import ConfigDict, register
 from ..config.registry import get_kwargs, resolve
-from .activations import ACTIVATIONS, fill_activation_spec, make_activation
+from .activations import fill_activation_spec, make_activation
 
 __all__ = [
     "Conv2d", "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d", "Flatten",
@@ -210,7 +210,7 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.LayerNorm(epsilon=self.eps)(x)
+        return nn.LayerNorm(epsilon=self.eps, dtype=compute_dtype())(x)
 
 
 @register("torch.nn.Identity", "identity")
@@ -285,7 +285,10 @@ class ConvBlock(nn.Module):
         if self.dropout:
             rate = self.dropout["rate"] if not isinstance(self.dropout, bool) \
                 else self.DROPOUT_RATE
-            x = nn.Dropout(rate=rate, deterministic=not train)(x)
+            # reference uses nn.Dropout2d (``blocks.py:485``): whole
+            # feature maps drop per (sample, channel) — broadcast over H, W
+            x = nn.Dropout(rate=rate, deterministic=not train,
+                           broadcast_dims=(1, 2))(x)
         return x
 
 
@@ -330,7 +333,7 @@ class ChannelwiseLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.LayerNorm(epsilon=self.smoothing_term)(x)
+        return nn.LayerNorm(epsilon=self.smoothing_term, dtype=compute_dtype())(x)
 
 
 @register("segmentation.models.blocks.LayerScale", "layer_scale")

@@ -13,18 +13,33 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import register
-from .blocks import compute_dtype, drop_path
+from .blocks import _batch_norm as _bn
+from .blocks import compute_dtype
 
 __all__ = ["DeepResNet", "BasicResBlock", "BottleneckResBlock"]
 
 
-def _bn(train: bool) -> nn.Module:
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=compute_dtype())
+def drop_path(module: nn.Module, x, rate: float, train: bool):
+    """Reference *classification* DropPath (``classification/models.py:
+    313-331``) — distinct from the segmentation ``unet_models.py:14-22``
+    variant used by `blocks.drop_path`: training keeps each sample's
+    branch with probability (1-rate) WITHOUT the 1/keep rescale, and eval
+    multiplies by keep_prob (old-style dropout).  Matching it exactly is
+    what makes reference-trained ResNet weights reproduce numerically."""
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    if not train:
+        return x * jnp.asarray(keep, x.dtype)
+    key = module.make_rng("dropout")
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x, jnp.zeros_like(x))
 
 
 def _zero_fill_shortcut(x, out_channels: int, downsample: bool):
@@ -61,11 +76,14 @@ class BasicResBlock(nn.Module):
             y = drop_path(self, y, self.drop_probability, train)
             return nn.relu(y + _zero_fill_shortcut(x, self.out_channels,
                                                    self.downsample))
-        # v2: pre-activation
-        y = _bn(train)(x)
-        y = nn.relu(y)
+        # v2 "pre-activation" — bug-for-bug with the reference
+        # (``classification/models.py:219-222``): bn1/relu1 run (bn1 still
+        # updates its running stats in train mode, and its params exist in
+        # checkpoints) but their OUTPUT IS DISCARDED — conv1 consumes the
+        # raw input x
+        _ = nn.relu(_bn(train)(x))
         y = nn.Conv(self.out_channels, (3, 3), strides=stride,
-                    padding=((1, 1), (1, 1)), use_bias=self.bias, dtype=compute_dtype())(y)
+                    padding=((1, 1), (1, 1)), use_bias=self.bias, dtype=compute_dtype())(x)
         y = _bn(train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ConfigDict, register
+from ..config import register
 from . import blocks as B
 from .activations import make_activation
 from .blocks import compute_dtype
@@ -89,7 +89,7 @@ class PatchEmbed(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation), dtype=compute_dtype())(x)
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=compute_dtype())(x)
         if self.drop_rate:
             x = nn.Dropout(rate=self.drop_rate,
                            deterministic=not train)(x)
@@ -119,7 +119,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=compute_dtype())(x)
         return nn.Dense(2 * c, use_bias=False, dtype=compute_dtype())(x)
 
 
@@ -150,7 +150,7 @@ class PatchExpand(nn.Module):
         # b (h w) (p1 p2 c) -> b (h p1 w p2) c
         x = x.reshape(b, side, side, 2, 2, c_out)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * length, c_out)
-        return nn.LayerNorm()(x)
+        return nn.LayerNorm(dtype=compute_dtype())(x)
 
 
 @register("segmentation.models.blocks.FinalPatchExpand_X4",
@@ -171,11 +171,11 @@ class FinalPatchExpand_X4(nn.Module):
         s = self.dim_scale
         b, length, c = x.shape
         side = _tokens_hw(length)
-        x = nn.LayerNorm()(x)                       # init_norm
+        x = nn.LayerNorm(dtype=compute_dtype())(x)                       # init_norm
         x = nn.Dense(s * s * c, use_bias=False, dtype=compute_dtype())(x)  # expand
         x = x.reshape(b, side, side, s, s, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * side * s * side, c)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=compute_dtype())(x)
         x = x.reshape(b, s * side, s * side, c)
         return nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=compute_dtype())(x)
 
@@ -251,11 +251,23 @@ class WindowAttention(nn.Module):
             ws[0] * ws[1], ws[0] * ws[1], heads).transpose(2, 0, 1)
 
         from ..ops import window_attention_core
-        x = window_attention_core(q, k, v, bias, mask, scale, train=train)
-        if self.attn_drop:
-            # reference drops attention probs; we approximate by dropping
-            # the attention output (keeps the fused kernel intact)
-            x = nn.Dropout(rate=self.attn_drop, deterministic=not train)(x)
+        if self.attn_drop and train:
+            # reference applies dropout to the softmaxed attention
+            # probabilities (``blocks.py:221``); the fused kernel cannot,
+            # so attn-dropout training takes the XLA path with dropout on
+            # the probs (training dispatches to XLA anyway — see
+            # ops/window_attention.py)
+            from ..ops.window_attention import _logits
+            probs = jax.nn.softmax(_logits(q, k, bias, mask, scale),
+                                   axis=-1)
+            probs = nn.Dropout(rate=self.attn_drop,
+                               deterministic=False)(probs)
+            x = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32
+                           ).astype(v.dtype)
+        else:
+            x = window_attention_core(q, k, v, bias, mask, scale,
+                                      train=train)
         x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
         x = nn.Dense(c, name="proj", dtype=compute_dtype())(x)
         if self.proj_drop:
@@ -344,12 +356,12 @@ class SwinTransformerBlock(nn.Module):
     def setup(self):
         level, resolution, window, shift = self._geometry()
         heads = list(self.num_heads_layers)[level]
-        self.norm1 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=compute_dtype())
         self.attn = WindowAttention(
             dim=self.in_channels, window_size=(window, window),
             num_heads=heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop)
-        self.norm2 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm(dtype=compute_dtype())
         self.mlp = Mlp(in_features=self.in_channels,
                        hidden_features=int(self.in_channels * self.mlp_ratio),
                        activations=self.activations, drop=self.drop)
@@ -425,7 +437,7 @@ class DoubleSwinTransformerBlock(nn.Module):
         heads = list(self.num_heads_layers)
         self._normalize = self.embed_dim * 2 ** (len(heads) - 1) == out
         if self._normalize:
-            self.last_norm = nn.LayerNorm()
+            self.last_norm = nn.LayerNorm(dtype=compute_dtype())
 
     def __call__(self, x, train: bool = False):
         for block in self.swin_blocks:
