@@ -1,21 +1,24 @@
 """AUROC / Average Precision as exact, sort-based XLA computations.
 
 Capability parity with ``/root/reference/src/metrics/metrics.py:372-450``:
-per-(virtual-)batch AUROC (sklearn ``roc_auc_score``) and average precision
-(sklearn ``average_precision_score``) over all flattened pixels, averaged
-over the valid batches of the epoch; degenerate batches (all-positive /
-all-negative targets) contribute 0 and are excluded from the average.
+the reference accumulates every batch's flattened predictions/targets on
+the host and computes one sklearn ``roc_auc_score`` /
+``average_precision_score`` over the whole epoch (plus per-batch values in
+``batch_logs.csv``).
 
-TPU-native design: the reference ships every batch's full prediction tensor
-to the CPU and calls sklearn; here both metrics are computed *on device*
-with one sort per batch — AUROC via tie-averaged ranks (Mann-Whitney U,
-exactly sklearn's trapezoid value) and AP via tie-grouped cumulative
-precision/recall (exactly sklearn's step-wise sum).  Only two scalars per
-epoch ever reach the host.
+TPU-native design: per-batch values are computed *on device* with one sort
+per batch — AUROC via tie-averaged ranks (Mann-Whitney U, exactly
+sklearn's trapezoid value) and AP via tie-grouped cumulative
+precision/recall (exactly sklearn's step-wise sum).  The epoch value is
+epoch-exact like the reference, but instead of hoarding every prediction
+in host RAM the scores accumulate into a fixed device-side histogram
+(``N_BINS`` buckets over [0, 1]; both metrics are rank statistics, so the
+only deviation from the unbinned value is at score-quantization
+granularity) — the host sees one (2, N_BINS) array per epoch.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +26,54 @@ import numpy as np
 
 from .base import MetricSpec
 
-__all__ = ["auroc", "average_precision", "AUCSpec"]
+__all__ = ["auroc", "average_precision", "AUCSpec", "score_histogram",
+           "auroc_from_counts", "average_precision_from_counts", "N_BINS"]
+
+N_BINS = 8192
+
+
+def score_histogram(scores, labels, n_bins: int = N_BINS,
+                    squash: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Positive/negative score-count histograms over [0, 1] (jittable).
+
+    ``squash`` maps unbounded scores (logits) through a sigmoid first —
+    AUROC and AP depend only on the score *ranking*, which any strictly
+    monotone map preserves.
+    """
+    s = scores.reshape(-1).astype(jnp.float32)
+    if squash:
+        s = jax.nn.sigmoid(s)
+    y = labels.reshape(-1).astype(jnp.float32)
+    idx = jnp.clip((s * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    pos = jnp.bincount(idx, weights=y, length=n_bins)
+    neg = jnp.bincount(idx, weights=1.0 - y, length=n_bins)
+    return pos, neg
+
+
+def auroc_from_counts(pos: np.ndarray, neg: np.ndarray):
+    """Tie-averaged rank AUROC from score histograms (host, numpy)."""
+    pos = np.asarray(pos, np.float64)
+    neg = np.asarray(neg, np.float64)
+    p, n = pos.sum(), neg.sum()
+    if p == 0 or n == 0:
+        return 0.0, False
+    cum_neg_below = np.cumsum(neg) - neg
+    u = np.sum(pos * (cum_neg_below + 0.5 * neg))
+    return float(u / (p * n)), True
+
+
+def average_precision_from_counts(pos: np.ndarray, neg: np.ndarray):
+    """Tie-grouped AP from score histograms (each bin = one tie group)."""
+    pos = np.asarray(pos, np.float64)
+    neg = np.asarray(neg, np.float64)
+    p, total = pos.sum(), pos.sum() + neg.sum()
+    if p == 0 or p == total:
+        return 0.0, False
+    pos_desc, neg_desc = pos[::-1], neg[::-1]
+    tps = np.cumsum(pos_desc)
+    fps = np.cumsum(neg_desc)
+    precision = tps / np.maximum(tps + fps, 1.0)
+    return float(np.sum(pos_desc / p * precision)), True
 
 
 def _tie_groups(sorted_vals):
@@ -86,10 +136,14 @@ def average_precision(scores, labels):
 
 
 class AUCSpec(MetricSpec):
-    """Mean-over-valid-batches accumulator for AUROC / AP."""
+    """Binary AUROC / AP: exact per-batch values + an epoch-exact value
+    from device-side score histograms (reference ``AUC`` base accumulates
+    the whole epoch's arrays and computes once, ``metrics.py:372-450``)."""
 
     KINDS = {"area_under_roc": auroc,
              "average_precision_score": average_precision}
+    FROM_COUNTS = {"area_under_roc": auroc_from_counts,
+                   "average_precision_score": average_precision_from_counts}
 
     def __init__(self, kind: str = "area_under_roc",
                  label_type: str = "mask"):
@@ -98,21 +152,19 @@ class AUCSpec(MetricSpec):
         self.key = kind
         self.label_type = label_type
         self._fn = self.KINDS[kind]
+        self._from_counts = self.FROM_COUNTS[kind]
 
     def init_state(self):
-        return {"sum": jnp.zeros((), jnp.float32),
-                "count": jnp.zeros((), jnp.float32)}
+        return {"pos": jnp.zeros((N_BINS,), jnp.float32),
+                "neg": jnp.zeros((N_BINS,), jnp.float32)}
 
     def update(self, state, prediction, batch):
-        value, valid = self._fn(prediction, batch[self.label_type])
-        new_state = {
-            "sum": state["sum"] + jnp.where(valid, value, 0.0),
-            "count": state["count"] + valid.astype(jnp.float32),
-        }
+        target = batch[self.label_type]
+        value, valid = self._fn(prediction, target)
+        pos, neg = score_histogram(prediction, target)
+        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg}
         return new_state, {self.name: value}
 
     def finalize(self, host_state) -> Dict[str, float]:
-        count = float(host_state["count"])
-        if count == 0:
-            return {self.name: 0.0}
-        return {self.name: float(host_state["sum"]) / count}
+        value, _ = self._from_counts(host_state["pos"], host_state["neg"])
+        return {self.name: value}

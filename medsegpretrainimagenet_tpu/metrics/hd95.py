@@ -101,8 +101,6 @@ class HD95Spec(MetricSpec):
     ``ModifiedHausdorffDistance``): per batch, samples where either mask is
     empty are skipped; the epoch value averages the nonzero batch values."""
 
-    requires_threshold = True
-
     def __init__(self, threshold: float = 0.5, label_type: str = "mask"):
         self.threshold = threshold
         self.label_type = label_type

@@ -179,7 +179,14 @@ class ImageLogger(HostLogger):
                 y = mask[i]
                 if not np.any(y > 0):
                     continue
-                img = np.squeeze(x[i])
+                img = np.squeeze(x[i]).astype(np.float32)
+                # reference img_vis.py save(): integer-valued images (the
+                # uint8 transfer path, or 0-255 floats) normalize to [0,1]
+                # before the 1-img inversion — without this, uint8 wraps
+                # and 0-255 floats clip to solid panels
+                if img.size and np.all(np.mod(img, 1) == 0) \
+                        and img.max() > 1:
+                    img = img / 255.0
                 if img.ndim == 2:
                     img = 1 - img  # grayscale shown as original
                 y_hat = np.squeeze(pred[i])

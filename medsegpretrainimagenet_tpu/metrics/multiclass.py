@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import auc as auc_mod
 from .auc import auroc, average_precision
 from .base import MetricSpec
 from .confusion import derived_cm_value
@@ -51,8 +52,10 @@ class MultiClassCMSpec(MetricSpec):
 
     def init_state(self):
         k = self.num_classes
-        return {"cm": jnp.zeros((k, k), jnp.float32),
-                "class_counts": jnp.zeros((k,), jnp.float32)}
+        # (the reference also tracks per-class truth counts, but they are
+        # exactly the CM's row sums — cm.sum(axis=1) — so no separate
+        # accumulator is kept)
+        return {"cm": jnp.zeros((k, k), jnp.float32)}
 
     def update(self, state, prediction, batch):
         k = self.num_classes
@@ -61,10 +64,7 @@ class MultiClassCMSpec(MetricSpec):
         flat = y * k + y_hat
         cm = jnp.bincount(flat, length=k * k).reshape(k, k) \
             .astype(jnp.float32)
-        new_state = {"cm": state["cm"] + cm,
-                     "class_counts": state["class_counts"]
-                     + jnp.bincount(y, length=k).astype(jnp.float32)}
-        return new_state, {}
+        return {"cm": state["cm"] + cm}, {}
 
     def finalize(self, host_state) -> Dict[str, float]:
         return {}
@@ -164,28 +164,34 @@ class AverageBinaryCMSpec(MetricSpec):
     def update(self, state, prediction, batch):
         return state, {}
 
-    def _class_label(self, idx: int) -> str:
-        names = self.class_names
-        if names:
-            offset = idx - self.start
-            if 0 <= offset < len(names):
-                return f"{self.base_name}_" + \
-                    str(names[offset]).replace(" ", "_")
+    def _class_label(self, idx: int, num_classes: int) -> str:
+        names = list(self.class_names)
+        # reference strips a leading 'background' entry when the list is
+        # longer than the averaged classes (multiclass_metrics.py:176-178)
+        if len(names) > num_classes - self.start:
+            names = names[1:]
+        offset = idx - self.start
+        if 0 <= offset < len(names):
+            return f"{self.base_name}_" + str(names[offset]).replace(" ", "_")
         return f"{self.base_name}_class_{idx}"
 
     def finalize_from(self, own_state, read_states) -> Dict[str, float]:
         cm = np.asarray(read_states["multiclass_cm"]["cm"])
         values, out = [], {}
-        _, neutral = (None, {"dice_index": 1, "jaccard_index": 1}.get(
-            self.base_name, 0))
+        neutral = {"dice_index": 1, "jaccard_index": 1}.get(self.base_name, 0)
         for idx in range(self.start, cm.shape[0]):
-            if cm[idx, :].sum() + cm[:, idx].sum() == 0:
-                continue
-            tp, fp, tn, fn = binary_cm_from_multiclass(cm, idx)
-            value = derived_cm_value(self.base_name, tp, fp, tn, fn, self.eps)
-            values.append(value)
+            present = cm[idx, :].sum() + cm[:, idx].sum() > 0
+            if present:
+                tp, fp, tn, fn = binary_cm_from_multiclass(cm, idx)
+                value = derived_cm_value(self.base_name, tp, fp, tn, fn,
+                                         self.eps)
+                values.append(value)
             if self.classwise:
-                out[self._class_label(idx)] = float(value)
+                # absent classes still emit their (neutral) key: the CSV
+                # writer pins its header to the first epoch's row, so the
+                # key set must be stable across epochs
+                out[self._class_label(idx, cm.shape[0])] = \
+                    float(value) if present else float(neutral)
         out[self.name] = float(np.mean(values)) if values else float(neutral)
         return out
 
@@ -205,10 +211,24 @@ class ClasswiseBinaryCMSpec(AverageBinaryCMSpec):
 
 class AverageContinuousSpec(MetricSpec):
     """Macro one-vs-rest AUROC / AP over class probability channels
-    (reference ``AverageBinaryContinuousMetric``)."""
+    (reference ``AverageBinaryContinuousMetric``).
+
+    Reference semantics reproduced exactly: the per-batch logged value is
+    the macro mean over classes whose batch is non-degenerate; the epoch
+    value is the mean over *all* classes of each class's epoch-wide value
+    (degenerate classes contribute the neutral 0) — the reference
+    accumulates every class's full score arrays and runs sklearn once per
+    epoch; here each class accumulates a device-side score histogram
+    (rank statistics are invariant to the monotone sigmoid used to bin
+    logits), so the epoch value is exact at bin granularity.
+    """
 
     FNS = {"area_under_roc": auroc,
            "average_precision_score": average_precision}
+    FROM_COUNTS = {"area_under_roc": auc_mod.auroc_from_counts,
+                   "average_precision_score":
+                       auc_mod.average_precision_from_counts}
+    BINS = 2048  # (K-1) x BINS x 2 f32 stays ~16 MB at K=1000
 
     def __init__(self, kind: str, num_classes: int,
                  include_background: bool = False, apply_softmax: bool = False,
@@ -218,81 +238,104 @@ class AverageContinuousSpec(MetricSpec):
         self.start = int(not include_background)
         self.apply_softmax = apply_softmax
         self.label_type = label_type
-        self.name = f"mean_{kind}" if kind != "area_under_roc" \
-            else "mean_area_under_roc"
+        # reference names: 'area_under_roc' / 'average_precision_score'
+        # (multiclass_metrics.py:549-569)
+        self.name = kind
         self.key = self.name
 
     def init_state(self):
-        return {"sum": jnp.zeros((), jnp.float32),
-                "count": jnp.zeros((), jnp.float32)}
+        k = self.num_classes - self.start
+        return {"pos": jnp.zeros((k, self.BINS), jnp.float32),
+                "neg": jnp.zeros((k, self.BINS), jnp.float32)}
 
     def update(self, state, prediction, batch):
         if self.apply_softmax:
             prediction = jax.nn.softmax(prediction, axis=-1)
         y = _labels_from(prediction, batch, self.label_type)
         fn = self.FNS[self.kind]
-        values, valids = [], []
-        for idx in range(self.start, self.num_classes):
-            value, valid = fn(prediction[..., idx], (y == idx))
-            values.append(value)
-            valids.append(valid)
-        values = jnp.stack(values)
-        valids = jnp.stack(valids).astype(jnp.float32)
+        class_ids = jnp.arange(self.start, self.num_classes)
+        scores = jnp.moveaxis(
+            prediction[..., self.start:], -1, 0).reshape(
+            self.num_classes - self.start, -1)          # (K', n)
+        targets = (y.reshape(-1)[None, :] == class_ids[:, None])
+        # one batched sort for all classes' per-batch values
+        values, valids = jax.vmap(fn)(scores, targets)
+        valids = valids.astype(jnp.float32)
         num_valid = jnp.sum(valids)
         batch_value = jnp.where(num_valid > 0,
                                 jnp.sum(values * valids)
                                 / jnp.maximum(num_valid, 1), 0.0)
-        new_state = {"sum": state["sum"] + batch_value,
-                     "count": state["count"]
-                     + (num_valid > 0).astype(jnp.float32)}
+        # softmax outputs are probabilities; raw logits bin via sigmoid
+        pos, neg = jax.vmap(
+            lambda s, t: auc_mod.score_histogram(
+                s, t, n_bins=self.BINS,
+                squash=not self.apply_softmax))(scores, targets)
+        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg}
         return new_state, {self.name: batch_value}
 
     def finalize(self, host_state) -> Dict[str, float]:
-        count = float(host_state["count"])
-        return {self.name: float(host_state["sum"]) / count if count else 0.0}
+        from_counts = self.FROM_COUNTS[self.kind]
+        pos = np.asarray(host_state["pos"])
+        neg = np.asarray(host_state["neg"])
+        values = [from_counts(pos[i], neg[i])[0]  # neutral 0 when invalid
+                  for i in range(pos.shape[0])]
+        return {self.name: float(np.mean(values)) if values else 0.0}
 
 
 class MCHD95Spec(MetricSpec):
     """Macro one-vs-rest HD95 over class channels (reference
-    ``AverageBinaryDiscreteMetric`` -> ``ModifiedHausdorffDistance``)."""
+    ``AverageBinaryDiscreteMetric`` -> ``ModifiedHausdorffDistance``).
+
+    Reference semantics: predictions binarize by **argmax** (not a
+    threshold — ``multiclass_metrics.py:587``), the logged name is
+    ``modified_hausdorff_distance``, and the epoch value is the mean over
+    all classes of each class's epoch-wide mean hd95 over valid samples
+    (both masks nonzero), degenerate classes contributing 0.
+    """
 
     def __init__(self, num_classes: int, threshold: float = 0.5,
                  include_background: bool = False, label_type: str = "mask"):
         self.num_classes = num_classes
-        self.threshold = threshold
         self.start = int(not include_background)
         self.label_type = label_type
-        self.name = f"mean_modified_hausdorff_distance_threshold_{threshold}"
+        self.name = "modified_hausdorff_distance"
         self.key = self.name
 
     def init_state(self):
-        return {"sum": jnp.zeros((), jnp.float32),
-                "count": jnp.zeros((), jnp.float32)}
+        k = self.num_classes - self.start
+        return {"sum": jnp.zeros((k,), jnp.float32),
+                "count": jnp.zeros((k,), jnp.float32)}
 
     def update(self, state, prediction, batch):
         y = _labels_from(prediction, batch, self.label_type)
-        per_class_values, per_class_valid = [], []
+        y_hat = jnp.argmax(prediction, axis=-1)
+        per_class_sum, per_class_cnt, per_class_value = [], [], []
         for idx in range(self.start, self.num_classes):
-            pred_bin = prediction[..., idx] >= self.threshold
+            pred_bin = y_hat == idx
             true_bin = y == idx
             values, valids = jax.lax.map(
                 lambda ab: hd95_single(ab[0], ab[1]), (pred_bin, true_bin))
             num_valid = jnp.sum(valids)
-            per_class_values.append(jnp.where(
+            per_class_sum.append(jnp.sum(values))
+            per_class_cnt.append(num_valid.astype(jnp.float32))
+            per_class_value.append(jnp.where(
                 num_valid > 0, jnp.sum(values) / jnp.maximum(num_valid, 1),
                 0.0))
-            per_class_valid.append(num_valid > 0)
-        values = jnp.stack(per_class_values)
-        valids = jnp.stack(per_class_valid).astype(jnp.float32)
+        sums = jnp.stack(per_class_sum)
+        cnts = jnp.stack(per_class_cnt)
+        values = jnp.stack(per_class_value)
+        valids = (cnts > 0).astype(jnp.float32)
         num_valid = jnp.sum(valids)
         batch_value = jnp.where(
             num_valid > 0,
             jnp.sum(values * valids) / jnp.maximum(num_valid, 1), 0.0)
-        new_state = {"sum": state["sum"] + batch_value,
-                     "count": state["count"]
-                     + (batch_value != 0).astype(jnp.float32)}
+        new_state = {"sum": state["sum"] + sums,
+                     "count": state["count"] + cnts}
         return new_state, {self.name: batch_value}
 
     def finalize(self, host_state) -> Dict[str, float]:
-        count = float(host_state["count"])
-        return {self.name: float(host_state["sum"]) / count if count else 0.0}
+        sums = np.asarray(host_state["sum"], np.float64)
+        cnts = np.asarray(host_state["count"], np.float64)
+        per_class = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        return {self.name: float(np.mean(per_class)) if per_class.size
+                else 0.0}

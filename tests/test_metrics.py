@@ -295,3 +295,83 @@ def test_tversky_index_reference_weights_and_name():
     # DiceIndex coexists under its own column (no key collision)
     assert row["metrics/dice_index_threshold_0.5"] == \
         pytest.approx((2 * tp + 1) / (2 * tp + fp + fn + 1))
+
+
+def test_binary_auc_epoch_exact_over_batches(rng):
+    """Epoch AUROC/AP equal sklearn on the epoch's concatenated arrays
+    (reference AUC base semantics), not the mean of per-batch values.
+    Scores on a 1/512 grid align with the histogram bins -> exact."""
+    import sklearn.metrics as sk
+
+    from medsegpretrainimagenet_tpu.metrics.auc import AUCSpec
+
+    batches = []
+    for i in range(4):
+        scores = rng.integers(0, 512, size=200).astype(np.float32) / 512.0
+        labels = (rng.random(200) < 0.3).astype(np.int32)
+        batches.append((scores, labels))
+    all_s = np.concatenate([s for s, _ in batches])
+    all_y = np.concatenate([y for _, y in batches])
+    for kind, fn in (("area_under_roc", sk.roc_auc_score),
+                     ("average_precision_score", sk.average_precision_score)):
+        spec = AUCSpec(kind, label_type="mask")
+        state = spec.init_state()
+        for s, y in batches:
+            state, _ = spec.update(state, jnp.asarray(s),
+                                   {"mask": jnp.asarray(y)})
+        value = spec.finalize(jax.device_get(state))[kind]
+        assert value == pytest.approx(fn(all_y, all_s), abs=1e-6), kind
+
+
+def test_multiclass_auroc_epoch_macro_over_classes(rng):
+    """Epoch value = mean over ALL classes of each class's epoch-wide
+    AUROC (reference AverageBinaryContinuousMetric.evaluate_epoch),
+    degenerate classes contributing 0."""
+    import sklearn.metrics as sk
+
+    from medsegpretrainimagenet_tpu.metrics.multiclass import (
+        AverageContinuousSpec)
+
+    k = 4
+    spec = AverageContinuousSpec("area_under_roc", k,
+                                 include_background=False,
+                                 apply_softmax=True, label_type="label")
+    state = spec.init_state()
+    all_p, all_y = [], []
+    for _ in range(3):
+        logits = rng.normal(size=(64, k)).astype(np.float32)
+        labels = rng.integers(1, k, size=64).astype(np.int32)  # class 0 absent
+        state, _ = spec.update(state, jnp.asarray(logits),
+                               {"label": jnp.asarray(labels)})
+        all_p.append(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        all_y.append(labels)
+    probs = np.concatenate([np.asarray(p) for p in all_p])
+    y = np.concatenate(all_y)
+    per_class = []
+    for idx in range(1, k):
+        t = (y == idx).astype(int)
+        per_class.append(sk.roc_auc_score(t, probs[:, idx])
+                         if 0 < t.sum() < len(t) else 0.0)
+    expected = float(np.mean(per_class))
+    got = spec.finalize(jax.device_get(state))["area_under_roc"]
+    assert got == pytest.approx(expected, abs=2e-3)  # bin-granularity
+
+
+def test_mc_hd95_uses_argmax_not_threshold():
+    """A pixel whose winning prob is < 0.5 still belongs to that class
+    (reference multiclass_metrics.py:587 binarizes by argmax)."""
+    from medsegpretrainimagenet_tpu.metrics.multiclass import MCHD95Spec
+
+    k = 3
+    pred = np.full((1, 8, 8, k), 0.3, np.float32)
+    pred[..., 1] = 0.4  # winning class everywhere, but < 0.5
+    mask = np.ones((1, 8, 8), np.int32)
+    spec = MCHD95Spec(k, include_background=False, label_type="mask")
+    state = spec.init_state()
+    state, per_batch = spec.update(state, jnp.asarray(pred),
+                                   {"mask": jnp.asarray(mask)})
+    value = spec.finalize(jax.device_get(state))
+    # argmax prediction == mask exactly -> distance 0, and the metric is
+    # valid (a 0.5 threshold would produce empty masks -> all-invalid)
+    assert value["modified_hausdorff_distance"] == pytest.approx(0.0)
+    assert float(jax.device_get(state["count"])[0]) == 1.0
