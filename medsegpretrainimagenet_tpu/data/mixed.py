@@ -213,6 +213,14 @@ class MixedDataset(Dataset):
     def _next_record(self, ds_type: str, ds_idx: int) -> int:
         iters = getattr(self, f"_{ds_type}_record_iters")
         sizes = getattr(self, f"{ds_type}_ds_sizes")
+        if sizes[ds_idx] == 0:
+            # 'over' balancing keeps an empty sub-dataset in the rotation;
+            # re-seeding iter(range(0)) would raise StopIteration out of
+            # the load function (latent crash in reference
+            # ``data/dataset.py:180-184``) — fail with a real message
+            raise ValueError(
+                f"MixedDataset sub-dataset {ds_idx} has no {ds_type} "
+                f"records; 'over' balancing cannot sample from it")
         try:
             return int(next(iters[ds_idx]))
         except StopIteration:

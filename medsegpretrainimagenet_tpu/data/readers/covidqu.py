@@ -130,9 +130,25 @@ class COVIDQUDataset(Dataset):
             val_data["mask"] = masks[val_idcs]
 
         if return_distances:
-            distances = np.load(os.path.join(
+            if validate_on_test:
+                # distances.npy only covers the train-and-val stack; the
+                # reference crashes with a bare IndexError here
+                # (``datasets.py:138-146``) — fail with a real message
+                raise ValueError(
+                    "load_distance_maps is not available together with "
+                    "validate_on_test: distance maps only exist for the "
+                    "'train and val' split")
+            distances = np.squeeze(np.load(os.path.join(
                 data_root(), "COVID_QU", task_path, "train and val",
-                "distances.npy"))
+                "distances.npy")))
+            # keep geometry in sync with the resized images (the reference
+            # never resizes distance maps, so mismatched image_sizes crash
+            # at batch assembly)
+            if not (size[0] == size[1] == distances.shape[1]
+                    == distances.shape[2]):
+                distances = np.stack(
+                    [cv2.resize(d, size, interpolation=cv2.INTER_LINEAR)
+                     for d in distances])
             train_data["distance_map"] = distances[train_idcs]
             val_data["distance_map"] = distances[val_idcs]
 

@@ -43,10 +43,11 @@ def _load_npy_image_uint8(path: str) -> np.ndarray:
 @register("classification.datasets.ImageNet", "imagenet")
 class ImageNet(Dataset):
     PARAMS = {
-        "val split percentage": {"argument name": "val_split_percentage",
-                                 "default": 0.04},
-        "use official validation set": {
+        # reference key names (classification/datasets.py:12-22):
+        # 'use_official_validation' with a 'split' fraction default 0.2
+        "use_official_validation": {
             "argument name": "official_val", "default": True},
+        "split": {"argument name": "val_split_percentage", "default": 0.2},
         "labels file": {"argument name": "labels_file",
                         "default": "labels.json"},
     }
@@ -65,12 +66,15 @@ class ImageNet(Dataset):
         paths = [p if os.path.isabs(p) else os.path.join(root, p)
                  for p in paths]
 
-        official = ds_dict.get("use official validation set", True)
+        official = ds_dict.get(
+            "use_official_validation",
+            ds_dict.get("use official validation set", True))
         if official:
             is_val = np.asarray(
                 [self.VAL_MARKER in os.path.basename(p) for p in paths])
         else:
-            split = ds_dict.get("val split percentage", 0.04)
+            split = ds_dict.get(
+                "split", ds_dict.get("val split percentage", 0.2))
             rnd = np.random.default_rng(ds_dict.get("seed") or seed)
             is_val = rnd.permutation(len(paths)) < int(split * len(paths))
 

@@ -124,10 +124,12 @@ class MixupOrCutMix:
 # RandAugment (native subset of torchvision's op table)
 # ---------------------------------------------------------------------------
 
-def _affine(img, matrix, fill=0.0):
+def _affine(img, matrix, fill=0.0, interp=None):
     h, w = img.shape[:2]
-    out = cv2.warpAffine(img, matrix, (w, h), flags=cv2.INTER_NEAREST,
-                         borderValue=fill)
+    out = cv2.warpAffine(img, matrix, (w, h),
+                         flags=interp if interp is not None
+                         else cv2.INTER_NEAREST,
+                         borderValue=fill if fill is not None else 0.0)
     return out if out.ndim == 3 else out[..., None]
 
 
@@ -135,24 +137,25 @@ def _blend(a, b, factor):
     return np.clip(a + factor * (b - a), 0, 255)
 
 
-def _randaugment_ops(rng, magnitude, bins):
+def _randaugment_ops(rng, magnitude, bins, interp=None, fill=0.0):
     """(name, level) table following torchvision's magnitude ranges."""
     frac = magnitude / max(bins - 1, 1)
+    aff = lambda img, m: _affine(img, m, fill=fill, interp=interp)  # noqa: E731
     return {
         "Identity": lambda img: img,
-        "ShearX": lambda img: _affine(img, np.float32(
+        "ShearX": lambda img: aff(img, np.float32(
             [[1, math.tan(frac * 0.3 * rng.choice((-1, 1))), 0],
              [0, 1, 0]])),
-        "ShearY": lambda img: _affine(img, np.float32(
+        "ShearY": lambda img: aff(img, np.float32(
             [[1, 0, 0],
              [math.tan(frac * 0.3 * rng.choice((-1, 1))), 1, 0]])),
-        "TranslateX": lambda img: _affine(img, np.float32(
+        "TranslateX": lambda img: aff(img, np.float32(
             [[1, 0, frac * 150 / 331 * img.shape[1]
               * rng.choice((-1, 1))], [0, 1, 0]])),
-        "TranslateY": lambda img: _affine(img, np.float32(
+        "TranslateY": lambda img: aff(img, np.float32(
             [[1, 0, 0], [0, 1, frac * 150 / 331 * img.shape[0]
                          * rng.choice((-1, 1))]])),
-        "Rotate": lambda img: _affine(img, cv2.getRotationMatrix2D(
+        "Rotate": lambda img: aff(img, cv2.getRotationMatrix2D(
             (img.shape[1] / 2, img.shape[0] / 2),
             frac * 30 * rng.choice((-1, 1)), 1.0)),
         "Brightness": lambda img: _blend(
@@ -205,19 +208,22 @@ class RandAugment:
         self.num_ops = num_ops
         self.magnitude = magnitude
         self.bins = num_magnitude_bins
+        # torchvision forwards interpolation/fill to its functional ops
+        self.interp = cv2.INTER_LINEAR if str(interpolation).upper() in (
+            "BILINEAR", "LINEAR", "INTERPOLATIONMODE.BILINEAR") else \
+            cv2.INTER_NEAREST
+        self.fill = 0.0 if fill is None else float(
+            fill[0] if isinstance(fill, (list, tuple)) else fill)
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, k: int = 1, **data):
         x = np.asarray(data["x"], dtype=np.float32)
         scale = 1.0
-        if x.dtype.kind == "f" and np.any((x != 0) & (x != 1)) \
-                and x.max() <= 1.0 + 1e-6:
+        if x.max() <= 1.0 + 1e-6:  # [0,1]-scaled input: work in 0-255
             x = x * 255.0
             scale = 255.0
-        elif x.max() <= 1.0 + 1e-6:
-            x = x * 255.0
-            scale = 255.0
-        ops = _randaugment_ops(self.rng, self.magnitude, self.bins)
+        ops = _randaugment_ops(self.rng, self.magnitude, self.bins,
+                               interp=self.interp, fill=self.fill)
         names = list(ops)
         for _ in range(self.num_ops):
             op = ops[names[int(self.rng.integers(0, len(names)))]]
@@ -262,6 +268,13 @@ class TVCenterCrop:
         x = np.asarray(data["x"])
         h, w = x.shape[:2]
         th, tw = self.size
+        if h < th or w < tw:
+            # torchvision pads smaller images with zeros before cropping
+            ph, pw = max(th - h, 0), max(tw - w, 0)
+            pad = [(ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)]
+            pad += [(0, 0)] * (x.ndim - 2)
+            x = np.pad(x, pad)
+            h, w = x.shape[:2]
         top, left = (h - th) // 2, (w - tw) // 2
         data["x"] = x[top:top + th, left:left + tw]
         data["k"] = k
@@ -342,9 +355,14 @@ class ColorJitter:
             x = gray + (x - gray) * self._factor(self.saturation)
         if self.hue and x.shape[-1] == 3:
             shift = self.rng.uniform(-self.hue, self.hue)
-            hsv = cv2.cvtColor(np.clip(x, 0, 1), cv2.COLOR_RGB2HSV)
+            # 0-255-scale inputs (the uint8 transfer path) must not be
+            # clipped to [0,1] — normalize for the HSV round-trip, then
+            # restore the original scale
+            scale = 255.0 if x.max() > 1.5 else 1.0
+            hsv = cv2.cvtColor(np.clip(x / scale, 0, 1),
+                               cv2.COLOR_RGB2HSV)
             hsv[..., 0] = (hsv[..., 0] + shift * 360.0) % 360.0
-            x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+            x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * scale
         return np.clip(x, 0.0, 1.0) if x.max() <= 1.5 else x
 
     def __call__(self, k: int = 1, **data):

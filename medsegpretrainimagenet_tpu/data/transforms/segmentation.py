@@ -192,6 +192,11 @@ class CenterCrop(_JointTransform):
     def apply(self, arr, is_mask, draw):
         h, w = arr.shape[:2]
         th, tw = self.size
+        if h < th or w < tw:
+            # albumentations CenterCrop raises here too; a negative-index
+            # slice would silently return a malformed sliver
+            raise ValueError(f"CenterCrop size {self.size} exceeds image "
+                             f"size {(h, w)}")
         top = (h - th) // 2
         left = (w - tw) // 2
         return arr[top:top + th, left:left + tw]
@@ -279,23 +284,30 @@ class RandomPick(_JointTransform):
         self.rotate_limit = rotate_limit
         self.rng = np.random.default_rng(seed)
 
-    def _coords(self, angle: int, img_size: int) -> Tuple[int, int]:
+    def _coords(self, angle: int, img_size: int, u) -> Tuple[int, int]:
         alpha = np.deg2rad(angle % 90)
         sin_a, cos_a = np.sin(alpha), np.cos(alpha)
         length = img_size - self.crop_size * (sin_a + cos_a)
         rotation = np.array([[sin_a, -cos_a], [cos_a, sin_a]])
         shift = np.array([(img_size - self.crop_size * cos_a) * cos_a,
                           self.crop_size * sin_a * cos_a])
-        xy = rotation @ self.rng.integers(0, max(int(length), 1), size=2) \
-            + shift
+        xy = rotation @ np.floor(u * max(int(length), 1)) + shift
         return int(xy[0]), int(xy[1])
 
     def _draw(self):
-        return int(self.rng.integers(-self.rotate_limit, self.rotate_limit))
+        # ONE draw shared by every column: the crop position must be
+        # identical for x and mask (reference ``transforms.py:98-104``
+        # samples (angle, x, y) once) — the uniform pair is drawn here and
+        # scaled to the angle-dependent range inside ``_coords``
+        angle = int(self.rng.integers(-self.rotate_limit,
+                                      self.rotate_limit)) \
+            if self.rotate_limit else 0
+        return angle, self.rng.random(2)
 
-    def apply(self, arr, is_mask, angle):
+    def apply(self, arr, is_mask, draw):
+        angle, u = draw
         img_size = arr.shape[0]
-        left, top = self._coords(angle, img_size)
+        left, top = self._coords(angle, img_size, u)
         # rotate with expansion (canvas grows to fit the rotated image)
         h, w = arr.shape[:2]
         rad = np.deg2rad(angle)
@@ -349,7 +361,9 @@ class DiscreteOrRandomRot:
 
     def __call__(self, k: int = 1, **data):
         if self.rng.binomial(1, self.p_discrete):
-            turns = int(self.rng.integers(1, 4))  # RandomRotate90(p=1)
+            # RandomRotate90(p=1) draws 0..3 inclusive — 0 turns (flip
+            # only) must occur with probability 1/4 like the reference
+            turns = int(self.rng.integers(0, 4))
             for key in ("x", "mask", "distance_map"):
                 if key in data and data[key] is not None:
                     arr, squeeze = _ensure_hwc(data[key])

@@ -207,3 +207,25 @@ def test_covidqu_reader_synthetic(tmp_path, monkeypatch, rng):
     assert ds.train["mask"].shape == (12, 16, 16)
     assert set(np.unique(ds.train["mask"])).issubset({0, 1})
     assert ds.train["x"].max() <= 1.0
+
+
+def test_random_pick_crops_image_and_mask_from_same_position():
+    """RandomPick must use ONE (angle, position) draw for all columns —
+    per-column draws silently misalign masks from their images
+    (reference transforms.py:98-104 samples the triple once)."""
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.data.transforms.segmentation import (
+        RandomPick)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 1)).astype(np.float32)
+    mask = (img[..., 0] > 0.5).astype(np.int32)
+    t = RandomPick(ConfigDict({"crop size": 24, "rotation limit": 0}),
+                   seed=3)
+    for _ in range(5):
+        out = t(x=img, mask=mask)
+        # at rotation limit 0 the crop is axis-aligned: thresholding the
+        # cropped image must reproduce the cropped mask exactly
+        got_mask = np.squeeze(out["mask"])
+        ref_mask = (np.squeeze(out["x"]) > 0.5).astype(np.int32)
+        np.testing.assert_array_equal(got_mask, ref_mask)
