@@ -48,6 +48,11 @@ def _variants(key: str):
 
 
 def _escape(value):
+    # idempotent: _ESC itself contains '/', so re-escaping an already
+    # stored string (update() / get_or_update / elements_of re-ingest the
+    # stored form) would corrupt it permanently
+    if isinstance(value, str) and _ESC in value:
+        return value
     if isinstance(value, str):
         return value.replace("/", _ESC)
     return value
@@ -183,7 +188,11 @@ class ConfigDict:
                 chosen = self._select_from_list(value, nxt)
                 if chosen is None:
                     return False
-                return True if rest2 is None else chosen.value().has(rest2)
+                if rest2 is None:
+                    return True
+                inner = chosen.value()
+                return inner.has(rest2) if isinstance(inner, ConfigDict) \
+                    else False
         if isinstance(value, ConfigDict):
             return value.has(rest)
         return False
@@ -349,7 +358,13 @@ class ConfigDict:
         clone = self.copy()
         for path in paths:
             if path in clone:
-                clone.pop(path)
+                try:
+                    clone.pop(path)
+                except KeyError:
+                    # has() can traverse list elements that pop() cannot
+                    # address (a path into a {name: {}} list entry); leave
+                    # such paths in place rather than crash
+                    pass
         return clone
 
     def to_kwargs(self, default_dict: dict,

@@ -133,16 +133,20 @@ class CrossEntropyLoss:
         self.apply_softmax = apply_softmax
         self.name = "cross_entropy_loss"
 
-    def _one_hot(self, label, n_classes, dtype):
+    def _one_hot(self, label, n_classes, dtype, pred_ndim):
         label = _squeeze_channel(label)
-        if label.ndim and label.shape[-1] == n_classes and \
+        # a float label is "already one-hot / mixed (mixup)" only when its
+        # full shape matches the prediction's — checking just the last
+        # axis misreads a (N,) index vector whenever N == n_classes
+        if label.ndim == pred_ndim and label.shape[-1] == n_classes and \
                 jnp.issubdtype(label.dtype, jnp.floating):
-            return label.astype(dtype)  # already one-hot / mixed (mixup)
+            return label.astype(dtype)
         return jax.nn.one_hot(label.astype(jnp.int32), n_classes, dtype=dtype)
 
     def __call__(self, prediction, label, *args, **kwargs):
         n_classes = prediction.shape[-1]
-        onehot = self._one_hot(label, n_classes, prediction.dtype)
+        onehot = self._one_hot(label, n_classes, prediction.dtype,
+                               prediction.ndim)
         if self.apply_softmax:
             # torch.nn.CrossEntropyLoss smoothing: (1-s)*onehot + s/K
             target = onehot * (1 - self.smooth) + self.smooth / n_classes \
@@ -189,14 +193,16 @@ class Loss:
                                        False))
 
     def __call__(self, prediction, batch: Dict[str, Any]):
-        if hasattr(prediction, "dtype") and prediction.dtype == jnp.bfloat16:
+        def to_f32(p):
             # mixed-precision: losses reduce over millions of pixels —
             # accumulate in f32
-            prediction = prediction.astype(jnp.float32)
+            if hasattr(p, "dtype") and p.dtype == jnp.bfloat16:
+                return p.astype(jnp.float32)
+            return p
         if self.PASS_ALL_INPUTS:
             return self.calculator(
-                prediction=prediction,
+                prediction=jax.tree_util.tree_map(to_f32, prediction),
                 **{k: v for k, v in batch.items() if k != "x"})
         if isinstance(prediction, (tuple, list)):
             prediction = prediction[self.prediction_index or 0]
-        return self.calculator(prediction, batch[self.label_type])
+        return self.calculator(to_f32(prediction), batch[self.label_type])

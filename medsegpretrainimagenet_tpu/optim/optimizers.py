@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import ConfigDict, register
@@ -26,25 +27,51 @@ from .schedules import (DEFAULT_BASE_LR, ScheduleSpec, build_schedule,
 __all__ = ["Optimizer", "OPTIMIZERS", "build_optimizer"]
 
 
+def _torch_momentum(momentum: float, dampening: float,
+                    nesterov: bool) -> optax.GradientTransformation:
+    """torch.optim.SGD momentum with dampening, exactly: the buffer seeds
+    with the *undampened* first gradient (``buf = g``), later steps do
+    ``buf = m*buf + (1-d)*g`` (plain ``scale(1-d)`` before a trace would
+    also dampen the first step)."""
+
+    def init(params):
+        return {"trace": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "first": jnp.asarray(True)}
+
+    def update(grads, state, params=None):
+        del params
+        damp = jnp.where(state["first"], 1.0, 1.0 - dampening)
+        new_trace = jax.tree_util.tree_map(
+            lambda t, g: momentum * t + damp * g, state["trace"], grads)
+        out = jax.tree_util.tree_map(
+            lambda t, g: g + momentum * t, new_trace, grads) if nesterov \
+            else new_trace
+        return out, {"trace": new_trace, "first": jnp.asarray(False)}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _sgd(learning_rate, momentum=0.9, weight_decay=0.0, nesterov=False,
          dampening=0.0, **_ignored) -> optax.GradientTransformation:
     """torch.optim.SGD semantics: grad += wd*param; momentum buffer;
-    optional nesterov; (dampening unsupported when nonzero)."""
+    optional nesterov / dampening."""
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     if momentum:
         if dampening:
-            # buf = m*buf + (1-d)*g  ==  trace on scaled grads
-            parts.append(optax.scale(1.0 - dampening))
-        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+            parts.append(_torch_momentum(momentum, dampening, nesterov))
+        else:
+            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     parts.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*parts)
 
 
 def _adam(learning_rate, beta_1=0.9, beta_2=0.999, weight_decay=0.0,
           decoupled_weight_decay=False, amsgrad=False, eps=1e-8,
-          **_ignored) -> optax.GradientTransformation:
+          betas=None, **_ignored) -> optax.GradientTransformation:
+    if betas is not None:  # torch.optim.Adam spells the pair 'betas'
+        beta_1, beta_2 = betas
     if decoupled_weight_decay:
         return optax.adamw(learning_rate, b1=beta_1, b2=beta_2, eps=eps,
                            weight_decay=weight_decay)

@@ -242,6 +242,14 @@ def _sequential(params, base, unit, num_epochs, bpe):
     else:
         epoch_milestones = [m // max(bpe, 1) for m in milestones]
 
+    if len(schedulers) != len(milestones) + 1:
+        # torch SequentialLR raises the same way at construction; zip
+        # truncation would silently reuse the wrong segment past the end
+        raise ValueError(
+            f"sequential schedule needs one more scheduler than "
+            f"milestones, got {len(schedulers)} schedulers and "
+            f"{len(milestones)} milestones")
+
     default_end = (epoch_milestones[-1] + 1) if epoch_milestones else 1
     end_epochs = num_epochs or default_end
     starts = [0, *epoch_milestones]
@@ -250,7 +258,6 @@ def _sequential(params, base, unit, num_epochs, bpe):
            for cfg, start, end in zip(schedulers, starts, ends)]
 
     boundaries = jnp.asarray(milestones, jnp.int32)
-    offsets = jnp.asarray([0, *milestones], jnp.int32)
 
     def fn(step):
         idx = jnp.sum(step >= boundaries) if milestones else 0

@@ -201,3 +201,50 @@ def test_fill_kwargs_parity_with_reference_config():
     assert float(opt.lr_at(jnp.asarray(0))) == pytest.approx(0.05)
     # the reference trajectory lags two steps, so lr hits 0 at N + 2
     assert float(opt.lr_at(jnp.asarray(150 * 7 + 2))) == pytest.approx(0.0)
+
+
+def test_sgd_dampening_matches_torch_exactly():
+    """torch seeds the momentum buffer with the UNDAMPENED first gradient;
+    later steps use buf = m*buf + (1-d)*g."""
+    import optax
+    import torch
+
+    from medsegpretrainimagenet_tpu.optim.optimizers import _sgd
+
+    p = torch.nn.Parameter(torch.tensor([1.0]))
+    opt = torch.optim.SGD([p], lr=0.1, momentum=0.9, dampening=0.1)
+    grads = [1.0, 0.5, 0.25, 2.0]
+    tvals = []
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor([g])
+        opt.step()
+        tvals.append(float(p.data[0]))
+
+    tx = _sgd(0.1, momentum=0.9, dampening=0.1)
+    params = jnp.asarray([1.0])
+    state = tx.init(params)
+    jvals = []
+    for g in grads:
+        upd, state = tx.update(jnp.asarray([g]), state, params)
+        params = optax.apply_updates(params, upd)
+        jvals.append(float(params[0]))
+    np.testing.assert_allclose(jvals, tvals, atol=1e-6)
+
+
+def test_torch_adam_betas_are_honoured():
+    """A config 'betas' pair must reach the adam transform (it was being
+    swallowed by **_ignored, silently training with 0.9/0.999)."""
+    import optax
+
+    from medsegpretrainimagenet_tpu.optim.optimizers import _adam
+
+    tx = _adam(0.1, betas=(0.5, 0.8))
+    params = jnp.asarray([1.0])
+    state = tx.init(params)
+    _, state = tx.update(jnp.asarray([1.0]), state, params)
+    _, state = tx.update(jnp.asarray([0.0]), state, params)
+    mu = float(jax.tree_util.tree_leaves(state)[1][0])  # [0] is the count
+    # first moment after g=1 then g=0 with b1: mu = b1*(1-b1)... second
+    # update: mu2 = b1*mu1 = 0.5*0.5 = 0.25 (for b1=0.9: 0.09)
+    assert abs(mu - 0.25) < 1e-6, mu
