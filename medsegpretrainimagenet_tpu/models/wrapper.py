@@ -55,19 +55,33 @@ def _set_subtree(tree, path, value):
 
 def _graft(dst, src, on_missing):
     """Copy leaves of *src* into matching paths of *dst* (same structure
-    expected); collect missing/unexpected key paths."""
+    expected); collect missing/unexpected/shape-mismatched key paths.
+
+    A leaf only copies when its shape equals the target's, or is a pure
+    squeeze/expand of it (non-unit dims equal in order — e.g. (C,) vs
+    (1, 1, C)).  Equal element *counts* with permuted dims (a transposed
+    kernel, swapped in/out channels) are a real mismatch: reshaping would
+    silently garble the weights, so the leaf is left in place and the
+    path reported as missing."""
     dst_paths = {p: v for p, v in _tree_paths(dst)}
     src_paths = {p: v for p, v in _tree_paths(src)}
     missing = [p for p in dst_paths if p not in src_paths]
     unexpected = [p for p in src_paths if p not in dst_paths]
     out = dst
     for path, value in src_paths.items():
-        if path in dst_paths:
-            target = dst_paths[path]
-            value = jnp.asarray(value, target.dtype).reshape(target.shape) \
-                if np.prod(np.shape(value)) == np.prod(target.shape) \
-                else value
-            out = _set_subtree(out, path, value)
+        if path not in dst_paths:
+            continue
+        target = dst_paths[path]
+        v_shape = tuple(np.shape(value))
+        t_shape = tuple(target.shape)
+        if v_shape == t_shape or (
+                tuple(d for d in v_shape if d != 1)
+                == tuple(d for d in t_shape if d != 1)):
+            out = _set_subtree(
+                out, path, jnp.asarray(value, target.dtype)
+                .reshape(t_shape))
+        else:
+            missing.append(path)  # left as initialised; shape mismatch
     if on_missing and (missing or unexpected):
         on_missing(missing, unexpected)
     return out
@@ -209,6 +223,12 @@ class Model:
         """Load a checkpoint file into (a subtree of) the params."""
         from ..train.checkpoint import load_params_file
         loaded = load_params_file(path)
+        loaded_stats = None
+        if isinstance(loaded, dict) and "params" in loaded \
+                and isinstance(loaded["params"], dict):
+            # the framework's own checkpoints are {'params', 'batch_stats'}
+            loaded_stats = loaded.get("batch_stats")
+            loaded = loaded["params"]
         params = variables["params"]
         target = _get_subtree(params, subtree) if subtree else params
 
@@ -230,6 +250,17 @@ class Model:
         params = _set_subtree(params, subtree, grafted) if subtree else grafted
         out = dict(variables)
         out["params"] = params
+        if isinstance(loaded_stats, dict) and out.get("batch_stats"):
+            # BN running stats restore alongside params (warn-only: a
+            # stats mismatch leaves init statistics, which eval would
+            # silently use otherwise)
+            stats_target = _get_subtree(out["batch_stats"], subtree) \
+                if subtree else out["batch_stats"]
+            grafted_stats = _graft(stats_target, loaded_stats,
+                                   warn if not strict else None)
+            out["batch_stats"] = _set_subtree(
+                out["batch_stats"], subtree, grafted_stats) \
+                if subtree else grafted_stats
         return out
 
     def _encoder_transfer(self, config_dict: ConfigDict, variables):
@@ -249,15 +280,25 @@ class Model:
             return variables
         strict = bool(enc_cfg.get("strict", True))
         try:
-            from ..train.checkpoint import load_encoder_params
+            from ..train.checkpoint import load_encoder_variables
             from ..train.torch_mapping import (looks_like_torch_encoder,
                                                translate_reference_encoder)
-            encoder_params = load_encoder_params(weights)
+            encoder_params, encoder_stats = load_encoder_variables(weights)
             params = variables["params"]
             if "enc" not in params:
                 raise KeyError("model has no encoder subtree to load into")
 
             def warn(missing, unexpected):
+                # reference semantics (unet_models.py:571-588): strict
+                # load_state_dict RAISES on any mismatch (caught by the
+                # envelope below -> encoder left random, with a message);
+                # non-strict warns and loads the intersection
+                if strict and (missing or unexpected):
+                    raise KeyError(
+                        f"State mismatch loading encoder {weights}: "
+                        f"missing {['/'.join(p) for p in missing[:5]]}, "
+                        f"unexpected "
+                        f"{['/'.join(p) for p in unexpected[:5]]}")
                 if missing:
                     warnings.warn(
                         f"Missing keys in encoder checkpoint {weights}: "
@@ -267,7 +308,6 @@ class Model:
                         f"Unexpected keys in encoder checkpoint {weights}: "
                         f"{['/'.join(p) for p in unexpected[:8]]}")
 
-            encoder_stats = None
             if looks_like_torch_encoder(encoder_params):
                 translated, leftover = translate_reference_encoder(
                     encoder_params)
@@ -280,16 +320,14 @@ class Model:
                 encoder_params = translated["params"]
                 encoder_stats = translated["batch_stats"]
 
-            grafted = _graft(params["enc"], encoder_params,
-                             warn if not strict else None)
+            grafted = _graft(params["enc"], encoder_params, warn)
             out = dict(variables)
             out["params"] = _set_subtree(params, ("enc",), grafted)
             if encoder_stats and out.get("batch_stats") \
                     and "enc" in out["batch_stats"]:
                 out["batch_stats"] = _set_subtree(
                     out["batch_stats"], ("enc",),
-                    _graft(out["batch_stats"]["enc"], encoder_stats,
-                           warn if not strict else None))
+                    _graft(out["batch_stats"]["enc"], encoder_stats, warn))
             print(f"Successfully initialised encoder from {weights}.")
             return out
         except Exception as exc:  # noqa: BLE001 - parity: never fatal

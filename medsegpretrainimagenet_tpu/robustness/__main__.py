@@ -48,7 +48,7 @@ def main(argv=None):
     from ..models import Model
     from ..models.wrapper import _graft
     from ..data import Dataset
-    from ..train.checkpoint import load_encoder_params
+    from ..train.checkpoint import load_encoder_variables
     from ..train.torch_mapping import (looks_like_torch_encoder,
                                        translate_reference_encoder)
     from .sweep import run_sweep, write_scores_csv
@@ -59,11 +59,20 @@ def main(argv=None):
     seed = cfg.get("seed", 0)
     n_probe = cfg.get("probe_images", 64)
 
+    if n_probe % 2:
+        print(f"warning: odd probe_images ({n_probe}) — the reversed+"
+              f"rolled negative pairing self-matches one index "
+              f"(reference eval.py:20-24 quirk); use an even count")
+
     datasets = {}
     for alias in cfg["data"].keys():
         ds = registry.build(cfg[f"data/{alias}"].trim(),
                             wrapper=Dataset, seed=seed)
         imgs = np.asarray(ds.train["x"][:n_probe], np.float32)
+        if imgs.max() > 1.5:
+            # uint8_transfer datasets ship 0-255; the color jitter and
+            # the encoders expect [0, 1]
+            imgs = imgs / 255.0
         if imgs.shape[-1] == 1:
             imgs = np.repeat(imgs, 3, axis=-1)
         datasets[alias.split(".")[-1]] = imgs
@@ -75,8 +84,7 @@ def main(argv=None):
         variables = model.init(jax.random.key(seed), {"x": sample})
         weights = enc_cfg.get("weights")
         if weights:
-            loaded = load_encoder_params(weights)
-            stats = None
+            loaded, stats = load_encoder_variables(weights)
             if looks_like_torch_encoder(loaded):
                 loaded, leftover = translate_reference_encoder(loaded)
                 if leftover:
@@ -84,13 +92,28 @@ def main(argv=None):
                           f"{leftover[:6]}")
                 stats = loaded["batch_stats"]
                 loaded = loaded["params"]
+
+            def report(missing, unexpected, _weights=weights):
+                # a checkpoint that does not line up with the encoder must
+                # not load as a silent no-op — the sweep would emit scores
+                # from random weights
+                if missing:
+                    print(f"warning: {len(missing)} params of the encoder "
+                          f"not in {_weights} (left random), e.g. "
+                          f"{['/'.join(p) for p in missing[:4]]}")
+                if unexpected:
+                    print(f"warning: {len(unexpected)} keys of {_weights} "
+                          f"unused, e.g. "
+                          f"{['/'.join(p) for p in unexpected[:4]]}")
+
             variables = dict(variables)
-            variables["params"] = _graft(variables["params"], loaded, None)
+            variables["params"] = _graft(variables["params"], loaded,
+                                         report)
             if stats and variables.get("batch_stats"):
                 # BN running stats matter: the probe forward runs in eval
                 # mode and normalizes with them
                 variables["batch_stats"] = _graft(variables["batch_stats"],
-                                                  stats, None)
+                                                  stats, report)
         encoders.append({
             "module": model.module, "variables": variables,
             "name": enc_cfg.get("name", "encoder"),

@@ -23,7 +23,8 @@ import numpy as np
 
 from .distances import cosine_distance
 
-__all__ = ["Robustness", "predict_w_model", "eval_encoder", "color_jitter"]
+__all__ = ["Robustness", "predict_w_model", "eval_encoder", "color_jitter",
+           "collect_levels", "pool_spatial"]
 
 
 class Robustness:
@@ -38,7 +39,10 @@ class Robustness:
         qs = preds0.reshape(preds0.shape[0], -1)
         k1 = preds1.reshape(preds1.shape[0], -1)
         # reverse to build negatives, then shift by 2 so the middle pair
-        # (which reversal maps onto itself) no longer matches
+        # (which reversal maps onto itself) no longer matches — for *even*
+        # batch sizes; with odd N one index still self-matches (quirk
+        # inherited verbatim from reference ``eval.py:20-24``; the sweep
+        # CLI warns on odd probe counts)
         k0 = jnp.roll(k1[::-1], 2, axis=0)
         neg = self.distance_fn(qs, k0)
         pos = self.distance_fn(qs, k1)
@@ -130,15 +134,14 @@ def color_jitter(key: jax.Array, imgs: jax.Array,
 # encoder forward
 # ---------------------------------------------------------------------------
 
-def predict_w_model(module, variables, imgs, batch_size: int = 32,
-                    level: int = -2, pool: bool = True,
-                    method: Optional[Callable] = None):
-    """Batched encoder forward collecting per-level activations.
+def collect_levels(module, variables, imgs, batch_size: int = 32,
+                   method: Optional[Callable] = None):
+    """Batched encoder forward: all per-level activations at once.
 
-    Returns the ``level``-indexed entry of ``[*skip_levels, final]``,
-    optionally mean-pooled over the spatial axes (reference
-    ``eval.py:30-54``).
-    """
+    Returns ``[*skip_levels, final]`` — one forward computes every level,
+    so sweeps over (level, pool, metric, margin) cells score from these
+    cached arrays instead of re-running (and re-jitting) the encoder per
+    cell."""
     @jax.jit
     def forward(x):
         kwargs = {"train": False, "return_skip_vals": True}
@@ -152,14 +155,28 @@ def predict_w_model(module, variables, imgs, batch_size: int = 32,
         x = imgs[start:start + batch_size]
         y_hat, skips = forward(x)
         outs.append([*skips, y_hat])
-    levels = [jnp.concatenate([batch[i] for batch in outs], axis=0)
-              for i in range(len(outs[0]))]
+    return [jnp.concatenate([batch[i] for batch in outs], axis=0)
+            for i in range(len(outs[0]))]
+
+
+def pool_spatial(pred):
+    """NHWC / (B, L, C) -> (N, C) spatial mean."""
+    return jnp.mean(pred.reshape(pred.shape[0], -1, pred.shape[-1]), axis=1)
+
+
+def predict_w_model(module, variables, imgs, batch_size: int = 32,
+                    level: int = -2, pool: bool = True,
+                    method: Optional[Callable] = None):
+    """Batched encoder forward collecting per-level activations.
+
+    Returns the ``level``-indexed entry of ``[*skip_levels, final]``,
+    optionally mean-pooled over the spatial axes (reference
+    ``eval.py:30-54``).
+    """
+    levels = collect_levels(module, variables, imgs, batch_size=batch_size,
+                            method=method)
     pred = levels[level]
-    if pool:
-        # NHWC: mean over spatial axes -> (N, C)
-        return jnp.mean(pred.reshape(pred.shape[0], -1, pred.shape[-1]),
-                        axis=1)
-    return pred
+    return pool_spatial(pred) if pool else pred
 
 
 def eval_encoder(module, variables, imgs, scorer: Robustness,

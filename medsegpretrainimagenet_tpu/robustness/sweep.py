@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from .distances import DISTANCES
-from .eval import Robustness, eval_encoder
+from .eval import Robustness, collect_levels, color_jitter, pool_spatial
 
 __all__ = ["run_sweep", "write_scores_csv"]
 
@@ -43,18 +43,30 @@ def run_sweep(encoders: Sequence[Dict[str, Any]],
     ``datasets``: name -> NHWC image array of probe images.
     Returns one row dict per cell with the mean margin score.
     """
+    import jax.numpy as jnp
+
     rows = []
     key = jax.random.key(seed)
     for encoder, (ds_name, imgs) in itertools.product(
             encoders, datasets.items()):
         key, probe_key = jax.random.split(key)
+        # the activations depend on none of the (metric, margin, level,
+        # pool) axes: run the two jittered views ONCE per (encoder,
+        # dataset) and score every cell from the cached per-level arrays
+        # (previously each cell re-jitted and re-ran the full forward)
+        k0, k1 = jax.random.split(probe_key)
+        imgs_f = jnp.asarray(imgs, jnp.float32)
+        views = [
+            collect_levels(encoder["module"], encoder["variables"],
+                           color_jitter(k, imgs_f), batch_size=batch_size,
+                           method=encoder.get("method"))
+            for k in (k0, k1)]
         for metric, margin, level, pool in itertools.product(
                 metrics, margins, levels, pooled):
             scorer = Robustness(DISTANCES[metric], margin)
-            scores = eval_encoder(
-                encoder["module"], encoder["variables"], imgs, scorer,
-                level=level, pool=pool, key=probe_key,
-                batch_size=batch_size, method=encoder.get("method"))
+            p0, p1 = (pool_spatial(v[level]) if pool else v[level]
+                      for v in views)
+            scores = scorer(p0, p1)
             rows.append({
                 "dataset": ds_name,
                 "metric": metric,

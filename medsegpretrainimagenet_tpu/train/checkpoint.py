@@ -22,7 +22,8 @@ from flax import serialization
 
 __all__ = [
     "save_params_file", "load_params_file", "load_encoder_params",
-    "save_state_file", "load_state_file", "load_torch_state_dict",
+    "load_encoder_variables", "save_state_file", "load_state_file",
+    "load_torch_state_dict",
 ]
 
 
@@ -50,26 +51,47 @@ def load_params_file(path: str):
         return serialization.msgpack_restore(fh.read())
 
 
-def load_encoder_params(path: str):
-    """Extract the encoder (first layer) params from a pretraining
-    checkpoint — the FeedForwardModel's ``layers_0`` subtree."""
-    params = load_params_file(path)
-    if "params" in params and isinstance(params["params"], dict):
-        params = params["params"]
+def _encoder_subtree(tree, path: str):
     for key in ("layers_0", "layers.0", "enc"):
-        if key in params:
-            return params[key]
+        if key in tree:
+            return tree[key]
     # torch checkpoints unflatten 'layers.0.*' to {'layers': {'0': ...}}
-    layers = params.get("layers")
+    layers = tree.get("layers")
     if isinstance(layers, dict) and "0" in layers:
         return layers["0"]
     # torch-style flat dict {'layers.0.xxx': tensor}
-    flat = {k[len("layers.0."):]: v for k, v in params.items()
+    flat = {k[len("layers.0."):]: v for k, v in tree.items()
             if isinstance(k, str) and k.startswith("layers.0.")}
     if flat:
         return _unflatten_torch_keys(flat)
     raise KeyError(f"checkpoint {path} has no encoder (layers_0) subtree; "
-                   f"top-level keys: {list(params)[:8]}")
+                   f"top-level keys: {list(tree)[:8]}")
+
+
+def load_encoder_params(path: str):
+    """Extract the encoder (first layer) params from a pretraining
+    checkpoint — the FeedForwardModel's ``layers_0`` subtree."""
+    return load_encoder_variables(path)[0]
+
+
+def load_encoder_variables(path: str):
+    """(params, batch_stats-or-None) of the encoder subtree.
+
+    Native checkpoints (``loop.py`` save_model) carry BN running stats
+    alongside the params — an encoder transferred without them runs eval
+    forwards against init statistics (mean 0 / var 1)."""
+    raw = load_params_file(path)
+    tree, stats = raw, None
+    if isinstance(raw, dict) and "params" in raw \
+            and isinstance(raw["params"], dict):
+        tree = raw["params"]
+        batch_stats = raw.get("batch_stats")
+        if isinstance(batch_stats, dict):
+            try:
+                stats = _encoder_subtree(batch_stats, path)
+            except KeyError:
+                stats = None
+    return _encoder_subtree(tree, path), stats
 
 
 # ---------------------------------------------------------------------------

@@ -10,9 +10,14 @@ families (observed from the reference model definitions):
 * ``down_layers.{i}.conv{j}.block.{m}.*``             — level ConvBlocks
   (m%3==0 conv, m%3==1 BN; activations hold no params)
 * ``bottom_block.conv{j}.block.{m}.*``                — bottom ConvBlocks
-* ``down_layers.{i}.shortcut{j}.*``                   — residual shortcuts
 * ``down_layers.{i}.downsampl.*``                     — trainable
   downsampling (PatchMerging etc.)
+
+Residual-shortcut / layer-scale key families
+(``down_layers.{i}.shortcut{j}.*``, ``layer_scale{j}.*``) are NOT mapped:
+none of the reference's released pretraining checkpoints use residual
+connections or layer scale, so such keys surface through the caller's
+leftover/strict reporting rather than silently translating wrong.
 
 This module maps those onto this framework's flax names
 (``stem_block/Conv_0``, ``level_convs_{i}_{j}/Conv_k|BatchNorm_k``,

@@ -190,3 +190,36 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
                            ["kernel"])
     assert pre_stem.shape == post_stem.shape
     assert np.abs(pre_stem - post_stem).mean() < 0.05
+
+
+def test_encoder_transfer_restores_bn_running_stats(tmp_path):
+    """Native pretraining checkpoints carry BN running stats; encoder
+    transfer must graft them (eval forwards otherwise normalize with
+    init mean=0/var=1)."""
+    import jax
+    import numpy as np
+
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.models import Model, UNet
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    model = Model(UNet, ConfigDict({}))
+    model.module = UNet(img_ch=1, output_ch=1, channels=[4, 8], depth=1)
+    variables = model.init(jax.random.key(0),
+                           {"x": np.zeros((1, 16, 16, 1), np.float32)})
+
+    # fake a pretraining checkpoint: the encoder subtree under layers_0,
+    # with recognisable running stats
+    fake_stats = jax.tree_util.tree_map(
+        lambda x: np.full_like(np.asarray(x), 0.123),
+        variables["batch_stats"]["enc"])
+    ckpt.save_params_file(
+        str(tmp_path / "pre.msgpack"),
+        {"params": {"layers_0": variables["params"]["enc"]},
+         "batch_stats": {"layers_0": fake_stats}})
+
+    cfg = ConfigDict({"weight_init": {
+        "encoder": {"weights": str(tmp_path / "pre.msgpack")}}})
+    out = model._encoder_transfer(cfg, variables)
+    leaves = jax.tree_util.tree_leaves(out["batch_stats"]["enc"])
+    assert all(np.allclose(np.asarray(l), 0.123) for l in leaves)
