@@ -89,7 +89,12 @@ class COVIDQUDataset(Dataset):
         uint8 = ds_dict.get("uint8_transfer", False)
         imgs = np.squeeze(imgs)
         if not uint8:
-            imgs = imgs.astype(np.float32) / np.float32(255.0)
+            from ... import native
+            # threaded C++/OpenMP u8->f32 when available (the whole-stack
+            # conversion is the reader's hottest loop on multi-core hosts)
+            imgs = native.u8_to_f32_scale(imgs) \
+                if imgs.dtype == np.uint8 and native.available() \
+                else imgs.astype(np.float32) / np.float32(255.0)
         # skip the no-op resize only in the square case (cv2 dsize is
         # (w, h), so a non-square equality would be transposed)
         if not (size[0] == size[1] == imgs.shape[1] == imgs.shape[2]):

@@ -28,6 +28,9 @@ def _load_npy_image(path: str) -> np.ndarray:
     arr = np.load(path)
     if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[0] < arr.shape[-1]:
         arr = np.moveaxis(arr, 0, -1)  # CHW -> HWC
+    from ... import native
+    if arr.dtype == np.uint8 and native.available():
+        return native.u8_to_f32_scale(arr)  # threaded C++/OpenMP
     return arr.astype(np.float32) / 255.0
 
 

@@ -35,6 +35,11 @@ from .multiclass import (AverageBinaryCMSpec, AverageContinuousSpec,
 
 __all__ = ["MetricsCalculator"]
 
+
+def _host_logger_names():
+    from .host_loggers import HOST_LOGGER_NAMES
+    return HOST_LOGGER_NAMES
+
 _BINARY_DERIVED = {
     "metrics.Accuracy": "accuracy",
     "metrics.BalancedAccuracy": "balanced_accuracy",
@@ -234,8 +239,7 @@ class MetricsCalculator:
                     add(MCHD95Spec(num_classes, threshold=t,
                                    include_background=include_bg,
                                    label_type=label_type))
-            elif name in ("metrics.ROCCurve", "metrics.PrecisionRecallCurve",
-                          "segmentation.image_logging.ImageLogger"):
+            elif name in _host_logger_names():
                 # host-side epoch loggers, attached by the trainer
                 continue
             else:

@@ -167,11 +167,20 @@ class ImageLogger(HostLogger):
         os.makedirs(out_dir, exist_ok=True)
 
         saved = 0
-        for batch in loader:
-            if saved >= self.number_of_imgs:
+        # bounded scan: a split with no positive masks must not cost a
+        # whole extra epoch of forwards for zero saved images
+        max_batches = max(4, 2 * self.number_of_imgs)
+        for batch_idx, batch in enumerate(loader):
+            if saved >= self.number_of_imgs or batch_idx >= max_batches:
                 break
+            mask_src = batch.get("mask", batch.get("label"))
+            if mask_src is None:
+                handle_exception(
+                    KeyError("batch has neither 'mask' nor 'label'"),
+                    "ImageLogger cannot find targets; skipping.")
+                return
             x = _to_numpy(batch["x"])
-            mask = _to_numpy(batch.get("mask", batch.get("label")))
+            mask = _to_numpy(mask_src)
             pred = _to_numpy(forward(batch["x"]))
             for i in range(len(x)):
                 if saved >= self.number_of_imgs:
@@ -198,10 +207,12 @@ class ImageLogger(HostLogger):
                         fig = self._multiclass_figure(plt, img,
                                                       np.squeeze(y), y_hat)
                     saved += 1
-                    fig.savefig(os.path.join(
-                        out_dir, f"img_{saved}.{self.extension}"),
-                        bbox_inches="tight")
-                    plt.close(fig)
+                    try:
+                        fig.savefig(os.path.join(
+                            out_dir, f"img_{saved}.{self.extension}"),
+                            bbox_inches="tight")
+                    finally:
+                        plt.close(fig)  # close even when savefig raises
                 except Exception as exc:  # noqa: BLE001
                     handle_exception(exc, "Exception while logging a "
                                           "sample image.")
@@ -310,18 +321,24 @@ class PrecisionRecallCurve(CurveLogger):
         export_plot(plotter, self.extensions)
 
 
+#: single source of truth — MetricsCalculator skips these names and this
+#: factory instantiates them (``_LOGGER_CLASSES`` keys must equal
+#: ``HOST_LOGGER_NAMES`` keys)
+_LOGGER_CLASSES = {
+    "segmentation.image_logging.ImageLogger":
+        lambda cfg, dest, class_names: ImageLogger(
+            cfg, dest, class_names=class_names),
+    "metrics.ROCCurve": lambda cfg, dest, class_names: ROCCurve(cfg, dest),
+    "metrics.PrecisionRecallCurve":
+        lambda cfg, dest, class_names: PrecisionRecallCurve(cfg, dest),
+}
+assert set(_LOGGER_CLASSES) == set(HOST_LOGGER_NAMES)
+
+
 def build_host_loggers(config_dict: ConfigDict, destination: str,
                        class_names: Sequence[str] = ()) -> list:
     """Instantiate the host loggers named in ``metrics/metrics``."""
     requested = config_dict.get_str_tuple("metrics/metrics") \
         if config_dict.has("metrics/metrics") else ()
-    loggers = []
-    for name in requested:
-        if name == "segmentation.image_logging.ImageLogger":
-            loggers.append(ImageLogger(config_dict, destination,
-                                       class_names=class_names))
-        elif name == "metrics.ROCCurve":
-            loggers.append(ROCCurve(config_dict, destination))
-        elif name == "metrics.PrecisionRecallCurve":
-            loggers.append(PrecisionRecallCurve(config_dict, destination))
-    return loggers
+    return [_LOGGER_CLASSES[name](config_dict, destination, class_names)
+            for name in requested if name in _LOGGER_CLASSES]

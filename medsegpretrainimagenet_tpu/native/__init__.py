@@ -36,12 +36,21 @@ def _build() -> Optional[str]:
     if os.path.isfile(out) and os.path.getmtime(out) >= \
             os.path.getmtime(_SRC):
         return out
+    # compile to a private temp path and rename into place: the cache is
+    # shared between processes, and a concurrent CDLL() of a .so that g++
+    # is still writing segfaults
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", out]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return out
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -99,10 +108,23 @@ def rotate_batch(images: np.ndarray, angles_deg: np.ndarray,
     n, h, w, c = arr.shape
     angles = np.ascontiguousarray(angles_deg, np.float32)
     if nearest:
-        arr = np.ascontiguousarray(arr, np.int32)
-        out = np.empty_like(arr)
-        cdll.rotate_nearest_i32(arr, out, n, h, w, c, angles,
-                                np.int32(fill))
+        # nearest only moves 4-byte values, so float inputs (distance
+        # maps) route through the i32 kernel as raw bit patterns instead
+        # of being truncated to integers
+        in_dtype = arr.dtype
+        if np.issubdtype(in_dtype, np.floating):
+            a32 = np.ascontiguousarray(arr, np.float32).view(np.int32)
+            fill_bits = np.float32(fill).view(np.int32)
+            out = np.empty_like(a32)
+            cdll.rotate_nearest_i32(a32, out, n, h, w, c, angles,
+                                    fill_bits)
+            out = out.view(np.float32).astype(in_dtype, copy=False)
+        else:
+            a32 = np.ascontiguousarray(arr, np.int32)
+            out = np.empty_like(a32)
+            cdll.rotate_nearest_i32(a32, out, n, h, w, c, angles,
+                                    np.int32(fill))
+            out = out.astype(in_dtype, copy=False)
     else:
         arr = np.ascontiguousarray(arr, np.float32)
         out = np.empty_like(arr)

@@ -1,12 +1,14 @@
 // Native batched augmentation kernels (OpenMP over the batch axis).
 //
 // The reference feeds its GPUs through torch DataLoader worker *processes*
-// running per-item cv2/albumentations ops; this framework's host pipeline
-// instead batches the standard segmentation augmentations and runs them in
-// native threads — one C call per batch, no Python in the loop.  A v5e chip
-// consumes ~270 train img/s at 256² and an 8-chip slice ~2100 img/s; the
-// per-item Python path measures ~800 img/s on this host, so the native
-// batch path is what keeps a slice fed.
+// running per-item cv2/albumentations ops; these kernels batch the
+// standard segmentation augmentations into one C call with OpenMP over
+// the batch axis — no Python in the loop.  Product call sites: the
+// readers' whole-stack u8->f32 conversion (u8_to_f32_scale, threaded vs
+// numpy's single-core astype) — the geometric kernels are
+// cv2-parity-validated (tests/test_native.py) and available to host
+// pipelines on multi-core machines; the default augmentation path runs
+// on-device (ops/augment.py) or per-item cv2.
 //
 // Semantics match cv2.warpAffine with getRotationMatrix2D((w/2-.5,h/2-.5),
 // angle, 1.0): bilinear for images, nearest for masks, constant border.

@@ -90,8 +90,11 @@ def rotate_batch(images: jax.Array, angles_deg: jax.Array,
         v11 = corner(y0i + 1, x0i + 1)
         out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
                + fy * ((1 - fx) * v10 + fx * v11))
-        return out.astype(images.dtype) if images.dtype != jnp.int32 \
-            else out
+        # integer inputs round like cv2.warpAffine (astype would truncate
+        # 127.9 -> 127, a systematic darkening vs the host path)
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            return jnp.round(out).astype(images.dtype)
+        return out.astype(images.dtype)
     return jax.vmap(sample_one)(images, sx, sy)
 
 

@@ -85,16 +85,29 @@ class BasePlotter:
         matplotlib.use("Agg")
         from matplotlib import pyplot as plt
         fig = self.render_matplotlib(plt)
-        fig.savefig(self._path(extension), bbox_inches="tight")
-        plt.close(fig)
+        try:
+            fig.savefig(self._path(extension), bbox_inches="tight")
+        finally:
+            # close even when savefig raises (disk full, export timeout):
+            # leaked figures accumulate in pyplot's registry over a long
+            # multi-experiment run
+            plt.close(fig)
 
     def export_bokeh(self, *args, **kwargs):
         try:
             import bokeh  # noqa: F401
         except ImportError:
-            warnings.warn("bokeh is not installed; skipping html export.")
-            return
-        self.render_bokeh()
+            warnings.warn("bokeh is not installed; exporting .png instead "
+                          "of .html.")
+            return self.export_matplotlib("png", *args, **kwargs)
+        try:
+            self.render_bokeh()
+        except NotImplementedError:
+            # plotters without a bokeh renderer still produce an artifact
+            # under the default export_plots_as=('json','html')
+            warnings.warn(f"{type(self).__name__} has no bokeh renderer; "
+                          f"exporting .png instead of .html.")
+            self.export_matplotlib("png", *args, **kwargs)
 
     def render_matplotlib(self, plt):
         raise NotImplementedError
@@ -118,7 +131,23 @@ class GeneralPlotter(BasePlotter):
         "fname": "plot",
         "yscale": "linear",
         "colors": None,
+        "dashes": None,
     }
+
+    #: bokeh dash names -> matplotlib linestyles
+    _DASH_STYLES = {"solid": "-", "dashed": "--", "dotted": ":",
+                    "dotdash": "-.", "dashdot": "-."}
+
+    def _series_style(self, i: int) -> dict:
+        style = {}
+        colors = self.colors or []
+        dashes = self.dashes or []
+        if i < len(colors) and colors[i]:
+            style["color"] = colors[i]
+        if i < len(dashes) and dashes[i]:
+            style["linestyle"] = self._DASH_STYLES.get(
+                str(dashes[i]), dashes[i])
+        return style
 
     def render_matplotlib(self, plt):
         fig, ax = plt.subplots(figsize=(8, 5))
@@ -133,7 +162,7 @@ class GeneralPlotter(BasePlotter):
                 lo, hi = (min(xs), max(xs)) if xs else (0.0, 1.0)
                 xs = list(np.linspace(lo, hi, len(ys)))
             label = labels[i] if i < len(labels) else None
-            ax.plot(xs, list(ys), label=label)
+            ax.plot(xs, list(ys), label=label, **self._series_style(i))
         baselines = self.baselines or {}
         for label, value in zip(baselines.get("labels", []),
                                 baselines.get("values", [])):
@@ -162,6 +191,12 @@ class GeneralPlotter(BasePlotter):
                 lo, hi = (min(xs), max(xs)) if xs else (0.0, 1.0)
                 xs = list(np.linspace(lo, hi, len(ys)))
             kwargs = {"legend_label": labels[i]} if i < len(labels) else {}
+            style = self._series_style(i)
+            if "color" in style:
+                kwargs["line_color"] = style["color"]
+            if (self.dashes or []) and i < len(self.dashes) \
+                    and self.dashes[i]:
+                kwargs["line_dash"] = self.dashes[i]
             fig.line(xs, list(ys), **kwargs)
         output_file(self._path("html"))
         save(fig)
@@ -285,18 +320,19 @@ def export_plot(plotter: BasePlotter, extensions: Iterable[str],
         "svg": lambda *a, **k: plotter.export_matplotlib("svg", *a, **k),
         "html": plotter.export_bokeh,
     }
-    try:
-        with _Timeout(_EXPORT_TIMEOUT_S):
-            for extension in extensions:
-                ext = str(extension).lower().strip(".")
-                func = export_funcs.get(ext)
-                if func is None:
-                    warnings.warn(f"Unknown plot format {extension!r}")
-                    continue
-                try:
-                    func(*args, **kwargs)
-                except Exception as exc:  # noqa: BLE001
-                    handle_exception(
-                        exc, f"Exception exporting plot as .{ext}.")
-    except TimeoutError:
-        warnings.warn("Plot export timed out; continuing.")
+    for extension in extensions:
+        ext = str(extension).lower().strip(".")
+        func = export_funcs.get(ext)
+        if func is None:
+            warnings.warn(f"Unknown plot format {extension!r}")
+            continue
+        # one watchdog per format: SIGALRM is one-shot, so a single alarm
+        # around the whole loop would leave every format after the first
+        # timeout unprotected
+        try:
+            with _Timeout(_EXPORT_TIMEOUT_S):
+                func(*args, **kwargs)
+        except TimeoutError:
+            warnings.warn(f".{ext} plot export timed out; continuing.")
+        except Exception as exc:  # noqa: BLE001
+            handle_exception(exc, f"Exception exporting plot as .{ext}.")
