@@ -489,9 +489,11 @@ def run_exp(train_data, val_data, test_data, destination: str,
             restored = ckpt.load_state_file(opt_path)
             opt_state = serialization.from_state_dict(
                 opt_state, restored["opt_state"])
-            state = state.replace(opt_state=opt_state,
-                                  step=np.asarray(restored["step"],
-                                                  np.int32))
+            state = state.replace(
+                opt_state=opt_state,
+                step=np.asarray(restored["step"], np.int32),
+                micro_step=np.asarray(
+                    restored.get("micro_step", restored["step"]), np.int32))
             shutil.copy(opt_path, os.path.join(
                 destination, "optimizer_state_dict_checkpoint.msgpack"))
 

@@ -125,12 +125,18 @@ class BalancedDataLoader:
             order = order[:(n // self.actual_bs) * self.actual_bs]
         return order
 
-    def _planned_indices(self):
+    def _build_plan(self, rng):
+        """One shared construction for iteration and length (the plan's
+        length is rng-independent; only its ordering varies)."""
         _, plan = batch_index_plan(
             len(self.source), self.source.pos_len
             * math.ceil(self.source.balance_factor),
             int(self.min_pos * self.bs), int(self.min_neg * self.bs),
-            self.bs, self.source.cut, self.rng)
+            self.bs, self.source.cut, rng)
+        return plan
+
+    def _planned_indices(self):
+        plan = self._build_plan(self.rng)
         if self.sort_by is not None:
             keys = [float(k) for k in self.source.data[self.sort_by]]
             plan = sorted(plan, key=lambda i: keys[
@@ -150,12 +156,7 @@ class BalancedDataLoader:
         # (batches_per_epoch, progress bars) and the plan assembly walks
         # the whole dataset
         if self._plan_len is None:
-            _, plan = batch_index_plan(
-                len(self.source), self.source.pos_len
-                * math.ceil(self.source.balance_factor),
-                int(self.min_pos * self.bs), int(self.min_neg * self.bs),
-                self.bs, self.source.cut, np.random.default_rng(0))
-            self._plan_len = len(plan)
+            self._plan_len = len(self._build_plan(np.random.default_rng(0)))
         # __iter__ stops before a ragged tail in planned mode (reference
         # DataIterator semantics), so floor — not ceil
         return self._plan_len // self.actual_bs

@@ -48,7 +48,10 @@ class Activation(nn.Module):
         if name == "prelu":
             alpha = self.param(
                 "alpha", lambda _key: jnp.asarray(self.prelu_init, jnp.float32))
-            return jnp.where(x >= 0, x, alpha * x)
+            # cast the f32 parameter to the activation dtype — promoting
+            # bf16 activations to f32 here would defeat the compute-dtype
+            # convention for every layer downstream
+            return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         if name == "tanh":
             return nn.tanh(x)
         if name == "silu":
@@ -97,6 +100,10 @@ def make_activation(config: Any, default: str = "relu") -> nn.Module:
     else:
         raise TypeError(f"Cannot build activation from {config!r}")
 
+    # honour the framework-wide space/underscore key equivalence
+    # ('leaky_relu' must find the 'leaky relu' spec like any ConfigDict key)
+    if name not in ACTIVATIONS and name.replace("_", " ") in ACTIVATIONS:
+        name = name.replace("_", " ")
     if name in ACTIVATIONS:
         kwargs = {}
         for key, entry in ACTIVATIONS[name].items():

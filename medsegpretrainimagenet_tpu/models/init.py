@@ -93,9 +93,20 @@ def _normal(mean: float = 0.0, std: float = 1.0, **_ignored):
         mean + std * jax.random.normal(key, shape, dtype))
 
 
-def _trunc_normal(mean: float = 0.0, std: float = 0.02, **_ignored):
-    return lambda key, shape, dtype=jnp.float32: (
-        mean + std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype))
+def _trunc_normal(mean: float = 0.0, std: float = 0.02, a: float = -2.0,
+                  b: float = 2.0, **_ignored):
+    """timm ``trunc_normal_`` semantics: a/b are *absolute* cutoffs (for
+    the shipped Swin configs' std=0.02, a=-2, b=2 that is +/-100 sigma —
+    effectively untruncated, true std 0.02; truncating at +/-2 *sigma*
+    instead would shrink the realised std by ~12%)."""
+    def sample(key, shape, dtype=jnp.float32):
+        if std <= 0:
+            return jnp.full(shape, mean, dtype)
+        lo = (a - mean) / std
+        hi = (b - mean) / std
+        return mean + std * jax.random.truncated_normal(key, lo, hi, shape,
+                                                        dtype)
+    return sample
 
 
 def _keep(key, shape, dtype=jnp.float32):  # "torch default": leave as-is
@@ -185,6 +196,24 @@ def apply_init(params, scheme_config: Any, rng: jax.Array):
     keep their constructor defaults — the analog of the reference leaving
     uninitialisable modules at torch defaults.
     """
+    def resolve_sampler(sub, layer_name=None):
+        # the reference accepts a *list* of schemes per layer type and
+        # tries them in order until one applies (``model.py:151-162``);
+        # for kernel leaves every parametric scheme applies, so the first
+        # resolvable entry wins
+        if isinstance(sub, (list, tuple)):
+            last_exc = None
+            for element in sub:
+                try:
+                    return make_sampler(element)
+                except (KeyError, TypeError) as exc:
+                    last_exc = exc
+            raise last_exc or KeyError(
+                f"No resolvable scheme in list for {layer_name!r}")
+        if isinstance(sub, (str, ConfigDict)):
+            return make_sampler(sub)
+        return make_sampler(ConfigDict({layer_name: {}}))
+
     table = []
     if isinstance(scheme_config, ConfigDict) and any(
             k in _LAYER_PREDICATES for k in scheme_config.keys()):
@@ -194,34 +223,37 @@ def apply_init(params, scheme_config: Any, rng: jax.Array):
             pred = _LAYER_PREDICATES.get(layer_name)
             if pred is None:
                 continue
-            table.append((pred, make_sampler(
-                sub if isinstance(sub, (str, ConfigDict))
-                else ConfigDict({layer_name: {}}))))
+            table.append((pred, resolve_sampler(sub, layer_name)))
     else:
         table.append((_LAYER_PREDICATES["otherwise"],
-                      make_sampler(scheme_config)))
+                      resolve_sampler(scheme_config)))
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     keys = jax.random.split(rng, max(len(flat), 1))
     matched_parents: Dict[tuple, float] = {}
     new_leaves = []
-    for (path, leaf), key in zip(flat, keys):
-        name = getattr(path[-1], "key", str(path[-1]))
-        parent = tuple(getattr(p, "key", str(p)) for p in path[:-1])
-        value = leaf
-        for pred, (sampler, bias_fill) in table:
-            if pred(name, getattr(leaf, "ndim", 0)):
-                sampled = sampler(key, leaf.shape, leaf.dtype)
-                if sampled is not None:
-                    value = sampled
-                    matched_parents[parent] = bias_fill
-                break
-        new_leaves.append(((name, parent), value))
+    # hundreds of tiny per-leaf sampling ops: keep them on the host CPU
+    # (CLAUDE.md: never run unjitted per-leaf work on the device — over a
+    # remote TPU tunnel each dispatch is a round trip)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        for (path, leaf), key in zip(flat, keys):
+            name = getattr(path[-1], "key", str(path[-1]))
+            parent = tuple(getattr(p, "key", str(p)) for p in path[:-1])
+            value = leaf
+            for pred, (sampler, bias_fill) in table:
+                if pred(name, getattr(leaf, "ndim", 0)):
+                    sampled = sampler(key, leaf.shape, leaf.dtype)
+                    if sampled is not None:
+                        value = sampled
+                        matched_parents[parent] = bias_fill
+                    break
+            new_leaves.append(((name, parent), value))
 
-    out = []
-    for (name, parent), value in new_leaves:
-        if name == "bias" and parent in matched_parents:
-            value = jnp.full_like(value, matched_parents[parent])
-        out.append(value)
+        out = []
+        for (name, parent), value in new_leaves:
+            if name == "bias" and parent in matched_parents:
+                value = jnp.full_like(value, matched_parents[parent])
+            out.append(value)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -337,7 +337,10 @@ def train_model(model, train_data, val_data, test_data,
                 ckpt.save_state_file(
                     destination + "optimizer_state_dict.msgpack",
                     {"opt_state": state.opt_state,
-                     "step": np.asarray(state.step)})
+                     "step": np.asarray(state.step),
+                     "micro_step": np.asarray(
+                         state.micro_step if state.micro_step is not None
+                         else state.step)})
                 # file-role parity with the reference's
                 # scheduler_state_dict.pt: our schedules are pure functions
                 # of the step counter, so the "state" is that counter plus

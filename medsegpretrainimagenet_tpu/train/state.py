@@ -24,6 +24,11 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     rng_base: jax.Array
+    #: counts every train-step invocation, including apply_update=False
+    #: trailing-fragment groups — the dropout stream must advance even
+    #: when the optimizer step counter does not, or consecutive batches
+    #: reuse identical dropout/stochastic-depth masks
+    micro_step: jax.Array = None  # type: ignore[assignment]
 
     @classmethod
     def create(cls, variables: dict, opt_state, rng: jax.Array):
@@ -31,7 +36,8 @@ class TrainState:
                    batch_stats=variables.get("batch_stats", {}),
                    opt_state=opt_state,
                    step=jnp.zeros((), jnp.int32),
-                   rng_base=rng)
+                   rng_base=rng,
+                   micro_step=jnp.zeros((), jnp.int32))
 
     @property
     def variables(self) -> dict:
@@ -41,4 +47,6 @@ class TrainState:
         return out
 
     def step_rng(self) -> jax.Array:
-        return jax.random.fold_in(self.rng_base, self.step)
+        counter = self.micro_step if self.micro_step is not None \
+            else self.step  # states from before the field existed
+        return jax.random.fold_in(self.rng_base, counter)

@@ -144,15 +144,18 @@ def make_train_step(model, loss_fn: Callable, calculator,
         else:
             grad_norm = global_norm(grads, grad_clip_norm_type)
 
+        micro = (state.micro_step if state.micro_step is not None
+                 else state.step) + 1
         if apply_update:
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(params=params, batch_stats=batch_stats,
                                       opt_state=opt_state,
-                                      step=state.step + 1)
+                                      step=state.step + 1, micro_step=micro)
         else:
-            new_state = state.replace(batch_stats=batch_stats)
+            new_state = state.replace(batch_stats=batch_stats,
+                                      micro_step=micro)
 
         per_batch = {"gradient_magnitude": grad_norm,
                      "learning_rate": optimizer.lr_at(state.step)}

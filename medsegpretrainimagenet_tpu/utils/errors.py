@@ -44,11 +44,14 @@ def handle_exception(exc: BaseException, message: str = "") -> None:
 
 
 @contextmanager
-def swallow(message: str = "", reraise: Optional[type] = KeyboardInterrupt):
-    """Context manager running its body under the non-fatal envelope."""
+def swallow(message: str = ""):
+    """Context manager running its body under the non-fatal envelope.
+
+    Catches ``Exception`` only — KeyboardInterrupt / SystemExit /
+    GeneratorExit must propagate (the reference envelope is
+    ``except Exception`` too; swallowing SystemExit would make
+    ``sys.exit()`` impossible from inside the envelope)."""
     try:
         yield
-    except BaseException as exc:  # noqa: BLE001 - envelope by design
-        if reraise is not None and isinstance(exc, reraise):
-            raise
+    except Exception as exc:  # noqa: BLE001 - envelope by design
         handle_exception(exc, message)
