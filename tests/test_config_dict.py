@@ -163,3 +163,22 @@ def test_from_yaml(tmp_path):
     cd = ConfigDict.from_yaml(p)
     assert cd["data/batch_size"] == 8
     assert cd["model"] == "unet"
+
+
+def test_update_preserves_slash_values():
+    """update()/re-ingest must be idempotent under the '/'-escaping: _ESC
+    itself contains '/', so double-escaping permanently corrupted values."""
+    a = ConfigDict({"x": 1})
+    a.update(ConfigDict({"path": "data/img", "nested": {"p": "a/b/c"}}))
+    assert a["path"] == "data/img"
+    assert a["nested/p"] == "a/b/c"
+    # repeated update with the same source stays stable
+    a.update(ConfigDict({"path": "data/img"}))
+    assert a["path"] == "data/img"
+
+
+def test_has_on_list_scalar_path_returns_false():
+    cd = ConfigDict({"lst": [{"a": 1}, {"b": 2}]})
+    assert cd.has("lst/a")
+    assert not cd.has("lst/a/x")  # previously AttributeError
+    assert cd.get("lst/a/x", 42) == 42

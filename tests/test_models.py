@@ -211,3 +211,29 @@ def test_param_and_flop_counting(tmp_path):
     if flops is not None:  # backend-dependent cost analysis
         # at least the stem conv's MACs
         assert flops > 2 * 16 * 16 * 9 * 4
+
+
+def test_trunc_normal_uses_absolute_cutoffs():
+    """timm trunc_normal_(std=0.02, a=-2, b=2) is effectively untruncated
+    (cutoffs are absolute, +/-100 sigma) -> realised std == 0.02, not the
+    ~12% smaller +/-2-sigma-truncated value."""
+    from medsegpretrainimagenet_tpu.models.init import _trunc_normal
+
+    sampler = _trunc_normal(mean=0.0, std=0.02, a=-2.0, b=2.0)
+    x = np.asarray(sampler(jax.random.key(0), (200_000,)))
+    assert abs(float(x.std()) - 0.02) < 0.0005
+    assert abs(float(x.mean())) < 0.001
+
+
+def test_weight_init_scheme_list_applies_first_resolvable():
+    from medsegpretrainimagenet_tpu.config import ConfigDict as CD
+    from medsegpretrainimagenet_tpu.models.init import apply_init
+
+    params = {"conv": {"kernel": jnp.zeros((3, 3, 4, 8)),
+                       "bias": jnp.ones((8,))}}
+    out = apply_init(params, CD({"otherwise": ["he normal",
+                                               "glorot uniform"]}),
+                     jax.random.key(0))
+    kernel = np.asarray(out["conv"]["kernel"])
+    assert kernel.std() > 0  # resampled, not left at zeros
+    assert np.allclose(np.asarray(out["conv"]["bias"]), 0.0)  # bias_init 0
