@@ -405,3 +405,32 @@ def test_prefetch_yields_each_batch_once_and_skips_bad():
                                   on_error=errors.append))
     assert [int(b["x"][0, 0]) for b in got] == [0, 1, 3, 4]
     assert len(errors) == 1
+
+
+def test_run_epoch_ragged_tail_skips_update_but_counts_metrics(tmp_path):
+    """Through run_epoch: 10 samples in fragments of 4 with accumulation
+    scale 2 -> one full virtual batch (one optimizer step) + a ragged
+    tail fragment folded into metrics without stepping (reference
+    boundary semantics)."""
+    from medsegpretrainimagenet_tpu.train.loop import run_epoch
+
+    model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
+    data = synthetic_segmentation_data(n=10)
+    step = make_train_step(model, loss, calculator, optimizer, donate=False)
+
+    def loader():
+        for lo in (0, 4, 8):  # fragments of 4, 4, 2
+            yield {k: v[lo:lo + 4] for k, v in data.items()}
+
+    ms = calculator.init_state()
+    state2, ms = run_epoch(step, state, ms, loader(),
+                           accumulation_scale=2, train=True)
+    assert int(state2.step) == 1          # only the full group stepped
+    assert int(state2.micro_step) == 2    # but both invocations advanced rng
+    row = calculator.finalize_epoch(ms)
+    # all 10 samples' pixels were folded into the CM (4+4 full + 2 tail)
+    total = (row["metrics/true_positives_threshold_0.5"]
+             + row["metrics/false_positives_threshold_0.5"]
+             + row["metrics/true_negatives_threshold_0.5"]
+             + row["metrics/false_negatives_threshold_0.5"])
+    assert total == 10 * 16 * 16
