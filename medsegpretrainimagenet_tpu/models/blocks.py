@@ -210,7 +210,7 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.LayerNorm(epsilon=self.eps, dtype=compute_dtype())(x)
+        return nn.LayerNorm(epsilon=self.eps)(x)
 
 
 @register("torch.nn.Identity", "identity")
@@ -333,7 +333,7 @@ class ChannelwiseLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.LayerNorm(epsilon=self.smoothing_term, dtype=compute_dtype())(x)
+        return nn.LayerNorm(epsilon=self.smoothing_term)(x)
 
 
 @register("segmentation.models.blocks.LayerScale", "layer_scale")
