@@ -21,7 +21,6 @@ from typing import Any, Callable, Dict, List, Optional
 import numpy as np
 
 from ..config import ConfigDict, register
-from . import dataset as dataset_mod
 from .dataset import Dataset
 
 __all__ = ["MixedDataset"]

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["MetricSpec", "threshold_tag", "snake_name"]

@@ -26,8 +26,7 @@ import numpy as np
 from ..config import ConfigDict
 from .auc import AUCSpec
 from .base import MetricSpec, threshold_tag
-from .confusion import (ConfusionMatrixSpec, DerivedCMSpec,
-                        DERIVED_CM_METRICS)
+from .confusion import ConfusionMatrixSpec, DerivedCMSpec
 from .hd95 import HD95Spec
 from .multiclass import (AverageBinaryCMSpec, AverageContinuousSpec,
                          ClasswiseBinaryCMSpec, MCAccuracySpec, MCHD95Spec,

@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import register
+
 from .base import MetricSpec, threshold_tag
 
 __all__ = ["ConfusionMatrixSpec", "DerivedCMSpec", "DERIVED_CM_METRICS",

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigDict, register

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigDict
-from ..config.registry import get_kwargs, fill_spec
+from ..config.registry import get_kwargs
 from .init import apply_init, init_spec_defaults
 
 __all__ = ["Model"]

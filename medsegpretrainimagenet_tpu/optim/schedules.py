@@ -15,14 +15,13 @@ time: an epoch-unit schedule sees ``step // batches_per_epoch``.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 
 from ..config import ConfigDict, register
-from ..config.registry import fill_spec, resolve
+from ..config.registry import resolve
 
 __all__ = ["ScheduleSpec", "build_schedule", "DEFAULT_BASE_LR"]
 

@@ -14,7 +14,6 @@ the color jitter is a jnp reimplementation of
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

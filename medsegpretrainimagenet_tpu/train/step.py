@@ -19,7 +19,6 @@ tail shapes simply compile a second variant (shapes are static per epoch).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
