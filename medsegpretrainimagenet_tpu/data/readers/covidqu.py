@@ -148,12 +148,15 @@ class COVIDQUDataset(Dataset):
                 "distances.npy")))
             # keep geometry in sync with the resized images (the reference
             # never resizes distance maps, so mismatched image_sizes crash
-            # at batch assembly)
+            # at batch assembly); values measure pixel distances at the
+            # native grid, so they rescale by the (mean) zoom factor too
             if not (size[0] == size[1] == distances.shape[1]
                     == distances.shape[2]):
+                scale = (size[1] / distances.shape[1]
+                         + size[0] / distances.shape[2]) / 2.0
                 distances = np.stack(
                     [cv2.resize(d, size, interpolation=cv2.INTER_LINEAR)
-                     for d in distances])
+                     for d in distances]) * np.float32(scale)
             train_data["distance_map"] = distances[train_idcs]
             val_data["distance_map"] = distances[val_idcs]
 

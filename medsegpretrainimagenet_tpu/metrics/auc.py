@@ -29,7 +29,7 @@ from .base import MetricSpec
 __all__ = ["auroc", "average_precision", "AUCSpec", "score_histogram",
            "auroc_from_counts", "average_precision_from_counts", "N_BINS"]
 
-N_BINS = 8192
+N_BINS = 65536
 
 
 def score_histogram(scores, labels, n_bins: int = N_BINS,
@@ -161,7 +161,12 @@ class AUCSpec(MetricSpec):
     def update(self, state, prediction, batch):
         target = batch[self.label_type]
         value, valid = self._fn(prediction, target)
-        pos, neg = score_histogram(prediction, target)
+        # squash=True: the prediction may be raw logits (final_activation
+        # null) — the sigmoid is monotone so the rank statistics are
+        # unchanged, and N_BINS=65536 keeps [0, 1]-prob inputs (which land
+        # in sigma's [0.5, 0.73] band) at finer resolution than a direct
+        # 8k-bin [0, 1] histogram
+        pos, neg = score_histogram(prediction, target, squash=True)
         new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg}
         return new_state, {self.name: value}
 

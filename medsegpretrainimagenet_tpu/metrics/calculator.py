@@ -234,10 +234,9 @@ class MetricsCalculator:
                     apply_softmax=apply_softmax, label_type=label_type))
             elif name == ("metrics.multiclass_metrics."
                           "ModifiedHausdorffDistance"):
-                for t in thresholds:
-                    add(MCHD95Spec(num_classes, threshold=t,
-                                   include_background=include_bg,
-                                   label_type=label_type))
+                # argmax binarization — not threshold-dependent
+                add(MCHD95Spec(num_classes, include_background=include_bg,
+                               label_type=label_type))
             elif name in _host_logger_names():
                 # host-side epoch loggers, attached by the trainer
                 continue

@@ -167,11 +167,16 @@ class ImageLogger(HostLogger):
         os.makedirs(out_dir, exist_ok=True)
 
         saved = 0
-        # bounded scan: a split with no positive masks must not cost a
-        # whole extra epoch of forwards for zero saved images
-        max_batches = max(4, 2 * self.number_of_imgs)
+        # progress-bounded scan: keep scanning as long as positives keep
+        # turning up (reference behavior — it collects until it has the
+        # configured count), but stop after a window of fruitless batches
+        # so a negative-only split does not cost a whole extra epoch of
+        # forwards for zero saved images
+        stall_window = max(8, 2 * self.number_of_imgs)
+        last_progress = 0
         for batch_idx, batch in enumerate(loader):
-            if saved >= self.number_of_imgs or batch_idx >= max_batches:
+            if saved >= self.number_of_imgs \
+                    or batch_idx - last_progress >= stall_window:
                 break
             mask_src = batch.get("mask", batch.get("label"))
             if mask_src is None:
@@ -207,6 +212,7 @@ class ImageLogger(HostLogger):
                         fig = self._multiclass_figure(plt, img,
                                                       np.squeeze(y), y_hat)
                     saved += 1
+                    last_progress = batch_idx
                     try:
                         fig.savefig(os.path.join(
                             out_dir, f"img_{saved}.{self.extension}"),

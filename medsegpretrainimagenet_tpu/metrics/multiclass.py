@@ -293,7 +293,7 @@ class MCHD95Spec(MetricSpec):
     (both masks nonzero), degenerate classes contributing 0.
     """
 
-    def __init__(self, num_classes: int, threshold: float = 0.5,
+    def __init__(self, num_classes: int,
                  include_background: bool = False, label_type: str = "mask"):
         self.num_classes = num_classes
         self.start = int(not include_background)

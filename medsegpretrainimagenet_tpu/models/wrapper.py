@@ -251,13 +251,25 @@ class Model:
         out = dict(variables)
         out["params"] = params
         if isinstance(loaded_stats, dict) and out.get("batch_stats"):
-            # BN running stats restore alongside params (warn-only: a
-            # stats mismatch leaves init statistics, which eval would
-            # silently use otherwise)
+            # BN running stats restore alongside params (warn-only even in
+            # strict mode: a stats mismatch must at least be REPORTED —
+            # eval would otherwise silently normalize with init
+            # mean=0/var=1)
+            def stats_warn(missing, unexpected):
+                if missing:
+                    warnings.warn(
+                        f"BN running stats missing in {path}: "
+                        f"{['/'.join(p) for p in missing[:8]]} — left at "
+                        f"init statistics.")
+                if unexpected:
+                    warnings.warn(
+                        f"Unexpected BN stats in {path}: "
+                        f"{['/'.join(p) for p in unexpected[:8]]} — "
+                        f"ignored.")
+
             stats_target = _get_subtree(out["batch_stats"], subtree) \
                 if subtree else out["batch_stats"]
-            grafted_stats = _graft(stats_target, loaded_stats,
-                                   warn if not strict else None)
+            grafted_stats = _graft(stats_target, loaded_stats, stats_warn)
             out["batch_stats"] = _set_subtree(
                 out["batch_stats"], subtree, grafted_stats) \
                 if subtree else grafted_stats

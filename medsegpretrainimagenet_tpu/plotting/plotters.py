@@ -93,21 +93,28 @@ class BasePlotter:
             # multi-experiment run
             plt.close(fig)
 
-    def export_bokeh(self, *args, **kwargs):
+    def export_bokeh(self, *args, png_fallback: bool = True, **kwargs):
+        """Write the .html; with *png_fallback*, plotters lacking a bokeh
+        renderer (or hosts without bokeh) produce a .png instead, so the
+        default ``export_plots_as=('json','html')`` always yields an
+        artifact.  ``export_plot`` disables the fallback when .png is
+        already among the requested formats."""
         try:
             import bokeh  # noqa: F401
         except ImportError:
-            warnings.warn("bokeh is not installed; exporting .png instead "
-                          "of .html.")
-            return self.export_matplotlib("png", *args, **kwargs)
+            if png_fallback:
+                warnings.warn("bokeh is not installed; exporting .png "
+                              "instead of .html.")
+                return self.export_matplotlib("png", *args, **kwargs)
+            warnings.warn("bokeh is not installed; skipping .html export.")
+            return
         try:
             self.render_bokeh()
         except NotImplementedError:
-            # plotters without a bokeh renderer still produce an artifact
-            # under the default export_plots_as=('json','html')
-            warnings.warn(f"{type(self).__name__} has no bokeh renderer; "
-                          f"exporting .png instead of .html.")
-            self.export_matplotlib("png", *args, **kwargs)
+            if png_fallback:
+                warnings.warn(f"{type(self).__name__} has no bokeh "
+                              f"renderer; exporting .png instead of .html.")
+                self.export_matplotlib("png", *args, **kwargs)
 
     def render_matplotlib(self, plt):
         raise NotImplementedError
@@ -314,11 +321,14 @@ class PCAPlotter(BasePlotter):
 def export_plot(plotter: BasePlotter, extensions: Iterable[str],
                 *args, **kwargs) -> None:
     """Export a plotter to each requested format, non-fatally."""
+    requested = {str(e).lower().strip(".") for e in extensions}
     export_funcs = {
         "json": plotter.export_json,
         "png": lambda *a, **k: plotter.export_matplotlib("png", *a, **k),
         "svg": lambda *a, **k: plotter.export_matplotlib("svg", *a, **k),
-        "html": plotter.export_bokeh,
+        # don't render the png twice when it's already requested alongside
+        "html": lambda *a, **k: plotter.export_bokeh(
+            *a, png_fallback="png" not in requested, **k),
     }
     for extension in extensions:
         ext = str(extension).lower().strip(".")

@@ -106,9 +106,14 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
     imgs_nhwc_shape = _to_nhwc(imgs[:1]).shape  # probe layout cheaply
     channels = imgs_nhwc_shape[-1]
     # float stacks scaled 0-255 normalize like the readers do (uint8
-    # normalizes on device; the probe is host-side so shapes stay static)
-    scale_float = imgs.dtype != np.uint8 and \
-        float(np.asarray(imgs[:min(4, n_total)]).max()) > 1.5
+    # normalizes on device; the probe is host-side so shapes stay
+    # static).  Probe a stride-sampled subset across the whole series —
+    # the first frames alone can be near-black (blank lead slices) and
+    # would misclassify a 0-255 stack as [0, 1]
+    scale_float = False
+    if imgs.dtype != np.uint8:
+        stride = max(1, n_total // 64)
+        scale_float = float(np.asarray(imgs[::stride]).max()) > 1.5
     if repeat_channels is None:
         want = _model_in_channels(config)
         repeat_channels = bool(want and want == 3 and channels == 1)
