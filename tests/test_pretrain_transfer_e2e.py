@@ -150,10 +150,10 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
                not c.startswith("val_")]
     assert acc_col, f"no accuracy column in {list(rows[0])}"
     assert 0.0 <= float(rows[-1][acc_col[0]]) <= 1.0
-    auroc_col = [c for c in rows[0] if "roc" in c.lower() and
-                 not c.startswith("val_")]
-    assert auroc_col, f"no AUROC column in {list(rows[0])}"
-    assert 0.0 <= float(rows[-1][auroc_col[0]]) <= 1.0
+    # exact reference column name (multiclass_metrics.py:549-556): a
+    # fuzzy match here previously hid a mean_area_under_roc misnaming
+    assert "metrics/area_under_roc" in rows[0], list(rows[0])
+    assert 0.0 <= float(rows[-1]["metrics/area_under_roc"]) <= 1.0
 
     # checkpoint has the FeedForwardModel layer structure
     encoder_tree = load_encoder_params(ckpt_path)
