@@ -139,6 +139,10 @@ class GeneralPlotter(BasePlotter):
         "yscale": "linear",
         "colors": None,
         "dashes": None,
+        # reference plotters.py:258-265: optional distribution overlays
+        "histogram": {"labels": [], "Xs": [], "colors": None, "bins": 100,
+                      "density": True, "alpha": 0.5},
+        "dark": False,  # reference dark_color_settings / dark_minimal theme
     }
 
     #: bokeh dash names -> matplotlib linestyles
@@ -157,7 +161,24 @@ class GeneralPlotter(BasePlotter):
         return style
 
     def render_matplotlib(self, plt):
+        import contextlib
+        style = plt.style.context("dark_background") if self.dark \
+            else contextlib.nullcontext()  # scoped: no global style leak
+        with style:
+            return self._render_matplotlib_inner(plt)
+
+    def _render_matplotlib_inner(self, plt):
         fig, ax = plt.subplots(figsize=(8, 5))
+        hist = self.histogram or {}
+        hist_xs = hist.get("Xs", []) or []
+        hist_labels = hist.get("labels", []) or []
+        hist_colors = hist.get("colors") or ["grey"]
+        for i, xs_h in enumerate(hist_xs):
+            ax.hist(list(xs_h), bins=int(hist.get("bins", 100) or 100),
+                    density=bool(hist.get("density", True)),
+                    alpha=float(hist.get("alpha", 0.5) or 0.5),
+                    color=hist_colors[i % len(hist_colors)],
+                    label=hist_labels[i] if i < len(hist_labels) else None)
         ys_list = self.Ys or []
         labels = (self.legend or {}).get("labels", []) or []
         for i, ys in enumerate(ys_list):
@@ -179,7 +200,7 @@ class GeneralPlotter(BasePlotter):
         ax.set_yscale(self.yscale)
         if self.title:
             ax.set_title(self.title)
-        if any(labels) or baselines.get("labels"):
+        if any(labels) or baselines.get("labels") or any(hist_labels):
             ax.legend()
         ax.grid(alpha=0.3)
         return fig
