@@ -35,3 +35,65 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# reference-source imports (cross-framework parity tests)
+# ---------------------------------------------------------------------------
+
+#: packages genuinely absent from this image — ONLY these may be mocked.
+#: Mocking installed ones (sympy, einops, scipy, ...) plants MagicMocks in
+#: sys.modules that poison torch internals and every later test.
+REFERENCE_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations",
+                        "fvcore", "neptune", "timm", "nibabel",
+                        "torchvision", "medpy")
+
+
+def reference_import(*names):
+    """Context manager importing modules from ``/root/reference/src`` with
+    the genuinely-absent heavy deps mocked.
+
+    Restores ``sys.modules`` on exit: both the MagicMocks and the
+    reference's generic top-level module names (``utils``, ``data``,
+    ``metrics``, ...) must not leak into the rest of the suite.
+    """
+    import contextlib
+    import importlib
+    import importlib.abc
+    import importlib.util
+    import sys
+    from unittest.mock import MagicMock
+
+    class _Loader(importlib.abc.Loader):
+        def create_module(self, spec):
+            mod = MagicMock()
+            mod.__name__ = spec.name
+            mod.__path__ = []
+            mod.__spec__ = spec
+            return mod
+
+        def exec_module(self, module):
+            pass
+
+    class _Finder(importlib.abc.MetaPathFinder):
+        def find_spec(self, fullname, path=None, target=None):
+            if fullname.split(".")[0] in REFERENCE_MOCK_ROOTS:
+                return importlib.util.spec_from_loader(
+                    fullname, _Loader(), is_package=True)
+            return None
+
+    @contextlib.contextmanager
+    def ctx():
+        finder = _Finder()
+        before = set(sys.modules)
+        sys.meta_path.insert(0, finder)
+        sys.path.insert(0, "/root/reference/src")
+        try:
+            yield tuple(importlib.import_module(n) for n in names)
+        finally:
+            sys.meta_path.remove(finder)
+            sys.path.remove("/root/reference/src")
+            for name in set(sys.modules) - before:
+                sys.modules.pop(name, None)
+
+    return ctx()

@@ -14,42 +14,15 @@ from medsegpretrainimagenet_tpu.config import ConfigDict
 from medsegpretrainimagenet_tpu.losses import (BCELoss, CrossEntropyLoss,
                                                DiceLoss)
 
-_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
-               "neptune", "einops", "timm", "nibabel")
-
-
-class _MockLoader(importlib.abc.Loader):
-    def create_module(self, spec):
-        mod = MagicMock()
-        mod.__name__ = spec.name
-        mod.__path__ = []
-        mod.__spec__ = spec
-        return mod
-
-    def exec_module(self, module):
-        pass
+from conftest import reference_import  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def reference():
-    finder = type("F", (importlib.abc.MetaPathFinder,), {
-        "find_spec": staticmethod(
-            lambda fullname, path=None, target=None:
-            importlib.util.spec_from_loader(fullname, _MockLoader(),
-                                            is_package=True)
-            if fullname.split(".")[0] in _MOCK_ROOTS else None)})()
-    sys.meta_path.insert(0, finder)
-    sys.path.insert(0, "/root/reference/src")
-    try:
-        import importlib as _il
-        yield {
-            "seg_losses": _il.import_module("segmentation.losses.losses"),
-            "cls_losses": _il.import_module("classification.losses"),
-            "metrics": _il.import_module("metrics.metrics"),
-        }
-    finally:
-        sys.meta_path.remove(finder)
-        sys.path.remove("/root/reference/src")
+    with reference_import("segmentation.losses.losses",
+                          "classification.losses",
+                          "metrics.metrics") as (seg, cls, met):
+        yield {"seg_losses": seg, "cls_losses": cls, "metrics": met}
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +115,6 @@ def test_cm_metrics_match_reference_over_epoch(reference):
     from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
 
     ref_m = reference["metrics"]
-    cfg_ref = None
     # reference Metric objects need a _config_dict; build a minimal one
     import importlib as _il
     sys.path.insert(0, "/root/reference/src")
@@ -205,12 +177,17 @@ def test_cm_metrics_match_reference_over_epoch(reference):
         ref_values.update(out)
 
     ours = calc.finalize_epoch(state)
-    matched = 0
+    # every scalar the reference emits must exist under our metrics/ key
+    # and match — a count-based guard would let one metric's key drift
+    # while others keep the total up
+    compared = []
     for key, value in ref_values.items():
+        if not isinstance(value, (int, float, np.floating)):
+            continue
         our_key = f"metrics/{key}"
-        if our_key in ours and isinstance(value, (int, float, np.floating)):
-            np.testing.assert_allclose(ours[our_key], float(value),
-                                       rtol=1e-5, err_msg=key)
-            matched += 1
-    assert matched >= 5, f"only matched {matched}: " \
-                         f"{sorted(ref_values)} vs {sorted(ours)}"
+        assert our_key in ours, \
+            f"{our_key} missing from {sorted(ours)}"
+        np.testing.assert_allclose(ours[our_key], float(value),
+                                   rtol=1e-5, err_msg=key)
+        compared.append(key)
+    assert len(compared) >= 5, f"only compared {compared}"

@@ -15,41 +15,13 @@ from medsegpretrainimagenet_tpu.data import BalancedDataLoader
 from medsegpretrainimagenet_tpu.data.sampling import (BalancedSource,
                                                       batch_index_plan)
 
-# only modules genuinely absent from this image — mocking installed ones
-# (sympy, scipy, ...) breaks torch internals
-_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
-               "neptune", "einops", "timm", "nibabel")
-
-
-class _MockLoader(importlib.abc.Loader):
-    def create_module(self, spec):
-        mod = MagicMock()
-        mod.__name__ = spec.name
-        mod.__path__ = []
-        mod.__spec__ = spec
-        return mod
-
-    def exec_module(self, module):
-        pass
+from conftest import reference_import  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def reference_utils():
-    finder = type("F", (importlib.abc.MetaPathFinder,), {
-        "find_spec": staticmethod(
-            lambda fullname, path=None, target=None:
-            importlib.util.spec_from_loader(fullname, _MockLoader(),
-                                            is_package=True)
-            if fullname.split(".")[0] in _MOCK_ROOTS else None)})()
-    sys.meta_path.insert(0, finder)
-    sys.path.insert(0, "/root/reference/src")
-    try:
-        import importlib as _il
-        ref_data_utils = _il.import_module("data.utils")
+    with reference_import("data.utils") as (ref_data_utils,):
         yield ref_data_utils
-    finally:
-        sys.meta_path.remove(finder)
-        sys.path.remove("/root/reference/src")
 
 
 def _dataset(n=40, n_pos=10, seed=0):

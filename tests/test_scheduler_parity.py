@@ -16,46 +16,20 @@ from medsegpretrainimagenet_tpu.optim import Optimizer
 
 # only modules genuinely absent from this image — mocking installed ones
 # (sympy, scipy, ...) breaks torch internals
-_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
-               "neptune", "einops", "timm", "nibabel")
-
-
-class _MockLoader(importlib.abc.Loader):
-    def create_module(self, spec):
-        mod = MagicMock()
-        mod.__name__ = spec.name
-        mod.__path__ = []
-        mod.__spec__ = spec
-        return mod
-
-    def exec_module(self, module):
-        pass
+from conftest import reference_import  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def reference_optim():
-    finder = type("F", (importlib.abc.MetaPathFinder,), {
-        "find_spec": staticmethod(
-            lambda fullname, path=None, target=None:
-            importlib.util.spec_from_loader(fullname, _MockLoader(),
-                                            is_package=True)
-            if fullname.split(".")[0] in _MOCK_ROOTS else None)})()
-    sys.meta_path.insert(0, finder)
-    sys.path.insert(0, "/root/reference/src")
-    try:
-        import importlib as _il
-        yield (_il.import_module("optim.optimizer"),
-               _il.import_module("optim.scheduler"),
-               _il.import_module("utils"))
-    finally:
-        sys.meta_path.remove(finder)
-        sys.path.remove("/root/reference/src")
+    with reference_import("optim.optimizer", "optim.scheduler",
+                          "utils") as mods:
+        yield mods
 
 
 NUM_EPOCHS, BPE = 4, 5   # 20 steps
 
 
-def _reference_lrs(reference_optim, lr_cfg: dict, base: float):
+def _reference_lrs(reference_optim, lr_cfg: dict):
     """Run the reference Optimizer+SchedulerWrapper over NUM_EPOCHS
     (mirrors ``run_experiment.py:298-312``)."""
     ref_optim_mod, ref_sched_mod, ref_utils = reference_optim
@@ -130,11 +104,11 @@ SCHEDULES = {
 
 @pytest.mark.parametrize("name", sorted(SCHEDULES))
 def test_schedule_matches_reference(reference_optim, name):
+    # no skip envelope: every configured case drives the reference path
+    # today, and a broad `except: skip` would silently disable the whole
+    # parity guarantee on any future plumbing regression
     cfg = SCHEDULES[name]
-    try:
-        ref = _reference_lrs(reference_optim, cfg, 0.0)
-    except Exception as exc:  # noqa: BLE001 - reference path unsupported
-        pytest.skip(f"reference scheduler path failed: {exc}")
+    ref = _reference_lrs(reference_optim, cfg)
     ours = _our_lrs(ConfigDict(cfg))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-9,
                                err_msg=f"{name}\nref={ref}\nours={ours}")

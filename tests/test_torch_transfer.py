@@ -25,41 +25,18 @@ from medsegpretrainimagenet_tpu.train.checkpoint import (
 from medsegpretrainimagenet_tpu.train.torch_mapping import (
     looks_like_torch_encoder, translate_reference_encoder)
 
-_MOCK_ROOTS = ("colorcet", "bokeh", "plotly", "albumentations", "fvcore",
-               "neptune", "einops", "timm", "nibabel", "sympy")
-
-
-class _MockLoader(importlib.abc.Loader):
-    def create_module(self, spec):
-        mod = MagicMock()
-        mod.__name__ = spec.name
-        mod.__path__ = []
-        mod.__spec__ = spec
-        return mod
-
-    def exec_module(self, module):
-        pass
-
-
-class _MockFinder(importlib.abc.MetaPathFinder):
-    def find_spec(self, fullname, path=None, target=None):
-        if fullname.split(".")[0] in _MOCK_ROOTS:
-            return importlib.util.spec_from_loader(
-                fullname, _MockLoader(), is_package=True)
-        return None
+from conftest import reference_import  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def reference_encoder_factory():
     """Import the reference torch UNet_encoder with mocked heavy deps."""
-    if not importlib.util.find_spec:  # pragma: no cover
-        pytest.skip("importlib missing")
-    finder = _MockFinder()
-    sys.meta_path.insert(0, finder)
-    sys.path.insert(0, "/root/reference/src")
-    try:
-        import timm.models.layers as tml
-
+    with reference_import("timm.models.layers", "utils",
+                          "segmentation.models.blocks",
+                          "segmentation.models.unet_models") as (
+            tml, ref_utils, ref_blocks, ref_unet):
+        # timm is genuinely absent, so its mock gets REAL implementations
+        # of the two symbols the reference Swin blocks call
         class DropPath(torch.nn.Module):
             def __init__(self, p=0.0):
                 super().__init__()
@@ -74,9 +51,6 @@ def reference_encoder_factory():
 
         tml.DropPath = DropPath
         tml.trunc_normal_ = trunc_normal_
-        import utils as ref_utils
-        from segmentation.models import blocks as ref_blocks
-        from segmentation.models import unet_models as ref_unet
         RefCD = ref_utils.config_dict.ConfigDict
 
         def build(channels=(8, 8, 16), depth=1, width=2):
@@ -93,9 +67,6 @@ def reference_encoder_factory():
                 basic_block=bb)
 
         yield build
-    finally:
-        sys.meta_path.remove(finder)
-        sys.path.remove("/root/reference/src")
 
 
 def _randomise_torch(module, seed=0):
@@ -168,9 +139,6 @@ def test_full_transfer_path_through_model_wrapper(
                         channels=[8, 16])
     variables = model.init(jax.random.key(0),
                            {"x": jnp.zeros((1, 16, 16, 3))})
-    before = np.array(jax.tree_util.tree_leaves(
-        variables["params"]["enc"])[0])
-
     model_dict = ConfigDict({"weight_init": {"encoder": {
         "weights": path, "strict": False, "pretrained_encoder": True}}})
     loaded = model.init_weight(model_dict, variables, jax.random.key(1))
@@ -309,3 +277,9 @@ def test_resnet_encoder_transfer_forward_parity(reference_encoder_factory,
         np.array(out_flax), out_torch.numpy().transpose(0, 2, 3, 1),
         rtol=1e-3, atol=1e-4)
     assert len(skips_flax) == len(skips_torch)
+    # every intermediate level too — a mistranslated middle-level kernel
+    # can leave the final output plausible while skips are garbage
+    for level, (sf, st) in enumerate(zip(skips_flax, skips_torch)):
+        np.testing.assert_allclose(
+            np.array(sf), st.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-4, err_msg=f"skip level {level}")
