@@ -54,27 +54,56 @@ def tensor_parallel_shardings(params, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def _path_keys(path) -> tuple:
+    """Normalise a tree_util key path to a tuple of plain strings."""
+    keys = []
+    for entry in path:
+        if hasattr(entry, "key"):
+            keys.append(str(entry.key))
+        elif hasattr(entry, "name"):
+            keys.append(str(entry.name))
+        elif hasattr(entry, "idx"):
+            keys.append(str(entry.idx))
+        else:
+            keys.append(str(entry))
+    return tuple(keys)
+
+
 def shard_train_state(state, mesh: Mesh, axis: str = "model",
                       min_channels: int = 256):
     """Device-put a TrainState with TP params (+matching optimizer moments)
-    and replicated everything else."""
+    and replicated everything else.
+
+    Optimizer moments mirror the param *pytree structure* (optax momenta
+    are param-shaped trees nested inside the optimizer state), so each
+    opt-state leaf is matched to its parameter by the longest path
+    *suffix* that names a param leaf — never by shape, which would
+    silently co-locate two same-shaped params with different shardings
+    under one spec.  A shape guard keeps scalar bookkeeping (optax
+    ``count`` etc.) replicated.
+    """
     param_sh = tensor_parallel_shardings(state.params, mesh, axis,
                                          min_channels)
     params = jax.device_put(state.params, param_sh)
     repl = NamedSharding(mesh, P())
-    # optimizer moments mirror param shapes; match them by shape so they
-    # co-locate with their parameters (anything else replicates)
-    flat_params, _ = jax.tree_util.tree_flatten(state.params)
-    flat_shard, _ = jax.tree_util.tree_flatten(param_sh)
-    shape_to_sh = {}
-    for p, sh in zip(flat_params, flat_shard):
-        shape_to_sh.setdefault(p.shape, sh)
+    by_path = {}
+    for (path, sh), (_, p) in zip(
+            jax.tree_util.tree_flatten_with_path(param_sh)[0],
+            jax.tree_util.tree_flatten_with_path(state.params)[0]):
+        by_path[_path_keys(path)] = (sh, getattr(p, "shape", None))
 
-    def put_opt(leaf):
-        sh = shape_to_sh.get(getattr(leaf, "shape", None), repl)
-        return jax.device_put(leaf, sh)
+    def put_opt(path, leaf):
+        keys = _path_keys(path)
+        shape = getattr(leaf, "shape", None)
+        # longest matching suffix wins (ties impossible: param paths are
+        # unique and suffix lengths differ)
+        for start in range(len(keys)):
+            hit = by_path.get(keys[start:])
+            if hit is not None and hit[1] == shape:
+                return jax.device_put(leaf, hit[0])
+        return jax.device_put(leaf, repl)
 
-    opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(put_opt, state.opt_state)
     return state.replace(
         params=params, opt_state=opt_state,
         batch_stats=jax.device_put(state.batch_stats, repl),

@@ -91,6 +91,42 @@ def test_multichip_dryrun_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_tp_optimizer_state_follows_param_paths():
+    """Two same-shaped params, one TP-sharded and one not: the optimizer
+    moments must co-locate with *their* parameter (matched by pytree
+    path), not whichever same-shaped sharding was seen first."""
+    from medsegpretrainimagenet_tpu.parallel import shard_train_state
+
+    mesh = create_mesh(("data", "model"), shape=(4, 2))
+    # 'kernel' is TP-eligible (output channels 8 >= min_channels); the
+    # same-shaped 'table' leaf is not (name rule in tp._spec_for)
+    params = {"a": {"kernel": jnp.ones((4, 8))},
+              "b": {"table": jnp.ones((4, 8))}}
+    optimizer = Optimizer(ConfigDict({"sgd": {
+        "momentum": 0.9,
+        "learning_rate": {"constant": {"base": 0.05}}}}),
+        num_epochs=1, batches_per_epoch=1)
+    state = TrainState.create({"params": params},
+                              optimizer.tx.init(params), jax.random.key(0))
+    state = shard_train_state(state, mesh, min_channels=8)
+
+    assert state.params["a"]["kernel"].sharding.spec == P(None, "model")
+    assert state.params["b"]["table"].sharding.spec == P()
+    momenta = [leaf for path, leaf in
+               jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+               if getattr(leaf, "shape", None) == (4, 8)]
+    assert len(momenta) == 2
+    specs = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            state.opt_state)[0]:
+        if getattr(leaf, "shape", None) == (4, 8):
+            name = str(path[-1].key if hasattr(path[-1], "key")
+                       else path[-1])
+            specs[name] = leaf.sharding.spec
+    assert specs["kernel"] == P(None, "model")
+    assert specs["table"] == P()
+
+
 def test_tensor_parallel_2d_mesh_step():
     """DP x TP: params' large output channels sharded over 'model', batch
     over 'data'; the jitted step compiles, executes, and matches the
