@@ -9,12 +9,19 @@ the host and computes one sklearn ``roc_auc_score`` /
 TPU-native design: per-batch values are computed *on device* with one sort
 per batch — AUROC via tie-averaged ranks (Mann-Whitney U, exactly
 sklearn's trapezoid value) and AP via tie-grouped cumulative
-precision/recall (exactly sklearn's step-wise sum).  The epoch value is
-epoch-exact like the reference, but instead of hoarding every prediction
-in host RAM the scores accumulate into a fixed device-side histogram
-(``N_BINS`` buckets over [0, 1]; both metrics are rank statistics, so the
-only deviation from the unbinned value is at score-quantization
-granularity) — the host sees one (2, N_BINS) array per epoch.
+precision/recall (exactly sklearn's step-wise sum).
+
+Epoch semantics follow the reference exactly (``metrics.py:424-432``):
+the reference's ``AUC.evaluate_epoch`` returns ``value / num_batches``
+— the MEAN of the per-(virtual-)batch sklearn scores over batches with
+non-degenerate labels — so the epoch column here accumulates the
+per-batch device values and their valid count.  An *additional*
+``<name>_pooled`` column reports the whole-epoch pooled score from
+device-side score histograms (``N_BINS`` exact int32 buckets over
+[0, 1]; both metrics are rank statistics, so the only deviation from
+the unbinned pooled value is score-quantization granularity) — this is
+the epoch-exact value the reference never computes, kept because
+mean-of-batch-AUCs is statistically biased at small batch counts.
 """
 from __future__ import annotations
 
@@ -43,10 +50,13 @@ def score_histogram(scores, labels, n_bins: int = N_BINS,
     s = scores.reshape(-1).astype(jnp.float32)
     if squash:
         s = jax.nn.sigmoid(s)
-    y = labels.reshape(-1).astype(jnp.float32)
+    # int32 counts: exact to 2^31 per bin (f32 weights silently round
+    # away +1 increments once a bin passes 2^24 ≈ 16.7M pixels, reachable
+    # in one long segmentation epoch of saturated predictions)
+    y = jnp.round(labels.reshape(-1).astype(jnp.float32)).astype(jnp.int32)
     idx = jnp.clip((s * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    pos = jnp.bincount(idx, weights=y, length=n_bins)
-    neg = jnp.bincount(idx, weights=1.0 - y, length=n_bins)
+    pos = jnp.bincount(idx, weights=y, length=n_bins).astype(jnp.int32)
+    neg = jnp.bincount(idx, weights=1 - y, length=n_bins).astype(jnp.int32)
     return pos, neg
 
 
@@ -136,9 +146,10 @@ def average_precision(scores, labels):
 
 
 class AUCSpec(MetricSpec):
-    """Binary AUROC / AP: exact per-batch values + an epoch-exact value
-    from device-side score histograms (reference ``AUC`` base accumulates
-    the whole epoch's arrays and computes once, ``metrics.py:372-450``)."""
+    """Binary AUROC / AP: exact per-batch values; the epoch column is the
+    reference's mean over valid batches (``AUC.evaluate_epoch``,
+    ``metrics.py:424-432``), plus an extra ``<name>_pooled`` column with
+    the epoch-exact pooled score from device-side histograms."""
 
     KINDS = {"area_under_roc": auroc,
              "average_precision_score": average_precision}
@@ -155,8 +166,10 @@ class AUCSpec(MetricSpec):
         self._from_counts = self.FROM_COUNTS[kind]
 
     def init_state(self):
-        return {"pos": jnp.zeros((N_BINS,), jnp.float32),
-                "neg": jnp.zeros((N_BINS,), jnp.float32)}
+        return {"pos": jnp.zeros((N_BINS,), jnp.int32),
+                "neg": jnp.zeros((N_BINS,), jnp.int32),
+                "sum": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
 
     def update(self, state, prediction, batch):
         target = batch[self.label_type]
@@ -167,9 +180,13 @@ class AUCSpec(MetricSpec):
         # in sigma's [0.5, 0.73] band) at finer resolution than a direct
         # 8k-bin [0, 1] histogram
         pos, neg = score_histogram(prediction, target, squash=True)
-        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg}
+        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg,
+                     "sum": state["sum"] + jnp.where(valid, value, 0.0),
+                     "count": state["count"] + valid.astype(jnp.float32)}
         return new_state, {self.name: value}
 
     def finalize(self, host_state) -> Dict[str, float]:
-        value, _ = self._from_counts(host_state["pos"], host_state["neg"])
-        return {self.name: value}
+        count = float(host_state["count"])
+        epoch = float(host_state["sum"]) / count if count else 0.0
+        pooled, _ = self._from_counts(host_state["pos"], host_state["neg"])
+        return {self.name: epoch, self.name + "_pooled": pooled}

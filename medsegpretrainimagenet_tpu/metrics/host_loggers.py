@@ -75,6 +75,7 @@ class ImageLogger(HostLogger):
         "save sample images at": {"argument name": "active_epochs",
                                   "default": "last"},
         "draw mask contour": False,
+        "image scan stall window": 0,
     }
 
     def __init__(self, config_dict: ConfigDict, destination: str,
@@ -88,6 +89,12 @@ class ImageLogger(HostLogger):
         self.thresholds = params.get_tuple("thresholds", 0.5) \
             if hasattr(params, "get_tuple") else (0.5,)
         self.draw_contour = params.get("draw mask contour", False)
+        # 0 = scan the whole loader like the reference (img_vis.py keeps
+        # scanning until the configured count is collected); a positive
+        # value bounds the number of fruitless batches per scan so a
+        # rare-positive split doesn't cost an extra epoch of forwards
+        self.stall_window = int(params.get("image scan stall window", 0)
+                                or 0)
         self.extension = extension.lower()
         self.class_names = [str(c).replace("_", " ") for c in class_names]
         if self.num_classes > 1 and len(self.class_names) \
@@ -167,16 +174,17 @@ class ImageLogger(HostLogger):
         os.makedirs(out_dir, exist_ok=True)
 
         saved = 0
-        # progress-bounded scan: keep scanning as long as positives keep
-        # turning up (reference behavior — it collects until it has the
-        # configured count), but stop after a window of fruitless batches
-        # so a negative-only split does not cost a whole extra epoch of
-        # forwards for zero saved images
-        stall_window = max(8, 2 * self.number_of_imgs)
+        # reference behavior (img_vis.py): scan until the configured
+        # image count is collected, however late the first positive
+        # sample appears.  An optional stall window ("image scan stall
+        # window" > 0) bounds fruitless batches instead; it never applies
+        # on the 'last' pass, where completeness beats time.
+        stall_window = self.stall_window if not last else 0
         last_progress = 0
         for batch_idx, batch in enumerate(loader):
             if saved >= self.number_of_imgs \
-                    or batch_idx - last_progress >= stall_window:
+                    or (stall_window
+                        and batch_idx - last_progress >= stall_window):
                 break
             mask_src = batch.get("mask", batch.get("label"))
             if mask_src is None:

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import auc as auc_mod
 from .auc import auroc, average_precision
 from .base import MetricSpec
 from .confusion import derived_cm_value
@@ -213,22 +212,18 @@ class AverageContinuousSpec(MetricSpec):
     """Macro one-vs-rest AUROC / AP over class probability channels
     (reference ``AverageBinaryContinuousMetric``).
 
-    Reference semantics reproduced exactly: the per-batch logged value is
-    the macro mean over classes whose batch is non-degenerate; the epoch
-    value is the mean over *all* classes of each class's epoch-wide value
-    (degenerate classes contribute the neutral 0) — the reference
-    accumulates every class's full score arrays and runs sklearn once per
-    epoch; here each class accumulates a device-side score histogram
-    (rank statistics are invariant to the monotone sigmoid used to bin
-    logits), so the epoch value is exact at bin granularity.
+    Reference semantics reproduced exactly
+    (``multiclass_metrics.py:521-523`` → per-class ``AUC.evaluate_epoch``,
+    ``metrics.py:424-432``): the per-batch logged value is the macro mean
+    over classes whose batch is non-degenerate; the epoch value is the
+    mean over *all* classes of each class's MEAN of per-batch sklearn
+    scores over that class's valid batches (degenerate classes contribute
+    the neutral 0).  Each class accumulates only a (sum, count) scalar
+    pair on device — per-batch values come from one batched vmapped sort.
     """
 
     FNS = {"area_under_roc": auroc,
            "average_precision_score": average_precision}
-    FROM_COUNTS = {"area_under_roc": auc_mod.auroc_from_counts,
-                   "average_precision_score":
-                       auc_mod.average_precision_from_counts}
-    BINS = 2048  # (K-1) x BINS x 2 f32 stays ~16 MB at K=1000
 
     def __init__(self, kind: str, num_classes: int,
                  include_background: bool = False, apply_softmax: bool = False,
@@ -245,8 +240,8 @@ class AverageContinuousSpec(MetricSpec):
 
     def init_state(self):
         k = self.num_classes - self.start
-        return {"pos": jnp.zeros((k, self.BINS), jnp.float32),
-                "neg": jnp.zeros((k, self.BINS), jnp.float32)}
+        return {"sum": jnp.zeros((k,), jnp.float32),
+                "count": jnp.zeros((k,), jnp.float32)}
 
     def update(self, state, prediction, batch):
         if self.apply_softmax:
@@ -261,25 +256,19 @@ class AverageContinuousSpec(MetricSpec):
         # one batched sort for all classes' per-batch values
         values, valids = jax.vmap(fn)(scores, targets)
         valids = valids.astype(jnp.float32)
-        num_valid = jnp.sum(valids)
-        batch_value = jnp.where(num_valid > 0,
-                                jnp.sum(values * valids)
-                                / jnp.maximum(num_valid, 1), 0.0)
-        # softmax outputs are probabilities; raw logits bin via sigmoid
-        pos, neg = jax.vmap(
-            lambda s, t: auc_mod.score_histogram(
-                s, t, n_bins=self.BINS,
-                squash=not self.apply_softmax))(scores, targets)
-        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg}
+        # reference evaluate_batch (multiclass_metrics.py:514-516): mean
+        # over ALL classes, degenerate ones contributing their neutral 0
+        batch_value = jnp.mean(values)
+        new_state = {"sum": state["sum"] + values * valids,
+                     "count": state["count"] + valids}
         return new_state, {self.name: batch_value}
 
     def finalize(self, host_state) -> Dict[str, float]:
-        from_counts = self.FROM_COUNTS[self.kind]
-        pos = np.asarray(host_state["pos"])
-        neg = np.asarray(host_state["neg"])
-        values = [from_counts(pos[i], neg[i])[0]  # neutral 0 when invalid
-                  for i in range(pos.shape[0])]
-        return {self.name: float(np.mean(values)) if values else 0.0}
+        sums = np.asarray(host_state["sum"], np.float64)
+        cnts = np.asarray(host_state["count"], np.float64)
+        per_class = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        return {self.name: float(np.mean(per_class)) if per_class.size
+                else 0.0}
 
 
 class MCHD95Spec(MetricSpec):
@@ -289,8 +278,11 @@ class MCHD95Spec(MetricSpec):
     Reference semantics: predictions binarize by **argmax** (not a
     threshold — ``multiclass_metrics.py:587``), the logged name is
     ``modified_hausdorff_distance``, and the epoch value is the mean over
-    all classes of each class's epoch-wide mean hd95 over valid samples
-    (both masks nonzero), degenerate classes contributing 0.
+    all classes of each class's mean of *per-batch* values — a batch's
+    value is the mean hd95 over its valid samples (both masks nonzero),
+    and like the reference (``metrics.py:348-354``: ``if value != 0``)
+    only batches with a nonzero value count toward the per-class mean;
+    classes with no such batch contribute 0.
     """
 
     def __init__(self, num_classes: int,
@@ -309,28 +301,25 @@ class MCHD95Spec(MetricSpec):
     def update(self, state, prediction, batch):
         y = _labels_from(prediction, batch, self.label_type)
         y_hat = jnp.argmax(prediction, axis=-1)
-        per_class_sum, per_class_cnt, per_class_value = [], [], []
+        per_class_value = []
         for idx in range(self.start, self.num_classes):
             pred_bin = y_hat == idx
             true_bin = y == idx
             values, valids = jax.lax.map(
                 lambda ab: hd95_single(ab[0], ab[1]), (pred_bin, true_bin))
             num_valid = jnp.sum(valids)
-            per_class_sum.append(jnp.sum(values))
-            per_class_cnt.append(num_valid.astype(jnp.float32))
             per_class_value.append(jnp.where(
                 num_valid > 0, jnp.sum(values) / jnp.maximum(num_valid, 1),
                 0.0))
-        sums = jnp.stack(per_class_sum)
-        cnts = jnp.stack(per_class_cnt)
-        values = jnp.stack(per_class_value)
-        valids = (cnts > 0).astype(jnp.float32)
-        num_valid = jnp.sum(valids)
-        batch_value = jnp.where(
-            num_valid > 0,
-            jnp.sum(values * valids) / jnp.maximum(num_valid, 1), 0.0)
-        new_state = {"sum": state["sum"] + sums,
-                     "count": state["count"] + cnts}
+        values = jnp.stack(per_class_value)       # per-class batch values
+        valids = (values != 0).astype(jnp.float32)
+        # reference evaluate_batch (multiclass_metrics.py:611-616): mean
+        # over ALL classes, invalid ones contributing 0
+        batch_value = jnp.mean(values)
+        # per-class mean of per-batch values, counting only nonzero batch
+        # values (the reference's `if value != 0` cumulation guard)
+        new_state = {"sum": state["sum"] + values,
+                     "count": state["count"] + valids}
         return new_state, {self.name: batch_value}
 
     def finalize(self, host_state) -> Dict[str, float]:

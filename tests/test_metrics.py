@@ -297,10 +297,13 @@ def test_tversky_index_reference_weights_and_name():
         pytest.approx((2 * tp + 1) / (2 * tp + fp + fn + 1))
 
 
-def test_binary_auc_epoch_exact_over_batches(rng):
-    """Epoch AUROC/AP equal sklearn on the epoch's concatenated arrays
-    (reference AUC base semantics), not the mean of per-batch values.
-    Scores on a 1/512 grid align with the histogram bins -> exact."""
+def test_binary_auc_epoch_mean_of_batches_plus_pooled(rng):
+    """The epoch column equals the reference semantics — the MEAN of
+    per-batch sklearn scores over batches with non-degenerate labels
+    (AUC.evaluate_epoch, metrics.py:424-432) — while the extra
+    ``<name>_pooled`` column is sklearn on the epoch's concatenated
+    arrays (scores on a 1/512 grid align with the histogram bins ->
+    exact)."""
     import sklearn.metrics as sk
 
     from medsegpretrainimagenet_tpu.metrics.auc import AUCSpec
@@ -310,6 +313,9 @@ def test_binary_auc_epoch_exact_over_batches(rng):
         scores = rng.integers(0, 512, size=200).astype(np.float32) / 512.0
         labels = (rng.random(200) < 0.3).astype(np.int32)
         batches.append((scores, labels))
+    # one degenerate batch: all-negative labels -> excluded from the mean
+    batches.append((rng.random(50).astype(np.float32),
+                    np.zeros(50, np.int32)))
     all_s = np.concatenate([s for s, _ in batches])
     all_y = np.concatenate([y for _, y in batches])
     for kind, fn in (("area_under_roc", sk.roc_auc_score),
@@ -319,14 +325,19 @@ def test_binary_auc_epoch_exact_over_batches(rng):
         for s, y in batches:
             state, _ = spec.update(state, jnp.asarray(s),
                                    {"mask": jnp.asarray(y)})
-        value = spec.finalize(jax.device_get(state))[kind]
-        assert value == pytest.approx(fn(all_y, all_s), abs=1e-6), kind
+        values = spec.finalize(jax.device_get(state))
+        expected_mean = np.mean([fn(y, s) for s, y in batches
+                                 if 0 < y.sum() < len(y)])
+        assert values[kind] == pytest.approx(expected_mean, abs=1e-6), kind
+        assert values[kind + "_pooled"] == \
+            pytest.approx(fn(all_y, all_s), abs=1e-6), kind
 
 
 def test_multiclass_auroc_epoch_macro_over_classes(rng):
-    """Epoch value = mean over ALL classes of each class's epoch-wide
-    AUROC (reference AverageBinaryContinuousMetric.evaluate_epoch),
-    degenerate classes contributing 0."""
+    """Epoch value = mean over ALL classes of each class's mean of
+    per-batch AUROCs over that class's valid batches (reference
+    AverageBinaryContinuousMetric.evaluate_epoch -> per-class
+    AUC.evaluate_epoch), degenerate classes contributing 0."""
     import sklearn.metrics as sk
 
     from medsegpretrainimagenet_tpu.metrics.multiclass import (
@@ -337,24 +348,21 @@ def test_multiclass_auroc_epoch_macro_over_classes(rng):
                                  include_background=False,
                                  apply_softmax=True, label_type="label")
     state = spec.init_state()
-    all_p, all_y = [], []
+    per_class_vals = {idx: [] for idx in range(1, k)}
     for _ in range(3):
         logits = rng.normal(size=(64, k)).astype(np.float32)
         labels = rng.integers(1, k, size=64).astype(np.int32)  # class 0 absent
         state, _ = spec.update(state, jnp.asarray(logits),
                                {"label": jnp.asarray(labels)})
-        all_p.append(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-        all_y.append(labels)
-    probs = np.concatenate([np.asarray(p) for p in all_p])
-    y = np.concatenate(all_y)
-    per_class = []
-    for idx in range(1, k):
-        t = (y == idx).astype(int)
-        per_class.append(sk.roc_auc_score(t, probs[:, idx])
-                         if 0 < t.sum() < len(t) else 0.0)
-    expected = float(np.mean(per_class))
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        for idx in range(1, k):
+            t = (labels == idx).astype(int)
+            if 0 < t.sum() < len(t):
+                per_class_vals[idx].append(sk.roc_auc_score(t, probs[:, idx]))
+    expected = float(np.mean([np.mean(v) if v else 0.0
+                              for v in per_class_vals.values()]))
     got = spec.finalize(jax.device_get(state))["area_under_roc"]
-    assert got == pytest.approx(expected, abs=2e-3)  # bin-granularity
+    assert got == pytest.approx(expected, abs=1e-5)
 
 
 def test_mc_hd95_uses_argmax_not_threshold():
@@ -371,7 +379,8 @@ def test_mc_hd95_uses_argmax_not_threshold():
     state, per_batch = spec.update(state, jnp.asarray(pred),
                                    {"mask": jnp.asarray(mask)})
     value = spec.finalize(jax.device_get(state))
-    # argmax prediction == mask exactly -> distance 0, and the metric is
-    # valid (a 0.5 threshold would produce empty masks -> all-invalid)
+    # argmax prediction == mask exactly -> distance 0; the reference's
+    # `if value != 0` cumulation guard (metrics.py:348-354) means a
+    # perfect-distance batch is NOT counted toward the per-class mean
     assert value["modified_hausdorff_distance"] == pytest.approx(0.0)
-    assert float(jax.device_get(state["count"])[0]) == 1.0
+    assert float(jax.device_get(state["count"])[0]) == 0.0
