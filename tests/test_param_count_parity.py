@@ -1,0 +1,134 @@
+"""Exact parameter-count parity against the reference torch models.
+
+For every shipped reference YAML (``/root/reference/config/**``), every
+grid variant's model spec is built with ``jax.eval_shape`` and its
+parameter count compared EXACTLY to the count of the reference torch
+model constructed from the same (filled) config — the reference's
+``model/model.py:268-276`` ``get_num_params`` semantics (unique
+``data_ptr`` parameters).  A silently wrong width/depth/channel
+calculus in any config would show up as a count mismatch here.
+
+Variants that differ only in ``weight_init`` (the 19-element
+encoder-weights sweeps + freeze lists) share an architecture, so unique
+architectures are built once; the test asserts every variant mapped to
+a built architecture.
+"""
+import copy
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict, registry
+from medsegpretrainimagenet_tpu.config.grid import parse
+from medsegpretrainimagenet_tpu.models import Model
+
+from conftest import reference_import
+from test_reference_configs import _fill
+
+REFERENCE_CONFIGS = sorted(
+    glob.glob("/root/reference/config/**/*.yaml", recursive=True))
+
+pytestmark = pytest.mark.skipif(not REFERENCE_CONFIGS,
+                                reason="reference configs not mounted")
+
+
+def _arch_key(model_dict: dict) -> str:
+    """Canonical key of the architecture-affecting part of a model dict
+    (weight_init only selects/loads/freezes weights — it never changes
+    parameter shapes)."""
+    def strip(node):
+        if isinstance(node, dict):
+            return {k: strip(v) for k, v in sorted(node.items())
+                    if k not in ("weight_init", "weight_initialisation")}
+        if isinstance(node, (list, tuple)):
+            return [strip(v) for v in node]
+        return node
+    return json.dumps(strip(model_dict), sort_keys=True, default=str)
+
+
+def _flax_param_count(variant: dict) -> int:
+    cd = _fill(ConfigDict(copy.deepcopy(variant)))
+    model = registry.build(cd["model"].trim(), wrapper=Model)
+    sample = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.module.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            sample, train=False))
+    return sum(int(np.prod(s.shape)) for s in
+               jax.tree_util.tree_leaves(shapes["params"]))
+
+
+def _torch_param_count(variant: dict) -> int:
+    """Reference ``run_experiment.py:109-116,281-283`` construction path:
+    fill model defaults, then ``create_object_from_dict`` under the
+    ``Model`` wrapper, counted by ``get_num_params`` (model.py:268)."""
+    import torch
+
+    with reference_import("timm.models.layers", "utils", "model") as (
+            tml, ref_utils, ref_model):
+        # timm is genuinely absent from this image; its mock gets REAL
+        # implementations of the two symbols the reference blocks use
+        # (param-count-neutral, but constructors must not be MagicMocks)
+        class DropPath(torch.nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        def trunc_normal_(t, std=1.0, **kw):
+            with torch.no_grad():
+                t.normal_(0.0, std)
+            return t
+
+        tml.DropPath = DropPath
+        tml.trunc_normal_ = trunc_normal_
+
+        variant = copy.deepcopy(variant)
+        model_body = next(iter(variant["model"].values()))
+        if isinstance(model_body, dict) and "layers" in model_body \
+                and "model.FeedForwardModel" in variant["model"]:
+            # the shipped pretraining YAMLs say `layers`, but the
+            # reference's FeedForwardModel takes `threads` (model.py:324)
+            # with no PARAMS mapping — the reference itself needs this
+            # rename to construct these configs
+            model_body["threads"] = model_body.pop("layers")
+        cd = ref_utils.ConfigDict(variant)
+        cd.expand()
+        ref_utils.fill_dict(cd, "model")
+        ref_model.Model.fill_weight_init_kwargs(cd["model"].value())
+        # run_experiment.py:222 passes the TRIMMED config into run_exp
+        # before the model is constructed at :282 ('{concatenate: {}}'
+        # collapses back to the 'concatenate' string the decoder expects)
+        cd = cd.trim()
+        nn_model = ref_utils.create_object_from_dict(
+            cd, key="model", wrapper_class=ref_model.Model)
+        return int(nn_model.get_num_params())
+
+
+@pytest.mark.parametrize("path", REFERENCE_CONFIGS,
+                         ids=[os.path.relpath(p, "/root/reference/config")
+                              for p in REFERENCE_CONFIGS])
+def test_param_count_matches_reference_exactly(path):
+    configs, _ = parse(path)
+    assert configs, f"{path} expanded to zero experiments"
+
+    built = {}
+    for variant in configs:
+        key = _arch_key(variant["model"])
+        if key in built:
+            continue
+        flax_count = _flax_param_count(variant)
+        torch_count = _torch_param_count(variant)
+        assert flax_count == torch_count, (
+            f"{os.path.relpath(path, '/root/reference/config')}: "
+            f"flax {flax_count:,} != torch {torch_count:,} params")
+        built[key] = flax_count
+    # every grid variant resolved to a built (and verified) architecture
+    assert all(_arch_key(v["model"]) in built for v in configs)
+    assert built, "no architectures built"

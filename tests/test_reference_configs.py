@@ -51,11 +51,15 @@ def _fill(config_dict: ConfigDict):
 def test_reference_config_builds(path):
     configs, _ = parse(path)
     assert configs, f"{path} expanded to zero experiments"
+    # EVERY grid variant must survive the fill + transform pipeline (the
+    # swept encoder-weights/freeze variants differ in weight_init and
+    # name_fields, which flow through fill); exact per-variant model
+    # parameter counts are covered by tests/test_param_count_parity.py
+    for variant in configs:
+        cd = _fill(ConfigDict(variant))
+        train_tr, val_tr, _, _, _ = build_transform_pipelines(cd, seed=0)
+        assert train_tr is not None and val_tr is not None
     cd = _fill(ConfigDict(configs[0]))
-
-    # --- transforms -----------------------------------------------------
-    train_tr, val_tr, _, _, _ = build_transform_pipelines(cd, seed=0)
-    assert train_tr is not None and val_tr is not None
 
     # --- model ----------------------------------------------------------
     model = registry.build(cd["model"].trim(), wrapper=Model)
