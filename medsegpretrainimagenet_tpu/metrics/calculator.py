@@ -26,7 +26,8 @@ import numpy as np
 from ..config import ConfigDict
 from .auc import AUCSpec
 from .base import MetricSpec, threshold_tag
-from .confusion import ConfusionMatrixSpec, DerivedCMSpec
+from .confusion import (ConfusionMatrixSpec, DerivedCMSpec,
+                        is_cm_count_name)
 from .hd95 import HD95Spec
 from .multiclass import (AverageBinaryCMSpec, AverageContinuousSpec,
                          ClasswiseBinaryCMSpec, MCAccuracySpec, MCHD95Spec,
@@ -291,6 +292,8 @@ class MetricsCalculator:
                                      {r: host[r] for r in spec.reads}) \
                 if spec.reads else spec.finalize(host[key])
             for name, value in out.items():
+                if is_cm_count_name(name):
+                    continue   # reference filter: metric_wrapper.py:281
                 if isinstance(value, (int, float, np.floating, np.integer)):
                     values[f"metrics/{name}"] = float(value)
         loss_state = host.get("__loss__")
@@ -330,7 +333,7 @@ class MetricsCalculator:
                 jax.device_get(per_batch).items()}
         values = {}
         for key, value in host.items():
-            if value.ndim == 0:
+            if value.ndim == 0 and not is_cm_count_name(key):
                 values[key] = float(value)
         for spec in self.specs.values():
             if isinstance(spec, DerivedCMSpec):

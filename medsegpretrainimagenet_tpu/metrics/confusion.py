@@ -34,6 +34,22 @@ def _as_binary_maps(prediction, target):
     return prediction, target.reshape(prediction.shape)
 
 
+#: raw CM count column names — computed and fed to derived metrics, but
+#: never logged to the CSVs: the reference's aggregator drops them because
+#: its ConfusionMatrix returns torch tensors, which fail the
+#: ``isinstance(v, (int, float))`` filter (``metric_wrapper.py:281``), so
+#: reference batch/epoch logs contain only the derived scalar metrics.
+CM_COUNT_PREFIXES = ("true_positives_threshold_",
+                     "false_positives_threshold_",
+                     "true_negatives_threshold_",
+                     "false_negatives_threshold_",
+                     "class_counts_threshold_")
+
+
+def is_cm_count_name(name: str) -> bool:
+    return name.startswith(CM_COUNT_PREFIXES)
+
+
 class ConfusionMatrixSpec(MetricSpec):
     """TP/FP/TN/FN accumulator at one threshold.
 

@@ -94,6 +94,14 @@ def reference_import(*names):
             sys.meta_path.remove(finder)
             sys.path.remove("/root/reference/src")
             for name in set(sys.modules) - before:
-                sys.modules.pop(name, None)
+                mod = sys.modules.get(name)
+                src = getattr(mod, "__file__", "") or ""
+                is_mock = name.split(".")[0] in REFERENCE_MOCK_ROOTS
+                # only drop the MagicMocks and the reference's own
+                # modules; popping third-party modules imported lazily
+                # inside the context (torch._inductor & co) breaks their
+                # re-import (duplicate TORCH_LIBRARY registrations)
+                if is_mock or src.startswith("/root/reference/"):
+                    sys.modules.pop(name, None)
 
     return ctx()

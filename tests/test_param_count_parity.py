@@ -54,7 +54,12 @@ def _arch_key(model_dict: dict) -> str:
 def _flax_param_count(variant: dict) -> int:
     cd = _fill(ConfigDict(copy.deepcopy(variant)))
     model = registry.build(cd["model"].trim(), wrapper=Model)
-    sample = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    # flax infers input-feature counts at trace time, so the sample must
+    # carry the configured in-channel size (all 15 shipped configs use 3)
+    body = cd["model"].value()
+    img_ch = int(body.get("architecture/in channel size", 3)
+                 if body.has("architecture") else 3)
+    sample = jnp.zeros((1, 224, 224, img_ch), jnp.float32)
     shapes = jax.eval_shape(
         lambda: model.module.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},

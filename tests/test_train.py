@@ -428,9 +428,11 @@ def test_run_epoch_ragged_tail_skips_update_but_counts_metrics(tmp_path):
     assert int(state2.step) == 1          # only the full group stepped
     assert int(state2.micro_step) == 2    # but both invocations advanced rng
     row = calculator.finalize_epoch(ms)
-    # all 10 samples' pixels were folded into the CM (4+4 full + 2 tail)
-    total = (row["metrics/true_positives_threshold_0.5"]
-             + row["metrics/false_positives_threshold_0.5"]
-             + row["metrics/true_negatives_threshold_0.5"]
-             + row["metrics/false_negatives_threshold_0.5"])
+    # raw CM counts never reach the logged row (reference filter,
+    # metric_wrapper.py:281) ...
+    assert not any("true_positives" in k for k in row)
+    # ... but all 10 samples' pixels were folded into the CM state
+    # (4+4 full + 2 tail)
+    cm = jax.device_get(ms["cm_0.5"])
+    total = float(cm["tp"] + cm["fp"] + cm["tn"] + cm["fn"])
     assert total == 10 * 16 * 16

@@ -1,0 +1,297 @@
+"""Whole-loop training-trajectory parity vs the reference torch loop.
+
+Runs the reference's ACTUAL training loop (``train_model.py:132-316``,
+imported from ``/root/reference/src`` with only genuinely-absent deps
+mocked) and this framework's ``train/loop.py`` on the SAME synthetic
+segmentation data (identical fragment lists, no shuffling), the SAME
+config (small basic U-Net, DiceLoss, SGD+momentum, poly LR decay per
+batch, grad clipping) and — via a torch→flax weight transplant — the
+IDENTICAL initial weights.  With gradient accumulation disabled the two
+loops are step-for-step numerically equivalent, so per-epoch train
+loss/Dice must match to float-accumulation precision over the whole run;
+one mis-wired component (loss scaling, optimizer-step boundary, BN
+fragment semantics, scheduler stepping, metric epoch aggregation) breaks
+it (VERDICT r1 §missing 1).
+
+Known, deliberate deviation — reference gradient-accumulation bug:
+``train_model.py:55-58`` calls ``optimizer.zero_grad()`` on the *step*
+fragment BEFORE that fragment's backward, wiping all previously
+accumulated fragment gradients; combined with the ``loss /
+accumulation_scale`` scaling (``loss/loss.py:84-87``) every reference
+optimizer step under accumulation uses only the LAST fragment's gradient
+divided by the accumulation scale.  (The shipped pretraining configs run
+at accumulation 8-11×, so the reference's "4096-batch" pretraining was
+effectively 384-512-batch at ~1/8th learning rate.)  This framework
+implements true mean-of-fragments accumulation; the second test pins the
+deviation: same init, accumulation 2 — ours must converge at least as
+fast.  See PARITY.md "Descoped, and why".
+"""
+import csv
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from medsegpretrainimagenet_tpu.config import ConfigDict, registry
+from medsegpretrainimagenet_tpu.losses import Loss
+from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
+from medsegpretrainimagenet_tpu.models import Model
+from medsegpretrainimagenet_tpu.optim import Optimizer
+from medsegpretrainimagenet_tpu.train import TrainState, train_model
+
+from conftest import reference_import
+from test_reference_configs import _fill
+
+N_EPOCHS = 6
+N_TRAIN, N_VAL = 16, 8
+SIZE = 16
+TBS = 4                   # fragment (true-batch) size
+DICE = "metrics/dice_index_threshold_0.5"
+
+
+def _experiment_config(destination: str) -> dict:
+    return {
+        "model": {"segmentation.models.UNet": {
+            "architecture": {
+                "in channel size": 1, "out channel size": 1,
+                "channels": (8, 16), "depth": 1,
+                "activation function": {"final": "sigmoid"}},
+            "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
+                "a": 0, "mode": "fan_in", "nonlinearity": "relu"}}}}},
+        "training": {
+            "loss": {"segmentation.losses.DiceLoss": {}},
+            "optimizer": {"sgd": {
+                "momentum": 0.9, "weight_decay": 0.0,
+                "learning_rate": {"optim.scheduler.PolyLearningRateDecay": {
+                    "base": 0.05, "exponent": 0.9,
+                    "iteration_unit": "batch",
+                    "number_of_iterations": "auto"}}}},
+            "gradient_clipping": {"max_value": 1.0, "norm": 2.0}},
+        "metrics": {"metrics": ("metrics.DiceIndex",),
+                    "calculation": {"thresholds": 0.5,
+                                    "label_type": "mask"}},
+        "experiment": {"number_of_epochs": N_EPOCHS,
+                       "number_of_trials": 1},
+        "meta": {"technical": {
+            "log_to_device": True, "verbose": False,
+            "log_best_model": False, "log_last_model": False,
+            "absolute_path": destination}},
+    }
+
+
+def _fragments(n, rng):
+    """Deterministic learnable data, pre-cut into fragment dicts of TBS."""
+    xs, masks = [], []
+    for _ in range(n):
+        x = rng.random((SIZE, SIZE, 1)).astype(np.float32) * 0.3
+        cx, cy = rng.integers(4, SIZE - 4, 2)
+        x[cx - 3:cx + 3, cy - 3:cy + 3] += 0.7
+        xs.append(x)
+        masks.append((x[..., 0] > 0.5).astype(np.int64))
+    xs, masks = np.stack(xs), np.stack(masks)
+    return [{"x": xs[i:i + TBS], "mask": masks[i:i + TBS]}
+            for i in range(0, n, TBS)]
+
+
+def _read_epoch_logs(path):
+    with open(path) as fh:
+        return list(csv.DictReader(fh))
+
+
+# ---------------------------------------------------------------------------
+# reference runner (actual /root/reference/src/train_model.py loop)
+# ---------------------------------------------------------------------------
+
+def _run_reference(tmp_path, seed: int, vbs: int):
+    """Run the reference loop; returns (epoch_rows, initial_weights)."""
+    import torch
+
+    destination = str(tmp_path) + f"/ref_{seed}_{vbs}/"
+    os.makedirs(destination + "run", exist_ok=True)
+    with reference_import("timm.models.layers", "utils", "model", "optim",
+                          "loss", "metrics", "train_model") as (
+            tml, ref_utils, ref_model, ref_optim, ref_loss, ref_metrics,
+            ref_tm):
+        class DropPath(torch.nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        tml.DropPath = DropPath
+        tml.trunc_normal_ = lambda t, std=1.0, **kw: t
+
+        # the reference loop swallows exceptions (catch-log-continue);
+        # for a parity test any exception means mis-wiring -> raise
+        def reraise(e, msg, **kw):
+            raise e
+        ref_tm.handle_exception = reraise
+
+        cd = ref_utils.ConfigDict(_experiment_config(destination))
+        cd.expand()
+        cd.fill_with_defaults(ref_utils.default_dict)
+        for key in ("model", "training/loss"):
+            ref_utils.fill_dict(cd, key)
+        ref_model.Model.fill_weight_init_kwargs(cd["model"].value())
+        ref_optim.Optimizer.fill_kwargs(cd["training/optimizer"])
+        ref_metrics.MetricsCalculator.fill_kwargs(cd)
+        cd = cd.trim()      # run_experiment.py:222 trims before run_exp
+
+        torch.manual_seed(seed)
+        nn_model = ref_utils.create_object_from_dict(
+            cd, key="model", wrapper_class=ref_model.Model)
+        nn_model.init_weight(cd["model"].value())     # run_experiment.py:291
+        init_weights = {n: p.detach().numpy().copy()
+                        for n, p in nn_model.named_parameters()}
+
+        optimizer = ref_optim.Optimizer(cd["training/optimizer"],
+                                        nn_model.parameters())
+        scheduler_dict = cd["training/optimizer"].value()["learning_rate"]
+        scheduler = ref_utils.create_object_from_dict(
+            scheduler_dict,
+            wrapper_class=ref_optim.scheduler.SchedulerWrapper,
+            optimizer=optimizer, num_epochs=N_EPOCHS,
+            batches_per_epoch=N_TRAIN // vbs)
+        loss_fn = ref_utils.create_object_from_dict(
+            cd, key="training/loss", wrapper_class=ref_loss.Loss)
+        calcs = ref_metrics.MetricsCalculator(cd, validate=True,
+                                              exp_name="run", loss=loss_fn,
+                                              class_names=())
+
+        to_t = lambda frags: [
+            {"x": torch.as_tensor(np.moveaxis(f["x"], -1, 1)),
+             "mask": torch.as_tensor(f["mask"])} for f in frags]
+        train_frags = to_t(_fragments(N_TRAIN, np.random.default_rng(42)))
+        val_frags = to_t(_fragments(N_VAL, np.random.default_rng(77)))
+
+        ref_tm.train_model(
+            nn_model, train_frags, val_frags, None, cd,
+            optimizer=optimizer, scheduler=scheduler,
+            metrics_and_loss=calcs, name="run",
+            virtual_batch_size=vbs, true_batch_size=TBS, verbose=False,
+            grad_clip_value=cd.get("training/gradient_clipping/max_value"),
+            grad_clip_norm_type=cd.get("training/gradient_clipping/norm"))
+    return _read_epoch_logs(destination + "run/epoch_logs.csv"), init_weights
+
+
+# ---------------------------------------------------------------------------
+# this framework's runner (train/loop.py), seeded from the torch weights
+# ---------------------------------------------------------------------------
+
+def _transplant(params, tw):
+    """Torch (OIHW) state -> flax (HWIO) param tree for the test's
+    depth-1/(8,16) basic U-Net (same pairing the torch-transfer tests
+    use; scoped to this fixed architecture)."""
+    conv = lambda w: np.moveaxis(w, (0, 1), (3, 2))
+
+    def blk(dst, pfx):
+        dst["Conv_0"]["kernel"] = conv(tw[pfx + ".block.0.weight"])
+        dst["Conv_0"]["bias"] = tw[pfx + ".block.0.bias"]
+        dst["BatchNorm_0"]["scale"] = tw[pfx + ".block.1.weight"]
+        dst["BatchNorm_0"]["bias"] = tw[pfx + ".block.1.bias"]
+        dst["Conv_1"]["kernel"] = conv(tw[pfx + ".block.3.weight"])
+        dst["Conv_1"]["bias"] = tw[pfx + ".block.3.bias"]
+        dst["BatchNorm_1"]["scale"] = tw[pfx + ".block.4.weight"]
+        dst["BatchNorm_1"]["bias"] = tw[pfx + ".block.4.bias"]
+
+    p = params
+    p["enc"]["stem_block"]["Conv_0"]["kernel"] = conv(
+        tw["model.encoder.first_block.model.weight"])
+    p["enc"]["stem_block"]["Conv_0"]["bias"] = \
+        tw["model.encoder.first_block.model.bias"]
+    blk(p["enc"]["level_convs_0_0"],
+        "model.encoder.down_layers.0.conv0.model")
+    blk(p["enc"]["bottom_convs_0"], "model.encoder.bottom_block.conv0.model")
+    blk(p["dec"]["level_convs_0_0"],
+        "model.decoder.up_layers.0.conv0.model")
+    p["dec"]["upsamples_0"]["Conv_0"]["kernel"] = conv(
+        tw["model.decoder.up_layers.0.upsampl.model.convup.1.weight"])
+    p["dec"]["upsamples_0"]["Conv_0"]["bias"] = \
+        tw["model.decoder.up_layers.0.upsampl.model.convup.1.bias"]
+    p["dec"]["final"]["Conv_0"]["kernel"] = conv(
+        tw["model.decoder.final_block.model.weight"])
+    p["dec"]["final"]["Conv_0"]["bias"] = \
+        tw["model.decoder.final_block.model.bias"]
+    return p
+
+
+def _run_ours(tmp_path, seed: int, vbs: int, torch_weights):
+    import jax.numpy as jnp
+
+    destination = str(tmp_path) + f"/jax_{seed}_{vbs}/"
+    os.makedirs(destination + "run", exist_ok=True)
+    cd = _fill(ConfigDict(_experiment_config(destination)))
+
+    model = registry.build(cd["model"].trim(), wrapper=Model)
+    variables = dict(model.init(
+        jax.random.key(seed),
+        {"x": jnp.zeros((1, SIZE, SIZE, 1), jnp.float32)}))
+    variables["params"] = _transplant(
+        jax.device_get(variables["params"]), torch_weights)
+
+    optimizer = Optimizer(cd["training/optimizer"], num_epochs=N_EPOCHS,
+                          batches_per_epoch=N_TRAIN // vbs)
+    state = TrainState.create(variables,
+                              optimizer.tx.init(variables["params"]),
+                              jax.random.key(seed + 1))
+    loss = registry.build(cd["training/loss"].trim(), wrapper=Loss)
+    calculator = MetricsCalculator(cd, loss=loss)
+
+    train_frags = _fragments(N_TRAIN, np.random.default_rng(42))
+    val_frags = _fragments(N_VAL, np.random.default_rng(77))
+
+    train_model(model, train_frags, val_frags, None, cd, optimizer, state,
+                loss=loss, metrics_and_loss=calculator, name="run",
+                virtual_batch_size=vbs, true_batch_size=TBS, verbose=False,
+                grad_clip_value=cd.get("training/gradient_clipping/max_value"),
+                grad_clip_norm_type=cd.get("training/gradient_clipping/norm"))
+    return _read_epoch_logs(destination + "run/epoch_logs.csv")
+
+
+def test_whole_loop_trajectory_matches_reference_bitwise(tmp_path):
+    """No accumulation (VBS == TBS == 4 -> 4 optimizer steps/epoch):
+    identical init + data + hyperparams means the reference loop and ours
+    must produce the same epoch trajectories to float precision."""
+    ref_rows, init_w = _run_reference(tmp_path, seed=0, vbs=TBS)
+    our_rows = _run_ours(tmp_path, seed=0, vbs=TBS, torch_weights=init_w)
+
+    # -- epoch_logs schema: every reference column exists here; extras
+    #    are only the documented _pooled AUC columns (none in this set)
+    ref_cols = set(ref_rows[0].keys())
+    our_cols = set(our_rows[0].keys())
+    assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
+    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    assert not extras, f"undocumented extra columns: {extras}"
+    assert len(ref_rows) == len(our_rows) == N_EPOCHS
+
+    for i, (ref_row, our_row) in enumerate(zip(ref_rows, our_rows)):
+        assert float(ref_row["learning_rate"]) == pytest.approx(
+            float(our_row["learning_rate"]), rel=1e-6), f"epoch {i}"
+        # train columns: same forward/backward stream, tight
+        for col in (DICE, "dice_loss"):
+            assert float(ref_row[col]) == pytest.approx(
+                float(our_row[col]), abs=2e-3), f"epoch {i}: {col}"
+        # val columns ride on BN running stats (more float accumulation)
+        for col in ("val_" + DICE, "val_dice_loss"):
+            assert float(ref_row[col]) == pytest.approx(
+                float(our_row[col]), abs=8e-3), f"epoch {i}: {col}"
+
+    # the run must have actually learned (guards against a frozen model
+    # passing the deltas trivially)
+    assert float(our_rows[-1][DICE]) > 2 * float(our_rows[0][DICE])
+
+
+def test_accumulation_deviation_converges_at_least_as_fast(tmp_path):
+    """Accumulation 2 (VBS 8 / TBS 4): the reference's zero_grad-order
+    bug makes it step with only the last fragment's gradient / 2, so with
+    identical init OUR loop (true mean-of-fragments accumulation) must
+    reach a lower final train loss — pinning the documented deviation."""
+    ref_rows, init_w = _run_reference(tmp_path, seed=0, vbs=2 * TBS)
+    our_rows = _run_ours(tmp_path, seed=0, vbs=2 * TBS, torch_weights=init_w)
+    ref_final = float(ref_rows[-1]["dice_loss"])
+    our_final = float(our_rows[-1]["dice_loss"])
+    assert our_final < ref_final, (ref_final, our_final)
+    # and both loops still learned
+    assert float(ref_rows[-1][DICE]) > float(ref_rows[0][DICE])
