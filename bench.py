@@ -1,11 +1,26 @@
-"""Headline benchmark: images/sec/chip, basic U-Net 256² forward+backward.
+"""Benchmarks: the three model families + e2e input-path breakdown + MFU.
 
-Matches the BASELINE.json metric ("images/sec/chip U-Net 256² fwd+bwd");
-``vs_baseline`` is the speedup over a PyTorch-CPU forward+backward of the
-equivalent model measured on this host (the reference is CUDA/CPU PyTorch,
-``src/segmentation/models/unet_models.py``; >5x is the north star).
+Emits one JSON line per metric ({"metric", "value", "unit",
+"vs_baseline", "mfu", "extras"}), with the HEADLINE metric — basic
+U-Net 256² train images/sec/chip, the BASELINE.json number — printed
+LAST so a last-line parser records it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``unet256_train``  — depth-4/64-ch U-Net, bf16 train step (headline;
+  ``vs_baseline`` = speedup over a ≥10-step PyTorch-CPU fwd+bwd of the
+  equivalent model on this host, reference ``unet_models.py``)
+* ``swin224_train``  — Swin U-Net 224² bf16 train step
+* ``swin224_eval``   — Swin U-Net eval forward (Pallas window-attention
+  dispatch path, ``ops/window_attention.py``)
+* ``pretrain224_train`` — ImageNet-style pretraining step: U-Net encoder
+  + GAP + 1000-way head, CE loss, uint8 H2D batches
+* ``covidqu256_e2e_breakdown`` — host-assemble / H2D / device-step time
+  split for the downstream input path (uint8 transfer)
+
+``mfu`` is model-FLOPs-utilization from XLA's compiled cost analysis
+against the chip's peak bf16 FLOP/s (override via BENCH_PEAK_TFLOPS).
+
+Env knobs: BENCH_BATCH, BENCH_SIZE, BENCH_STEPS, BENCH_MP=0 (disable
+bf16), BENCH_METRICS=comma list (default all), BENCH_TORCH_STEPS.
 """
 from __future__ import annotations
 
@@ -18,10 +33,82 @@ import time
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
-TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "2"))
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
+SWIN_BATCH = int(os.environ.get("BENCH_SWIN_BATCH", "24"))
+PRETRAIN_BATCH = int(os.environ.get("BENCH_PRETRAIN_BATCH", "64"))
+ALL_METRICS = ("swin224_train", "swin224_eval", "pretrain224_train",
+               "covidqu256_e2e_breakdown", "unet256_train")
+METRICS = tuple(m for m in os.environ.get(
+    "BENCH_METRICS", ",".join(ALL_METRICS)).split(",") if m)
+
+#: peak dense bf16 FLOP/s per chip by device_kind substring
+_PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+          "v4": 275e12, "v6": 918e12, "v6e": 918e12}
 
 
-def bench_jax() -> float:
+def _peak_flops():
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+        for key, peak in _PEAKS.items():
+            if key in kind:
+                return peak
+    except Exception:
+        pass
+    return 197e12  # assume v5e
+
+
+def _flops_per_step(jitted, *args):
+    """Per-step FLOPs from XLA's compiled cost analysis (None if the
+    backend does not report it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _sync(value):
+    """Drain the execution queue: scalar readback (block_until_ready does
+    not sync over the axon remote-TPU tunnel)."""
+    import numpy as np
+    float(np.asarray(value).reshape(-1)[0])
+
+
+def _time_steps(run_step, n=STEPS):
+    """sec/step of ``run_step()`` (must return something chained on the
+    updated state so the readback drains the queue)."""
+    out = run_step()    # warmup is the caller's responsibility
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = run_step()
+    _sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def _emit(metric, value, unit, vs_baseline=None, mfu=None, extras=None):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(vs_baseline, 2) if vs_baseline else None}
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    if extras:
+        line["extras"] = extras
+    print(json.dumps(line), flush=True)
+    return line
+
+
+# ---------------------------------------------------------------------------
+# U-Net 256 (headline)
+# ---------------------------------------------------------------------------
+
+def _unet_step_setup(batch=BATCH, size=SIZE):
     import jax
     import jax.numpy as jnp
     import optax
@@ -32,8 +119,8 @@ def bench_jax() -> float:
     if os.environ.get("BENCH_MP", "1") == "1":
         set_compute_dtype(jnp.bfloat16)  # bf16 activations (params f32)
     module = UNet(img_ch=3, output_ch=1, depth=4)
-    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
-    y = jnp.zeros((BATCH, SIZE, SIZE), jnp.float32)
+    x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
+    y = jnp.zeros((batch, size, size), jnp.float32)
     variables = module.init(jax.random.key(0), x, train=True)
     params, batch_stats = variables["params"], variables.get(
         "batch_stats", {})
@@ -58,20 +145,267 @@ def bench_jax() -> float:
         params = optax.apply_updates(params, updates)
         return params, batch_stats, opt_state, loss
 
-    # compile + warmup; sync via scalar readback (block_until_ready does
-    # not drain the remote-TPU execution queue on every backend)
-    params, batch_stats, opt_state, loss = train_step(
-        params, batch_stats, opt_state, x, y)
-    float(loss)
+    return train_step, [params, batch_stats, opt_state], (x, y)
+
+
+def bench_unet256():
+    step, carry, (x, y) = _unet_step_setup()
+    flops = _flops_per_step(step, *carry, x, y)
+
+    def run():
+        carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
+                                                  carry[2], x, y)
+        return loss
+
+    run(); _sync(run())          # compile + warm
+    sec = _time_steps(run)
+    img_s = BATCH / sec
+    mfu = (flops / sec) / _peak_flops() if flops else None
+    try:
+        baseline = _cached_baseline()
+    except Exception:
+        baseline = None
+    return _emit("unet256_train_images_per_sec_per_chip", img_s,
+                 "images/sec/chip",
+                 vs_baseline=img_s / baseline if baseline else None,
+                 mfu=mfu,
+                 extras={"sec_per_step": round(sec, 5),
+                         "flops_per_step": flops, "batch": BATCH})
+
+
+# ---------------------------------------------------------------------------
+# Swin U-Net 224
+# ---------------------------------------------------------------------------
+
+def _swin_module(size=224):
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.models import UNet
+    return UNet(
+        img_ch=3, output_ch=1, depth=3, width=2,
+        channels=[96, 192, 384, 768], change_channels_in_block=False,
+        trainable_downsampling=True, stochastic_depth_rate=0.2,
+        final_activation="sigmoid",
+        basic_block=ConfigDict(
+            {"segmentation.models.blocks.SwinTransformerBlock": {
+                "img_size": size, "patch_size": 4, "embed_dim": 96,
+                "num_heads_layers": (3, 6, 12, 24), "window_size": 7}}),
+        mixing_block=ConfigDict(
+            {"segmentation.models.blocks.ConcatLinearBlock": {
+                "halve_channels": True, "pass_all_input": True}}),
+        preproc_block=ConfigDict(
+            {"segmentation.models.blocks.PatchEmbed": {"patch_size": 4}}),
+        downsampling_block=ConfigDict(
+            {"segmentation.models.blocks.PatchMerging": {}}),
+        upsampling_block=ConfigDict(
+            {"segmentation.models.blocks.PatchExpand": {"dim_scale": 2}}),
+        final_block=ConfigDict(
+            {"segmentation.models.blocks.FinalPatchExpand_X4": {
+                "dim_scale": 4}}),
+    )
+
+
+def bench_swin224(train: bool):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    size = 224
+    module = _swin_module(size)
+    x = jnp.zeros((SWIN_BATCH, size, size, 3), jnp.bfloat16)
+    y = jnp.zeros((SWIN_BATCH, size, size), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+
+    if train:
+        tx = optax.sgd(1e-3, momentum=0.9)
+        opt_state = tx.init(params)
+        rng = jax.random.key(1)
+
+        def loss_fn(params, x, y, rng):
+            pred = module.apply({"params": params}, x, train=True,
+                                rngs={"dropout": rng})
+            pred = pred[..., 0].astype(jnp.float32)
+            eps = 1e-5
+            inter = jnp.sum(pred * y)
+            return 1 - (2 * inter + eps) / (jnp.sum(y)
+                                            + jnp.sum(pred ** 2) + eps)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, x, y, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        flops = _flops_per_step(step, params, opt_state, x, y, rng)
+        carry = [params, opt_state]
+
+        def run():
+            carry[0], carry[1], loss = step(carry[0], carry[1], x, y, rng)
+            return loss
+        name = "swin224_train_images_per_sec_per_chip"
+    else:
+        @jax.jit
+        def fwd(params, x):
+            return module.apply({"params": params}, x, train=False)
+
+        flops = _flops_per_step(fwd, params, x)
+
+        def run():
+            return fwd(params, x)
+        name = "swin224_eval_images_per_sec_per_chip"
+
+    run(); _sync(run())
+    sec = _time_steps(run)
+    img_s = SWIN_BATCH / sec
+    mfu = (flops / sec) / _peak_flops() if flops else None
+    return _emit(name, img_s, "images/sec/chip", mfu=mfu,
+                 extras={"sec_per_step": round(sec, 5),
+                         "flops_per_step": flops, "batch": SWIN_BATCH})
+
+
+# ---------------------------------------------------------------------------
+# ImageNet-style pretraining step (encoder + head, CE)
+# ---------------------------------------------------------------------------
+
+def bench_pretrain224():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from medsegpretrainimagenet_tpu.models import UNetEncoder
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    size, n_classes = 224, 1000
+    encoder = UNetEncoder(in_channel_size=3, depth=4)
+    x0 = jnp.zeros((PRETRAIN_BATCH, size, size, 3), jnp.float32)
+    enc_vars = encoder.init(jax.random.key(0), x0, train=True)
+    import jax.random as jrandom
+    head_w = jrandom.normal(jrandom.key(1), (1024, n_classes),
+                            jnp.float32) * 0.01
+    head_b = jnp.zeros((n_classes,), jnp.float32)
+    params = {"enc": enc_vars["params"], "head_w": head_w, "head_b": head_b}
+    batch_stats = enc_vars.get("batch_stats", {})
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+
+    # uint8 H2D batches (the pretraining input path: quarter the transfer)
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(rng.integers(0, 256, (PRETRAIN_BATCH, size, size, 3),
+                                    dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, n_classes, (PRETRAIN_BATCH,),
+                                      dtype=np.int32))
+
+    def loss_fn(params, batch_stats, x_u8, labels):
+        x = x_u8.astype(jnp.float32) / 255.0
+        feats, updates = encoder.apply(
+            {"params": params["enc"], "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats"])
+        if isinstance(feats, (tuple, list)):
+            feats = feats[0]
+        pooled = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
+        logits = pooled @ params["head_w"] + params["head_b"]
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        return loss, updates["batch_stats"]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, batch_stats, opt_state, x_u8, labels):
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, x_u8, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), batch_stats,
+                opt_state, loss)
+
+    flops = _flops_per_step(step, params, batch_stats, opt_state, x_u8,
+                            labels)
+    carry = [params, batch_stats, opt_state]
+
+    def run():
+        carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
+                                                  carry[2], x_u8, labels)
+        return loss
+
+    run(); _sync(run())
+    sec = _time_steps(run)
+    img_s = PRETRAIN_BATCH / sec
+    mfu = (flops / sec) / _peak_flops() if flops else None
+    return _emit("pretrain224_train_images_per_sec_per_chip", img_s,
+                 "images/sec/chip", mfu=mfu,
+                 extras={"sec_per_step": round(sec, 5),
+                         "flops_per_step": flops, "batch": PRETRAIN_BATCH})
+
+
+# ---------------------------------------------------------------------------
+# E2E input-path breakdown (host assemble / H2D / device step)
+# ---------------------------------------------------------------------------
+
+def bench_e2e_breakdown():
+    import jax
+    import numpy as np
+
+    # host: fragment gather + stack, the loop's actual host work
+    # (data/sampling assemble + train/loop._stack_fragments)
+    pool = np.random.default_rng(0).integers(
+        0, 256, (max(64, 4 * BATCH), SIZE, SIZE, 3), dtype=np.uint8)
+    masks = np.zeros((pool.shape[0], SIZE, SIZE), np.uint8)
+    idx = np.arange(BATCH)
+
+    def host_assemble():
+        sel = (idx * 3) % pool.shape[0]
+        return {"x": np.stack([pool[i] for i in sel]),
+                "mask": np.stack([masks[i] for i in sel])}
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, y)
-    float(loss)  # the step chain serializes on params; this drains it
-    dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    for _ in range(20):
+        batch = host_assemble()
+    host_sec = (time.perf_counter() - t0) / 20
 
+    # H2D: uint8 batch transfer + sync
+    def h2d():
+        dev = jax.device_put(batch)
+        _sync(dev["x"][0, 0, 0])
+        return dev
+
+    h2d()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        h2d()
+    h2d_sec = (time.perf_counter() - t0) / 10
+
+    # device step (reuses the headline model)
+    step, carry, (x, y) = _unet_step_setup()
+
+    def run():
+        carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
+                                                  carry[2], x, y)
+        return loss
+
+    run(); _sync(run())
+    step_sec = _time_steps(run, n=10)
+
+    total = host_sec + h2d_sec + step_sec     # un-overlapped lower bound
+    return _emit(
+        "covidqu256_e2e_images_per_sec_lower_bound", BATCH / total,
+        "images/sec/chip",
+        extras={"host_assemble_ms": round(host_sec * 1e3, 2),
+                "h2d_ms": round(h2d_sec * 1e3, 2),
+                "device_step_ms": round(step_sec * 1e3, 2),
+                "step_bound_images_per_sec": round(BATCH / step_sec, 1),
+                "note": "components measured unoverlapped; the loop "
+                        "prefetches, so real e2e sits between the lower "
+                        "bound and the step bound"})
+
+
+# ---------------------------------------------------------------------------
+# torch-CPU baseline (headline divisor)
+# ---------------------------------------------------------------------------
 
 def bench_torch_cpu() -> float:
     """PyTorch-CPU fwd+bwd on an equivalent depth-4 U-Net (the baseline)."""
@@ -134,10 +468,11 @@ def bench_torch_cpu() -> float:
 
 
 def _cached_baseline():
-    """Measure the torch-CPU baseline once per (batch, size) and cache it:
-    a 1-core contended host makes fresh measurements swing several-fold."""
-    cache_path = os.path.join(os.path.expanduser("~"), ".cache",
-                              f"mst_bench_torch_{BATCH}_{SIZE}.json")
+    """Measure the torch-CPU baseline once per (batch, size, steps) and
+    cache it: a contended 1-core host makes fresh measurements swing."""
+    cache_path = os.path.join(
+        os.path.expanduser("~"), ".cache",
+        f"mst_bench_torch_{BATCH}_{SIZE}_{TORCH_STEPS}.json")
     try:
         with open(cache_path) as fh:
             return json.load(fh)["img_per_sec"]
@@ -154,17 +489,25 @@ def _cached_baseline():
 
 
 def main():
-    value = bench_jax()
-    try:
-        baseline = _cached_baseline()
-    except Exception:
-        baseline = None
-    print(json.dumps({
-        "metric": "unet256_train_images_per_sec_per_chip",
-        "value": round(value, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / baseline, 2) if baseline else None,
-    }))
+    runners = {
+        "swin224_train": lambda: bench_swin224(train=True),
+        "swin224_eval": lambda: bench_swin224(train=False),
+        "pretrain224_train": bench_pretrain224,
+        "covidqu256_e2e_breakdown": bench_e2e_breakdown,
+        "unet256_train": bench_unet256,     # headline: keep LAST
+    }
+    # headline always last, regardless of BENCH_METRICS order
+    selected = [m for m in runners if m in METRICS and m != "unet256_train"]
+    if "unet256_train" in METRICS:
+        selected.append("unet256_train")
+    for name in selected:
+        try:
+            runners[name]()
+        except Exception as e:      # one broken metric must not hide others
+            if name == "unet256_train":
+                raise
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
