@@ -513,14 +513,16 @@ def run_exp(train_data, val_data, test_data, destination: str,
 
     mesh = None
     if jax.device_count() > 1:
-        from ..parallel import create_mesh, replicated
+        from ..parallel import create_mesh, put_replicated
         # the mesh size must divide the per-step fragment batch size
         n_devices = max(d for d in _divisors(bs)
                         if d <= jax.device_count())
         if n_devices > 1:
             mesh = create_mesh(("data",),
                                devices=jax.devices()[:n_devices])
-            state = jax.device_put(state, replicated(mesh))
+            # put_replicated: works multi-host too (device_put refuses
+            # non-addressable shardings)
+            state = put_replicated(state, mesh)
 
     train_model(model, train_data, val_data if to_validate else None,
                 test_data, config_dict, optimizer, state, loss=loss_fn,
