@@ -282,6 +282,18 @@ def test_whole_loop_trajectory_matches_reference_bitwise(tmp_path):
     # passing the deltas trivially)
     assert float(our_rows[-1][DICE]) > 2 * float(our_rows[0][DICE])
 
+    # -- batch_logs: same schema, same optimizer-step count, and the
+    #    per-step stream matches to float precision
+    ref_b = _read_epoch_logs(str(tmp_path) + f"/ref_0_{TBS}/run/batch_logs.csv")
+    our_b = _read_epoch_logs(str(tmp_path) + f"/jax_0_{TBS}/run/batch_logs.csv")
+    assert set(ref_b[0].keys()) == set(our_b[0].keys())
+    assert len(ref_b) == len(our_b) == N_EPOCHS * (N_TRAIN // TBS)
+    for i, (a, b) in enumerate(zip(ref_b, our_b)):
+        for col in a:
+            assert float(a[col]) == pytest.approx(float(b[col]),
+                                                  abs=2e-3), \
+                f"batch {i}: {col}"
+
 
 def test_accumulation_deviation_converges_at_least_as_fast(tmp_path):
     """Accumulation 2 (VBS 8 / TBS 4): the reference's zero_grad-order
