@@ -61,17 +61,27 @@ def _peak_flops():
     return 197e12  # assume v5e
 
 
-def _flops_per_step(jitted, *args):
-    """Per-step FLOPs from XLA's compiled cost analysis (None if the
-    backend does not report it)."""
+def _compile_with_flops(jitted, *args):
+    """AOT-compile once; return (executable, per-step FLOPs).
+
+    The same compiled executable serves both the cost analysis and the
+    timed loop — ``lower().compile()`` and the jit cache do not share
+    compilations, so compiling separately for cost analysis would double
+    every metric's XLA compile time.  Falls back to the plain jitted
+    callable (flops=None) if the backend refuses AOT/cost analysis.
+    """
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+    except Exception:
+        return jitted, None
+    try:
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        return flops if flops > 0 else None
+        flops = float(cost.get("flops", 0.0)) or None
     except Exception:
-        return None
+        flops = None
+    return compiled, flops
 
 
 def _sync(value):
@@ -148,17 +158,29 @@ def _unet_step_setup(batch=BATCH, size=SIZE):
     return train_step, [params, batch_stats, opt_state], (x, y)
 
 
+_UNET_CACHE: dict = {}
+
+
+def _measure_unet():
+    """sec/step + FLOPs of the headline U-Net step, measured once and
+    shared between the headline metric and the e2e breakdown."""
+    if "sec" not in _UNET_CACHE:
+        step, carry, (x, y) = _unet_step_setup()
+        step, flops = _compile_with_flops(step, *carry, x, y)
+
+        def run():
+            carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
+                                                      carry[2], x, y)
+            return loss
+
+        run(); _sync(run())          # compile + warm
+        _UNET_CACHE["sec"] = _time_steps(run)
+        _UNET_CACHE["flops"] = flops
+    return _UNET_CACHE["sec"], _UNET_CACHE["flops"]
+
+
 def bench_unet256():
-    step, carry, (x, y) = _unet_step_setup()
-    flops = _flops_per_step(step, *carry, x, y)
-
-    def run():
-        carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
-                                                  carry[2], x, y)
-        return loss
-
-    run(); _sync(run())          # compile + warm
-    sec = _time_steps(run)
+    sec, flops = _measure_unet()
     img_s = BATCH / sec
     mfu = (flops / sec) / _peak_flops() if flops else None
     try:
@@ -240,7 +262,8 @@ def bench_swin224(train: bool):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        flops = _flops_per_step(step, params, opt_state, x, y, rng)
+        step, flops = _compile_with_flops(step, params, opt_state, x, y,
+                                          rng)
         carry = [params, opt_state]
 
         def run():
@@ -252,7 +275,7 @@ def bench_swin224(train: bool):
         def fwd(params, x):
             return module.apply({"params": params}, x, train=False)
 
-        flops = _flops_per_step(fwd, params, x)
+        fwd, flops = _compile_with_flops(fwd, params, x)
 
         def run():
             return fwd(params, x)
@@ -323,8 +346,8 @@ def bench_pretrain224():
         return (optax.apply_updates(params, updates), batch_stats,
                 opt_state, loss)
 
-    flops = _flops_per_step(step, params, batch_stats, opt_state, x_u8,
-                            labels)
+    step, flops = _compile_with_flops(step, params, batch_stats, opt_state,
+                                      x_u8, labels)
     carry = [params, batch_stats, opt_state]
 
     def run():
@@ -379,16 +402,8 @@ def bench_e2e_breakdown():
         h2d()
     h2d_sec = (time.perf_counter() - t0) / 10
 
-    # device step (reuses the headline model)
-    step, carry, (x, y) = _unet_step_setup()
-
-    def run():
-        carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
-                                                  carry[2], x, y)
-        return loss
-
-    run(); _sync(run())
-    step_sec = _time_steps(run, n=10)
+    # device step (shared measurement with the headline metric)
+    step_sec, _ = _measure_unet()
 
     total = host_sec + h2d_sec + step_sec     # un-overlapped lower bound
     return _emit(

@@ -165,11 +165,23 @@ class AUCSpec(MetricSpec):
         self._fn = self.KINDS[kind]
         self._from_counts = self.FROM_COUNTS[kind]
 
+    #: carry base for the two-word int32 bin accumulators: per-batch bin
+    #: increments are bounded by the batch pixel count (< 2^24 even for
+    #: batch-64 512² masks), so the low word never wraps before its carry
+    #: is moved to the high word; total capacity ~2^60 counts per bin
+    CARRY = 1 << 30
+
     def init_state(self):
-        return {"pos": jnp.zeros((N_BINS,), jnp.int32),
-                "neg": jnp.zeros((N_BINS,), jnp.int32),
+        zeros = lambda: jnp.zeros((N_BINS,), jnp.int32)
+        return {"pos": zeros(), "pos_hi": zeros(),
+                "neg": zeros(), "neg_hi": zeros(),
                 "sum": jnp.zeros((), jnp.float32),
                 "count": jnp.zeros((), jnp.float32)}
+
+    def _carry_add(self, lo, hi, add):
+        lo = lo + add
+        carry = lo // self.CARRY
+        return lo - carry * self.CARRY, hi + carry
 
     def update(self, state, prediction, batch):
         target = batch[self.label_type]
@@ -180,7 +192,10 @@ class AUCSpec(MetricSpec):
         # in sigma's [0.5, 0.73] band) at finer resolution than a direct
         # 8k-bin [0, 1] histogram
         pos, neg = score_histogram(prediction, target, squash=True)
-        new_state = {"pos": state["pos"] + pos, "neg": state["neg"] + neg,
+        pos_lo, pos_hi = self._carry_add(state["pos"], state["pos_hi"], pos)
+        neg_lo, neg_hi = self._carry_add(state["neg"], state["neg_hi"], neg)
+        new_state = {"pos": pos_lo, "pos_hi": pos_hi,
+                     "neg": neg_lo, "neg_hi": neg_hi,
                      "sum": state["sum"] + jnp.where(valid, value, 0.0),
                      "count": state["count"] + valid.astype(jnp.float32)}
         return new_state, {self.name: value}
@@ -188,5 +203,9 @@ class AUCSpec(MetricSpec):
     def finalize(self, host_state) -> Dict[str, float]:
         count = float(host_state["count"])
         epoch = float(host_state["sum"]) / count if count else 0.0
-        pooled, _ = self._from_counts(host_state["pos"], host_state["neg"])
+        rebuild = lambda lo, hi: (np.asarray(hi, np.float64) * self.CARRY
+                                  + np.asarray(lo, np.float64))
+        pooled, _ = self._from_counts(
+            rebuild(host_state["pos"], host_state["pos_hi"]),
+            rebuild(host_state["neg"], host_state["neg_hi"]))
         return {self.name: epoch, self.name + "_pooled": pooled}

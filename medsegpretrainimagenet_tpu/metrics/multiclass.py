@@ -214,12 +214,14 @@ class AverageContinuousSpec(MetricSpec):
 
     Reference semantics reproduced exactly
     (``multiclass_metrics.py:521-523`` → per-class ``AUC.evaluate_epoch``,
-    ``metrics.py:424-432``): the per-batch logged value is the macro mean
-    over classes whose batch is non-degenerate; the epoch value is the
-    mean over *all* classes of each class's MEAN of per-batch sklearn
-    scores over that class's valid batches (degenerate classes contribute
-    the neutral 0).  Each class accumulates only a (sum, count) scalar
-    pair on device — per-batch values come from one batched vmapped sort.
+    ``metrics.py:424-432``): the per-batch logged value is the mean over
+    ALL classes (``evaluate_batch`` at ``multiclass_metrics.py:514-516``
+    has no presence filter — degenerate classes contribute their neutral
+    0); the epoch value is the mean over all classes of each class's MEAN
+    of per-batch sklearn scores over that class's valid batches
+    (degenerate classes contribute 0).  Each class accumulates only a
+    (sum, count) scalar pair on device — per-batch values come from one
+    batched vmapped sort.
     """
 
     FNS = {"area_under_roc": auroc,
@@ -276,13 +278,18 @@ class MCHD95Spec(MetricSpec):
     ``AverageBinaryDiscreteMetric`` -> ``ModifiedHausdorffDistance``).
 
     Reference semantics: predictions binarize by **argmax** (not a
-    threshold — ``multiclass_metrics.py:587``), the logged name is
-    ``modified_hausdorff_distance``, and the epoch value is the mean over
-    all classes of each class's mean of *per-batch* values — a batch's
-    value is the mean hd95 over its valid samples (both masks nonzero),
-    and like the reference (``metrics.py:348-354``: ``if value != 0``)
-    only batches with a nonzero value count toward the per-class mean;
-    classes with no such batch contribute 0.
+    threshold — ``multiclass_metrics.py:589``); the logged name is
+    ``modified_hausdorff_distance``.  The per-batch logged value is the
+    mean over classes PRESENT in the batch — the ``add_to_average`` gate
+    (``multiclass_metrics.py:595-600,603-607``) admits a class when its
+    argmax prediction or target is nonempty anywhere in the virtual
+    batch; absent classes are excluded from that mean (neutral 0 when no
+    class is present).  The epoch value is the mean over ALL classes of
+    each class's mean of per-batch values — a batch's value is the mean
+    hd95 over its valid samples (both masks nonzero), and like the
+    reference (``metrics.py:348-354``: ``if value != 0``) only batches
+    with a nonzero value count toward the per-class mean; classes with no
+    such batch contribute 0.
     """
 
     def __init__(self, num_classes: int,
@@ -301,7 +308,7 @@ class MCHD95Spec(MetricSpec):
     def update(self, state, prediction, batch):
         y = _labels_from(prediction, batch, self.label_type)
         y_hat = jnp.argmax(prediction, axis=-1)
-        per_class_value = []
+        per_class_value, per_class_present = [], []
         for idx in range(self.start, self.num_classes):
             pred_bin = y_hat == idx
             true_bin = y == idx
@@ -311,11 +318,17 @@ class MCHD95Spec(MetricSpec):
             per_class_value.append(jnp.where(
                 num_valid > 0, jnp.sum(values) / jnp.maximum(num_valid, 1),
                 0.0))
+            per_class_present.append(jnp.any(pred_bin) | jnp.any(true_bin))
         values = jnp.stack(per_class_value)       # per-class batch values
+        present = jnp.stack(per_class_present).astype(jnp.float32)
         valids = (values != 0).astype(jnp.float32)
-        # reference evaluate_batch (multiclass_metrics.py:611-616): mean
-        # over ALL classes, invalid ones contributing 0
-        batch_value = jnp.mean(values)
+        # reference evaluate_batch (multiclass_metrics.py:603-607): mean
+        # over classes PRESENT in the batch (the add_to_average gate at
+        # :595-600), neutral 0 when none are
+        n_present = jnp.sum(present)
+        batch_value = jnp.where(
+            n_present > 0,
+            jnp.sum(values * present) / jnp.maximum(n_present, 1.0), 0.0)
         # per-class mean of per-batch values, counting only nonzero batch
         # values (the reference's `if value != 0` cumulation guard)
         new_state = {"sum": state["sum"] + values,

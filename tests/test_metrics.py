@@ -365,6 +365,54 @@ def test_multiclass_auroc_epoch_macro_over_classes(rng):
     assert got == pytest.approx(expected, abs=1e-5)
 
 
+def test_mc_hd95_batch_mean_over_present_classes_only():
+    """The per-batch macro value averages only classes present in the
+    argmax prediction or target (reference add_to_average gate,
+    multiclass_metrics.py:595-607) — absent classes are excluded, not
+    zero-filled."""
+    from medsegpretrainimagenet_tpu.metrics.multiclass import MCHD95Spec
+
+    k = 4  # classes 1..3 foreground; only class 1 appears in this batch
+    pred = np.zeros((1, 8, 8, k), np.float32)
+    pred[..., 1] = 1.0
+    pred[:, :, 4:, 1] = 0.0
+    pred[:, :, 4:, 0] = 1.0           # right half background
+    mask = np.zeros((1, 8, 8), np.int32)
+    mask[:, :, :2] = 1                # class 1 strip -> nonzero hd95
+    spec = MCHD95Spec(k, include_background=False, label_type="mask")
+    state, per_batch = spec.update(spec.init_state(), jnp.asarray(pred),
+                                   {"mask": jnp.asarray(mask)})
+    # per-class value for class 1 is some d > 0; classes 2, 3 are absent
+    # everywhere -> the logged macro mean must equal d, not d / 3
+    d = float(jax.device_get(state["sum"])[0])
+    assert d > 0
+    assert float(per_batch["modified_hausdorff_distance"]) == \
+        pytest.approx(d, rel=1e-6)
+
+
+def test_binary_auc_histogram_carry_accumulator():
+    """Bin counts past the int32 low-word carry base keep exact totals
+    (two-word accumulator; f32 or plain int32 would corrupt long-epoch
+    pooled scores)."""
+    from medsegpretrainimagenet_tpu.metrics.auc import AUCSpec
+
+    spec = AUCSpec("area_under_roc", label_type="mask")
+    state = spec.init_state()
+    # drive the low word past the carry base without 2^30 real updates:
+    # preload lo just below the carry threshold, then add one real batch
+    state["pos"] = state["pos"].at[:].set(spec.CARRY - 1)
+    scores = jnp.asarray(np.linspace(0, 1, 512, dtype=np.float32))
+    labels = jnp.asarray((np.arange(512) % 2).astype(np.int32))
+    state, _ = spec.update(state, scores, {"mask": labels})
+    lo = np.asarray(jax.device_get(state["pos"]))
+    hi = np.asarray(jax.device_get(state["pos_hi"]))
+    assert (lo >= 0).all() and (lo < spec.CARRY).all()
+    assert hi.sum() >= 1            # the bins that got a count carried
+    total = hi.astype(np.float64) * spec.CARRY + lo.astype(np.float64)
+    # exact conservation: preload + the real positives of this batch
+    assert total.sum() == 65536 * (spec.CARRY - 1) + 256
+
+
 def test_mc_hd95_uses_argmax_not_threshold():
     """A pixel whose winning prob is < 0.5 still belongs to that class
     (reference multiclass_metrics.py:587 binarizes by argmax)."""

@@ -69,9 +69,15 @@ WORKER = textwrap.dedent("""
 @pytest.mark.skipif(os.environ.get("MST_SKIP_MULTIPROC") == "1",
                     reason="multi-process run disabled")
 def test_multihost_shard_batch_and_train_step(tmp_path):
+    import socket
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))
-    port = "9917"
+    # a free port (bound then released) instead of a hardcoded one:
+    # concurrent suites / lingering workers would collide otherwise
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(rank), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

@@ -143,14 +143,19 @@ def test_spatial_sharding_train_step_matches():
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_spatial_sharding_skips_rank1_leaves():
-    """Labels (B,) must not get a spatial spec."""
+def test_spatial_sharding_skips_label_leaves():
+    """Scalar (B,) and one-hot (B, K) labels must not get a spatial spec
+    — only image-like leaves with both H and W dims do."""
     mesh = create_mesh(("data", "spatial"), shape=(2, 4))
     batch = {"x": np.zeros((1, 8, 64, 64, 1), np.float32),
-             "label": np.zeros((1, 8), np.int32)}
+             "mask": np.zeros((1, 8, 64, 64), np.int32),
+             "label": np.zeros((1, 8), np.int32),
+             "onehot": np.zeros((1, 8, 7), np.float32)}
     out = shard_batch(batch, mesh, batch_dim=1, spatial_axis="spatial")
     assert out["x"].sharding.spec == P(None, "data", "spatial")
+    assert out["mask"].sharding.spec == P(None, "data", "spatial")
     assert out["label"].sharding.spec == P(None, "data")
+    assert out["onehot"].sharding.spec == P(None, "data")
 
 
 def test_tp_optimizer_state_follows_param_paths():
