@@ -426,10 +426,12 @@ def run_exp(train_data, val_data, test_data, destination: str,
 
     # bf16 activations/compute (params + loss/metric reductions stay f32);
     # off by default for strict numerical parity with the reference
-    from ..models.blocks import set_compute_dtype
+    from ..models.blocks import set_compute_dtype, set_remat
     import jax.numpy as jnp
     set_compute_dtype(
         jnp.bfloat16 if tech.get("mixed_precision", False) else None)
+    # remat: recompute block activations in the backward (HBM for FLOPs)
+    set_remat(tech.get("remat", False))
 
     model = registry.build(config_dict, key="model", wrapper=Model)
     model_dict = config_dict["model"].value()

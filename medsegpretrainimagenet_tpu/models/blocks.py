@@ -35,6 +35,7 @@ __all__ = [
     "ChannelwiseLayerNorm", "LayerScale", "ResConnection", "ConcatBlock",
     "AttentionBlock", "ConcatLinearBlock", "drop_path", "make_block_builder",
     "set_compute_dtype", "compute_dtype",
+    "set_remat", "remat_enabled", "maybe_remat",
     "block_accepts", "mixing_out_channels",
 ]
 
@@ -55,6 +56,39 @@ def set_compute_dtype(dtype) -> None:
 
 def compute_dtype():
     return _COMPUTE_DTYPE[0]
+
+
+_REMAT = [False]
+
+
+def set_remat(enabled: bool) -> None:
+    """Rematerialize basic-block activations in the backward pass
+    (``meta/technical/remat: true``).
+
+    Trades FLOPs for HBM: the backward recomputes each block's forward
+    instead of keeping its activations live — the standard TPU lever for
+    fitting larger batches/images (the level-0 activations dominate peak
+    HBM on the conv U-Nets).  Like ``set_compute_dtype``, takes effect at
+    module *tracing* time.
+    """
+    _REMAT[0] = bool(enabled)
+
+
+def remat_enabled() -> bool:
+    return _REMAT[0]
+
+
+def maybe_remat(module, x, train: bool):
+    """Call a basic block, under ``jax.checkpoint`` when remat is on.
+
+    Module-first lifted transform: the block's parameter scope (and thus
+    the checkpoint tree) is unchanged by the wrap, so remat on/off stays
+    checkpoint-compatible.  ``train`` is closed over (static).
+    """
+    if not _REMAT[0]:
+        return module(x, train=train)
+    return nn.remat(
+        lambda mdl, h: mdl(h, train=train))(module, x)
 
 
 def _pair(v) -> Tuple[int, int]:

@@ -236,7 +236,7 @@ class UNetEncoder(nn.Module):
         self.bottom_scales = bottom_scales
 
     def _run_block(self, x, conv, scale, shortcut, prob, train):
-        y = conv(x, train=train)
+        y = B.maybe_remat(conv, x, train)
         if scale is not None:
             y = scale(y)
         if shortcut is not None:
@@ -366,7 +366,7 @@ class UNetDecoder(nn.Module):
                 x_new = x_up
             x = x_new
             for j in range(self.width):
-                y = self.level_convs[i][j](x, train=train)
+                y = B.maybe_remat(self.level_convs[i][j], x, train)
                 if use_scale:
                     y = self.level_scales[i][j](y)
                 if use_res:

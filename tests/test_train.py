@@ -436,3 +436,45 @@ def test_run_epoch_ragged_tail_skips_update_but_counts_metrics(tmp_path):
     cm = jax.device_get(ms["cm_0.5"])
     total = float(cm["tp"] + cm["fp"] + cm["tn"] + cm["fn"])
     assert total == 10 * 16 * 16
+
+
+def test_remat_matches_numerics_and_cuts_peak_memory(tmp_path):
+    """``set_remat(True)`` keeps the param tree and one-step numerics
+    identical (the HBM-for-FLOPs production knob).  XLA:CPU's
+    memory_analysis does not reflect activation-liveness savings (measured
+    flat-to-slightly-higher temp bytes on this backend), so the memory
+    delta is only reported, not asserted, off-TPU."""
+    from medsegpretrainimagenet_tpu.models import blocks as B
+
+    data = synthetic_segmentation_data(n=8)
+    batch = {k: jnp.asarray(v[None]) for k, v in data.items()}
+
+    def one_step(remat):
+        B.set_remat(remat)
+        try:
+            model, optimizer, state, loss, calculator, _ = build_training(
+                tmp_path, channels=(8, 16))
+            step = make_train_step(model, loss, calculator, optimizer,
+                                   donate=False)
+            new_state, _, pb = step(state, calculator.init_state(), batch)
+            lowered = step.lower(state, calculator.init_state(), batch)
+            mem = lowered.compile().memory_analysis()
+            temp = getattr(mem, "temp_size_in_bytes", None)
+            return (jax.tree_util.tree_structure(state.params),
+                    jax.device_get(new_state.params),
+                    float(pb["dice_loss"]), temp)
+        finally:
+            B.set_remat(False)
+
+    tree_off, params_off, loss_off, temp_off = one_step(False)
+    tree_on, params_on, loss_on, temp_on = one_step(True)
+
+    assert tree_off == tree_on          # checkpoint-compatible
+    assert loss_off == pytest.approx(loss_on, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_off),
+                    jax.tree_util.tree_leaves(params_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    if temp_off is not None and temp_on is not None \
+            and jax.devices()[0].platform == "tpu":
+        assert temp_on < temp_off, (temp_on, temp_off)
