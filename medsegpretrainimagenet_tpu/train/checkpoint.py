@@ -39,6 +39,65 @@ def save_params_file(path: str, params) -> None:
         fh.write(serialization.msgpack_serialize(state_dict))
 
 
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (``async_checkpointing: true``).
+
+    The device→host transfer happens on the caller's thread (it must — the
+    arrays are donated/overwritten by the next step), but the msgpack
+    encode + disk write move to one worker thread so the epoch loop keeps
+    dispatching.  Writes to the same path are serialized in submission
+    order (a single worker queue), and atomic via rename, so a reader of
+    ``last_model_state_dict.msgpack`` never sees a torn file.  Call
+    ``wait()`` before reading back or at end of training.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+        self._queue = queue.Queue()
+        self._errors: list = []
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                return
+            path, state_dict = item
+            try:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(serialization.msgpack_serialize(state_dict))
+                os.replace(tmp, path)
+            except Exception as e:      # surfaced on wait()
+                self._errors.append((path, e))
+            finally:
+                self._queue.task_done()
+
+    def save(self, path: str, params) -> None:
+        # host transfer + state-dict conversion on the caller's thread
+        self._queue.put((path, serialization.to_state_dict(
+            _to_host(params))))
+
+    def wait(self) -> None:
+        """Block until all submitted writes hit disk; raise the first
+        background error, if any."""
+        self._queue.join()
+        if self._errors:
+            path, err = self._errors[0]
+            self._errors.clear()
+            raise RuntimeError(f"async checkpoint write to {path} failed"
+                               ) from err
+
+    def close(self) -> None:
+        self.wait()
+        self._queue.put(None)
+        self._queue.join()
+
+
 def _is_torch_file(path: str) -> bool:
     return str(path).endswith((".pt", ".pth"))
 

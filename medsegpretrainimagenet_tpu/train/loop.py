@@ -268,10 +268,20 @@ def train_model(model, train_data, val_data, test_data,
                     logger.log(epoch_1idx, val_data, forward, train=False,
                                last=last)
 
+    # async checkpointing: the device->host transfer stays synchronous
+    # (next step overwrites the buffers), but msgpack encode + disk write
+    # move to a worker thread so big-model saves stop stalling the epoch
+    # loop.  Synchronous saves remain the default (reference parity).
+    async_writer = ckpt.AsyncCheckpointer() \
+        if tech.get("async_checkpointing", False) else None
+
     def save_model(filename: str):
-        ckpt.save_params_file(destination + filename,
-                              {"params": state.params,
-                               "batch_stats": state.batch_stats})
+        payload = {"params": state.params,
+                   "batch_stats": state.batch_stats}
+        if async_writer is not None:
+            async_writer.save(destination + filename, payload)
+        else:
+            ckpt.save_params_file(destination + filename, payload)
 
     epochs = range(epoch_start, num_epochs)
     if verbose:
@@ -395,4 +405,6 @@ def train_model(model, train_data, val_data, test_data,
             handle_exception(
                 exc, "Exception occured while evaluating the test data.")
 
+    if async_writer is not None:
+        async_writer.close()    # drain pending writes; surface any error
     return state

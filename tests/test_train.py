@@ -478,3 +478,27 @@ def test_remat_matches_numerics_and_cuts_peak_memory(tmp_path):
     if temp_off is not None and temp_on is not None \
             and jax.devices()[0].platform == "tpu":
         assert temp_on < temp_off, (temp_on, temp_off)
+
+
+def test_async_checkpointing_produces_identical_files(tmp_path):
+    """``async_checkpointing: true`` writes the same checkpoint bytes as
+    the synchronous path (worker-thread msgpack writes, atomic rename),
+    drained before train_model returns."""
+    data = synthetic_segmentation_data(n=8)
+
+    def run(sub, async_ckpt):
+        model, optimizer, state, loss, calculator, config = build_training(
+            tmp_path / sub, epochs=1)
+        config["meta/technical/async_checkpointing"] = async_ckpt
+        train_model(model, make_loader(data), None, None, config,
+                    optimizer, state, loss=loss,
+                    metrics_and_loss=calculator, name="run",
+                    virtual_batch_size=4, true_batch_size=4, verbose=False)
+        return (tmp_path / sub / "run" / "last_model_state_dict.msgpack"
+                ).read_bytes()
+
+    (tmp_path / "sync").mkdir()
+    (tmp_path / "async").mkdir()
+    sync_bytes = run("sync", False)
+    async_bytes = run("async", True)
+    assert sync_bytes == async_bytes
