@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import register
 from .blocks import _batch_norm as _bn
-from .blocks import compute_dtype
+from .blocks import compute_dtype, maybe_remat
 
 __all__ = ["DeepResNet", "BasicResBlock", "BottleneckResBlock"]
 
@@ -194,7 +194,7 @@ class DeepResNet(nn.Module):
                         padding=((1, 1), (1, 1)))
         for level in self.levels:
             for block in level:
-                y = block(y, train=train)
+                y = maybe_remat(block, y, train)
             skip_values.append(y)
         if self.head:
             if self._version == "v2":
