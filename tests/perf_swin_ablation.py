@@ -1,0 +1,111 @@
+"""Manual TPU ablation: where does the Swin U-Net train step's time go?
+
+Not collected by pytest.  Run on a TPU host:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tests/perf_swin_ablation.py
+
+Context: bench.py measures Swin-224 train at ~365 img/s ≈ 0.07 MFU —
+far below the conv U-Net's 0.46.  The window attention matmuls are
+intrinsically small (49×32 tiles on a 128×128 MXU), but they are only
+part of the FLOPs; this ablation separates the other suspects:
+
+  baseline        — the bench configuration (stoch depth 0.2, dropout rng)
+  no_stochdepth   — stochastic_depth_rate = 0 (removes per-block bernoulli
+                    + where over full activations)
+  no_dropout_rng  — no 'dropout' rng collection plumbed (traces without
+                    rng folding)
+  fwd_only        — value only, no backward (bounds the bwd share)
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import sys
+sys.path.insert(0, "/root/repo")
+
+from medsegpretrainimagenet_tpu.config import ConfigDict
+from medsegpretrainimagenet_tpu.models import UNet
+from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+BATCH, SIZE, STEPS = 24, 224, 20
+
+
+def swin_unet(stoch_depth=0.2):
+    return UNet(
+        img_ch=3, output_ch=1, depth=3, width=2,
+        channels=[96, 192, 384, 768], change_channels_in_block=False,
+        trainable_downsampling=True, stochastic_depth_rate=stoch_depth,
+        final_activation="sigmoid",
+        basic_block=ConfigDict(
+            {"segmentation.models.blocks.SwinTransformerBlock": {
+                "img_size": SIZE, "patch_size": 4, "embed_dim": 96,
+                "num_heads_layers": (3, 6, 12, 24), "window_size": 7}}),
+        mixing_block=ConfigDict(
+            {"segmentation.models.blocks.ConcatLinearBlock": {
+                "halve_channels": True, "pass_all_input": True}}),
+        preproc_block=ConfigDict(
+            {"segmentation.models.blocks.PatchEmbed": {"patch_size": 4}}),
+        downsampling_block=ConfigDict(
+            {"segmentation.models.blocks.PatchMerging": {}}),
+        upsampling_block=ConfigDict(
+            {"segmentation.models.blocks.PatchExpand": {"dim_scale": 2}}),
+        final_block=ConfigDict(
+            {"segmentation.models.blocks.FinalPatchExpand_X4": {
+                "dim_scale": 4}}),
+    )
+
+
+def run(tag, stoch_depth=0.2, use_rng=True, backward=True):
+    set_compute_dtype(jnp.bfloat16)
+    module = swin_unet(stoch_depth)
+    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+    y = jnp.zeros((BATCH, SIZE, SIZE), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    rng = jax.random.key(1)
+
+    def loss_fn(params, x, y, rng):
+        rngs = {"dropout": rng} if use_rng else {}
+        pred = module.apply({"params": params}, x, train=True, rngs=rngs)
+        pred = pred[..., 0].astype(jnp.float32)
+        eps = 1e-5
+        inter = jnp.sum(pred * y)
+        return 1 - (2 * inter + eps) / (jnp.sum(y) + jnp.sum(pred**2) + eps)
+
+    if backward:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, x, y, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state, loss = step(params, opt_state, x, y, rng)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            params, opt_state, loss = step(params, opt_state, x, y, rng)
+        float(loss)
+    else:
+        fwd = jax.jit(loss_fn)
+        float(fwd(params, x, y, rng))
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            loss = fwd(params, x, y, rng)
+        float(loss)
+    dt = time.perf_counter() - t0
+    print(f"{tag:16s} {BATCH * STEPS / dt:8.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    print("backend:", jax.devices()[0].platform, flush=True)
+    run("baseline")
+    run("no_stochdepth", stoch_depth=0.0)
+    run("no_dropout_rng", use_rng=False)
+    run("fwd_only", backward=False)
