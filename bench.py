@@ -81,6 +81,11 @@ def _compile_with_flops(jitted, *args):
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         flops = None
+    try:
+        _compile_with_flops.last_temp_bytes = int(
+            compiled.memory_analysis().temp_size_in_bytes)
+    except Exception:
+        _compile_with_flops.last_temp_bytes = None
     return compiled, flops
 
 
@@ -176,12 +181,15 @@ def _measure_unet():
         run(); _sync(run())          # compile + warm
         _UNET_CACHE["sec"] = _time_steps(run)
         _UNET_CACHE["flops"] = flops
+        _UNET_CACHE["temp_bytes"] = getattr(
+            _compile_with_flops, "last_temp_bytes", None)
     return _UNET_CACHE["sec"], _UNET_CACHE["flops"]
 
 
 def bench_unet256():
     sec, flops = _measure_unet()
     img_s = BATCH / sec
+    temp = _UNET_CACHE.get("temp_bytes")
     mfu = (flops / sec) / _peak_flops() if flops else None
     try:
         baseline = _cached_baseline()
@@ -192,7 +200,9 @@ def bench_unet256():
                  vs_baseline=img_s / baseline if baseline else None,
                  mfu=mfu,
                  extras={"sec_per_step": round(sec, 5),
-                         "flops_per_step": flops, "batch": BATCH})
+                         "flops_per_step": flops, "batch": BATCH,
+                         "peak_temp_hbm_gb": round(temp / 1e9, 2)
+                         if temp else None})
 
 
 # ---------------------------------------------------------------------------
