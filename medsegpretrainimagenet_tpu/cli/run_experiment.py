@@ -516,10 +516,18 @@ def run_exp(train_data, val_data, test_data, destination: str,
     mesh = None
     if jax.device_count() > 1:
         from ..parallel import create_mesh, put_replicated
-        # the mesh size must divide the per-step fragment batch size
-        n_devices = max(d for d in _divisors(bs)
-                        if d <= jax.device_count())
-        if n_devices > 1:
+        # optional spatial (context) parallelism: image height sharded
+        # over `spatial_sharding` devices — for inputs too large for one
+        # chip's HBM; H must divide by the factor
+        sp = int(tech.get("spatial_sharding", 1) or 1)
+        # the data-axis size must divide the per-step fragment batch size
+        avail = jax.device_count() // sp
+        n_devices = max(d for d in _divisors(bs) if d <= avail)
+        if sp > 1:
+            mesh = create_mesh(("data", "spatial"), shape=(n_devices, sp),
+                               devices=jax.devices()[:n_devices * sp])
+            state = put_replicated(state, mesh)
+        elif n_devices > 1:
             mesh = create_mesh(("data",),
                                devices=jax.devices()[:n_devices])
             # put_replicated: works multi-host too (device_put refuses

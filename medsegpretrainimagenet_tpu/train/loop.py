@@ -103,7 +103,12 @@ def _prefetched(iterator, mesh, depth: int = 2):
     def put(item):
         batch, is_full = item  # the flag stays host-side (it is jit-static)
         if mesh is not None:
-            return shard_batch(batch, mesh, batch_dim=1), is_full
+            # a 'spatial' mesh axis (meta/technical/spatial_sharding > 1)
+            # additionally shards the image-height dim — halo exchanges
+            # are inserted by XLA (parallel/mesh.py shard_batch)
+            spatial = "spatial" if "spatial" in mesh.axis_names else None
+            return shard_batch(batch, mesh, batch_dim=1,
+                               spatial_axis=spatial), is_full
         return jax.device_put(batch), is_full
 
     def on_error(exc):

@@ -294,3 +294,20 @@ def test_mixed_dataset_experiment_end_to_end(covidqu_env):
         rows = list(csv.DictReader(fh))
     assert len(rows) == 1
     assert 0.0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1.0
+
+
+def test_experiment_with_spatial_sharding(covidqu_env):
+    """meta/technical/spatial_sharding: 2 drives the full CLI path on a
+    ('data', 'spatial') mesh — the image-height dim sharded over two
+    devices with XLA halo exchanges — and still trains/logs normally."""
+    tmp_path = covidqu_env
+    cfg_dict = minimal_config(tmp_path, epochs=1)
+    cfg_dict["meta"]["technical"]["spatial_sharding"] = 2
+    cfg = ConfigDict(cfg_dict)
+    log_data = experiment(cfg, original=None, modifiers=[])
+    run_dir = os.path.join(log_data["save_path"], "run_1")
+    with open(os.path.join(run_dir, "epoch_logs.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 1
+    assert 0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1
+    assert float(rows[0]["dice_loss"]) > 0
