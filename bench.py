@@ -62,18 +62,18 @@ def _peak_flops():
 
 
 def _compile_with_flops(jitted, *args):
-    """AOT-compile once; return (executable, per-step FLOPs).
+    """AOT-compile once; return (executable, per-step FLOPs, temp bytes).
 
     The same compiled executable serves both the cost analysis and the
     timed loop — ``lower().compile()`` and the jit cache do not share
     compilations, so compiling separately for cost analysis would double
     every metric's XLA compile time.  Falls back to the plain jitted
-    callable (flops=None) if the backend refuses AOT/cost analysis.
+    callable (flops/temp None) if the backend refuses AOT/cost analysis.
     """
     try:
         compiled = jitted.lower(*args).compile()
     except Exception:
-        return jitted, None
+        return jitted, None, None
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -82,11 +82,10 @@ def _compile_with_flops(jitted, *args):
     except Exception:
         flops = None
     try:
-        _compile_with_flops.last_temp_bytes = int(
-            compiled.memory_analysis().temp_size_in_bytes)
+        temp = int(compiled.memory_analysis().temp_size_in_bytes)
     except Exception:
-        _compile_with_flops.last_temp_bytes = None
-    return compiled, flops
+        temp = None
+    return compiled, flops, temp
 
 
 def _sync(value):
@@ -171,18 +170,17 @@ def _measure_unet():
     shared between the headline metric and the e2e breakdown."""
     if "sec" not in _UNET_CACHE:
         step, carry, (x, y) = _unet_step_setup()
-        step, flops = _compile_with_flops(step, *carry, x, y)
+        step, flops, temp = _compile_with_flops(step, *carry, x, y)
 
         def run():
             carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
                                                       carry[2], x, y)
             return loss
 
-        run(); _sync(run())          # compile + warm
+        _sync(run())                 # warm (AOT: already compiled)
         _UNET_CACHE["sec"] = _time_steps(run)
         _UNET_CACHE["flops"] = flops
-        _UNET_CACHE["temp_bytes"] = getattr(
-            _compile_with_flops, "last_temp_bytes", None)
+        _UNET_CACHE["temp_bytes"] = temp
     return _UNET_CACHE["sec"], _UNET_CACHE["flops"]
 
 
@@ -209,13 +207,14 @@ def bench_unet256():
 # Swin U-Net 224
 # ---------------------------------------------------------------------------
 
-def _swin_module(size=224):
+def _swin_module(size=224, stoch_depth=0.2):
     from medsegpretrainimagenet_tpu.config import ConfigDict
     from medsegpretrainimagenet_tpu.models import UNet
     return UNet(
         img_ch=3, output_ch=1, depth=3, width=2,
         channels=[96, 192, 384, 768], change_channels_in_block=False,
-        trainable_downsampling=True, stochastic_depth_rate=0.2,
+        trainable_downsampling=True,
+        stochastic_depth_rate=stoch_depth,
         final_activation="sigmoid",
         basic_block=ConfigDict(
             {"segmentation.models.blocks.SwinTransformerBlock": {
@@ -272,8 +271,8 @@ def bench_swin224(train: bool):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        step, flops = _compile_with_flops(step, params, opt_state, x, y,
-                                          rng)
+        step, flops, _ = _compile_with_flops(step, params, opt_state, x,
+                                             y, rng)
         carry = [params, opt_state]
 
         def run():
@@ -285,13 +284,13 @@ def bench_swin224(train: bool):
         def fwd(params, x):
             return module.apply({"params": params}, x, train=False)
 
-        fwd, flops = _compile_with_flops(fwd, params, x)
+        fwd, flops, _ = _compile_with_flops(fwd, params, x)
 
         def run():
             return fwd(params, x)
         name = "swin224_eval_images_per_sec_per_chip"
 
-    run(); _sync(run())
+    _sync(run())                     # warm (AOT: already compiled)
     sec = _time_steps(run)
     img_s = SWIN_BATCH / sec
     mfu = (flops / sec) / _peak_flops() if flops else None
@@ -356,8 +355,8 @@ def bench_pretrain224():
         return (optax.apply_updates(params, updates), batch_stats,
                 opt_state, loss)
 
-    step, flops = _compile_with_flops(step, params, batch_stats, opt_state,
-                                      x_u8, labels)
+    step, flops, _ = _compile_with_flops(step, params, batch_stats,
+                                         opt_state, x_u8, labels)
     carry = [params, batch_stats, opt_state]
 
     def run():
@@ -365,7 +364,7 @@ def bench_pretrain224():
                                                   carry[2], x_u8, labels)
         return loss
 
-    run(); _sync(run())
+    _sync(run())                     # warm (AOT: already compiled)
     sec = _time_steps(run)
     img_s = PRETRAIN_BATCH / sec
     mfu = (flops / sec) / _peak_flops() if flops else None

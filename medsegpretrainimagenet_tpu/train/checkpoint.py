@@ -21,7 +21,8 @@ import numpy as np
 from flax import serialization
 
 __all__ = [
-    "save_params_file", "load_params_file", "load_encoder_params",
+    "save_params_file", "AsyncCheckpointer", "load_params_file",
+    "load_encoder_params",
     "load_encoder_variables", "save_state_file", "load_state_file",
     "load_torch_state_dict",
 ]
@@ -93,9 +94,8 @@ class AsyncCheckpointer:
                                ) from err
 
     def close(self) -> None:
-        self.wait()
         self._queue.put(None)
-        self._queue.join()
+        self.wait()     # join covers the sentinel too (FIFO queue)
 
 
 def _is_torch_file(path: str) -> bool:

@@ -28,36 +28,15 @@ import optax
 import sys
 sys.path.insert(0, "/root/repo")
 
-from medsegpretrainimagenet_tpu.config import ConfigDict
-from medsegpretrainimagenet_tpu.models import UNet
 from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
 
 BATCH, SIZE, STEPS = 24, 224, 20
 
 
 def swin_unet(stoch_depth=0.2):
-    return UNet(
-        img_ch=3, output_ch=1, depth=3, width=2,
-        channels=[96, 192, 384, 768], change_channels_in_block=False,
-        trainable_downsampling=True, stochastic_depth_rate=stoch_depth,
-        final_activation="sigmoid",
-        basic_block=ConfigDict(
-            {"segmentation.models.blocks.SwinTransformerBlock": {
-                "img_size": SIZE, "patch_size": 4, "embed_dim": 96,
-                "num_heads_layers": (3, 6, 12, 24), "window_size": 7}}),
-        mixing_block=ConfigDict(
-            {"segmentation.models.blocks.ConcatLinearBlock": {
-                "halve_channels": True, "pass_all_input": True}}),
-        preproc_block=ConfigDict(
-            {"segmentation.models.blocks.PatchEmbed": {"patch_size": 4}}),
-        downsampling_block=ConfigDict(
-            {"segmentation.models.blocks.PatchMerging": {}}),
-        upsampling_block=ConfigDict(
-            {"segmentation.models.blocks.PatchExpand": {"dim_scale": 2}}),
-        final_block=ConfigDict(
-            {"segmentation.models.blocks.FinalPatchExpand_X4": {
-                "dim_scale": 4}}),
-    )
+    """The bench's Swin U-Net config (single source of truth)."""
+    import bench
+    return bench._swin_module(SIZE, stoch_depth)
 
 
 def run(tag, stoch_depth=0.2, use_rng=True, backward=True):
