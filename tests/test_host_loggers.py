@@ -163,3 +163,37 @@ def test_loggers_through_train_model(tmp_path):
     assert glob.glob(str(tmp_path / "run" / "ROC_curves" / "*.json"))
     assert glob.glob(str(tmp_path / "run" /
                          "Precision-recall_curves" / "*.json"))
+
+
+def test_image_logger_scans_past_negative_batches_by_default(tmp_path):
+    """A rare-positive split (first 10 batches all-negative) still yields
+    the requested images — the reference scans until the count is
+    collected (img_vis.py); the stall window is opt-in and never applies
+    on the 'last' pass."""
+    rng = np.random.default_rng(0)
+    negatives = [{"x": rng.random((2, 16, 16, 1)).astype(np.float32),
+                  "mask": np.zeros((2, 16, 16), np.int32)}
+                 for _ in range(10)]
+    positive = {"x": rng.random((2, 16, 16, 1)).astype(np.float32),
+                "mask": np.ones((2, 16, 16), np.int32)}
+    loader = negatives + [positive]
+
+    logger = ImageLogger(_config(
+        calculation={"number_of_images_to_save": 1}), str(tmp_path))
+    logger.log(1, loader, _forward, train=True)
+    assert len(glob.glob(str(tmp_path / "Sample images" / "epoch_1"
+                             / "train" / "*.png"))) == 1
+
+    # opt-in stall window (3 fruitless batches) stops the scan early ...
+    logger2 = ImageLogger(_config(
+        calculation={"number_of_images_to_save": 1,
+                     "image_scan_stall_window": 3}),
+        str(tmp_path / "b"))
+    logger2.log(1, loader, _forward, train=True)
+    assert not glob.glob(str(tmp_path / "b" / "Sample images" / "epoch_1"
+                             / "train" / "*.png"))
+
+    # ... but never on the 'last' pass, where completeness wins
+    logger2.log(2, loader, _forward, train=True, last=True)
+    assert len(glob.glob(str(tmp_path / "b" / "Sample images" / "epoch_2"
+                             / "train" / "*.png"))) == 1
