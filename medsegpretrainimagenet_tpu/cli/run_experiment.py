@@ -222,6 +222,16 @@ def build_transform_pipelines(config_dict: ConfigDict, seed: int,
                 getattr(transf, "num_datapoints", 1))
     caster = ConvertToType(config_dict.get("data/transforms/casting",
                                            ConfigDict()))
+    # uint8_transfer contract: images ride uint8 over H2D and are /255'd
+    # on device (train/step._dequantize_inputs).  The trailing caster's
+    # float32 default would silently widen x to 0-255 floats — which the
+    # device then does NOT normalize — so keep 'x' uint8 unless the user
+    # cast it explicitly.
+    ds_cfg = config_dict.get("data/data")
+    ds_body = ds_cfg.value() if hasattr(ds_cfg, "value") else None
+    if ds_body is not None and ds_body.get("uint8_transfer", False) \
+            and "x" not in caster.types:
+        caster.types["x"] = np.uint8
     train_pipeline = Compose(*transforms["train"], caster)
     val_pipeline = Compose(*transforms["val"], caster)
     return (train_pipeline, val_pipeline, partition_count, datapoint_count,

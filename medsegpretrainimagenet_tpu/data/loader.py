@@ -138,9 +138,13 @@ class BalancedDataLoader:
     def _planned_indices(self):
         plan = self._build_plan(self.rng)
         if self.sort_by is not None:
+            # sort by the key of the row each balanced index RESOLVES to
+            # (the reference indexes keys[i] raw, which crashes once the
+            # balanced index space exceeds the dataset; sorting by the
+            # remapped row is the intended behavior)
             keys = [float(k) for k in self.source.data[self.sort_by]]
-            plan = sorted(plan, key=lambda i: keys[
-                int(i / self.source.partition_count) % len(keys)])
+            plan = sorted(
+                plan, key=lambda i: keys[self.source.resolve_row(i)])
         return np.asarray(plan, dtype=np.int64)
 
     def __len__(self) -> int:

@@ -57,8 +57,17 @@ class BalancedSource:
         self.len_data = int(full_len * relative_size)
         keep = self.rng.permutation(full_len) < self.len_data
         idcs = np.arange(full_len)[keep]
-        self.data = {key: [value[i] for i in idcs]
-                     for key, value in data.items()}
+
+        def subset(value):
+            # ndarray columns stay ndarrays: with relative_size 1.0 the
+            # reader's stack is reused untouched (zero copy — list-ifying
+            # image stacks and re-stacking later doubled host memory);
+            # a true subset fancy-indexes once
+            if isinstance(value, np.ndarray):
+                return value if self.len_data == full_len else value[idcs]
+            return [value[i] for i in idcs]
+
+        self.data = {key: subset(value) for key, value in data.items()}
 
         self.pos_only = balanced == "pos_only"
         self.k = extra_datapoints
@@ -96,8 +105,13 @@ class BalancedSource:
             cut_factor = 1 / balance_factor(self.pos_len, self.neg_len,
                                             pos_ratio_in_ds)
             self.balance_factor = 1
+            # clamp: a dataset already ABOVE the target positive ratio
+            # gives cut_factor > 1 -> a negative amount, which the batch
+            # planner's rest[:-cut] slicing silently turns into a
+            # few-item epoch (the reference's make_cut has the same hole)
             self.cut = {"class": "neg",
-                        "amount": self.neg_len * (1 - cut_factor)}
+                        "amount": max(self.neg_len * (1 - cut_factor),
+                                      0.0)}
         else:
             self.cut = {"amount": 0}
             self.balance_factor = balanced
@@ -182,14 +196,19 @@ class BalancedSource:
                 data[name] = lf(data[name])
         return data
 
-    def __getitem__(self, index: int) -> Dict[str, Any]:
+    def resolve_row(self, index: int) -> int:
+        """Data row a balanced index resolves to (the negative/positive
+        remap ``__getitem__`` applies) — used by sort_by so batches sort
+        on the keys of the rows they actually contain."""
         idx = int(index / self.partition_count)
         if self.pos_only:
-            pass
-        elif index < self.neg_len:
-            idx = self.negative_idcs[idx]
-        else:
-            idx = self.positive_idcs[(idx - self.neg_len) % self.pos_len]
+            return idx
+        if index < self.neg_len:
+            return int(self.negative_idcs[idx])
+        return int(self.positive_idcs[(idx - self.neg_len) % self.pos_len])
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        idx = self.resolve_row(index)
 
         if self.k > 0:
             pool = np.arange(self.pos_len)

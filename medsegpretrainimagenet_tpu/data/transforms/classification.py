@@ -34,10 +34,12 @@ class OneHotEncoding:
         if config_dict is not None:
             num_classes = config_dict.get("num_classes", num_classes)
         self.num_classes = num_classes
+        # cached: a fresh num_classes² eye per sample is a 4 MB alloc per
+        # ImageNet image on the host hot path
+        self._eye = np.eye(num_classes, dtype=np.float32)
 
     def _encode(self, label):
-        return np.eye(self.num_classes,
-                      dtype=np.float32)[np.asarray(label).astype(int)]
+        return self._eye[np.asarray(label).astype(int)].copy()
 
     def __call__(self, k: int = 1, **data):
         label = data["label"]

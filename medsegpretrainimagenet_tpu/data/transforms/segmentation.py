@@ -51,14 +51,28 @@ def _ensure_hwc(x):
     return x, squeeze
 
 
+def _warp_affine(arr, matrix, dsize, flags, border_mode, fill):
+    """cv2.warpAffine that also handles >4-channel arrays (multilabel
+    masks, e.g. IDRiD's 5 lesion classes — cv2 itself supports only
+    1-4 channels) by warping channel groups."""
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim < 3 or arr.shape[2] <= 4:
+        return cv2.warpAffine(arr, matrix, dsize, flags=flags,
+                              borderMode=border_mode, borderValue=fill)
+    chunks = [cv2.warpAffine(arr[..., c:c + 4], matrix, dsize, flags=flags,
+                             borderMode=border_mode, borderValue=fill)
+              for c in range(0, arr.shape[2], 4)]
+    chunks = [c if c.ndim == 3 else c[..., None] for c in chunks]
+    return np.concatenate(chunks, axis=-1)
+
+
 def _rotate_array(arr, angle, interpolation, border_mode, fill):
     """cv2 rotation around the image centre, keeping the original size
     (albumentations ``Rotate`` semantics)."""
     h, w = arr.shape[:2]
     matrix = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
-    out = cv2.warpAffine(arr.astype(np.float32), matrix, (w, h),
-                         flags=interpolation, borderMode=border_mode,
-                         borderValue=fill)
+    out = _warp_affine(arr, matrix, (w, h), interpolation, border_mode,
+                       fill)
     if out.ndim == 2:
         out = out[..., None]
     return out
@@ -318,8 +332,8 @@ class RandomPick(_JointTransform):
         matrix[0, 2] += (new_w - w) / 2
         matrix[1, 2] += (new_h - h) / 2
         interp = cv2.INTER_NEAREST if is_mask else cv2.INTER_LINEAR
-        rotated = cv2.warpAffine(arr.astype(np.float32), matrix,
-                                 (new_w, new_h), flags=interp)
+        rotated = _warp_affine(arr, matrix, (new_w, new_h), interp,
+                               cv2.BORDER_CONSTANT, 0)
         if rotated.ndim == 2:
             rotated = rotated[..., None]
         crop = rotated[top:top + self.crop_size, left:left + self.crop_size]

@@ -229,3 +229,83 @@ def test_random_pick_crops_image_and_mask_from_same_position():
         got_mask = np.squeeze(out["mask"])
         ref_mask = (np.squeeze(out["x"]) > 0.5).astype(np.int32)
         np.testing.assert_array_equal(got_mask, ref_mask)
+
+
+def test_uint8_transfer_survives_default_casting():
+    """With uint8_transfer on and no explicit 'x' cast, the pipeline's
+    trailing caster must keep x uint8 (the device /255's uint8 only —
+    a float32-widened 0-255 x would silently skip normalization)."""
+    from medsegpretrainimagenet_tpu.cli.run_experiment import (
+        build_transform_pipelines)
+
+    cd = ConfigDict({
+        "data": {
+            "data": {"segmentation.datasets.COVIDQUDataset": {
+                "uint8_transfer": True}},
+            "transforms": {"train": "transform.RepeatChannels",
+                           "val": "transform.RepeatChannels"},
+        }})
+    train_tr, _, _, _, _ = build_transform_pipelines(cd, seed=0)
+    x = (np.random.default_rng(0).random((8, 8, 1)) * 255).astype(np.uint8)
+    out = train_tr(x=x, mask=np.zeros((8, 8), np.uint8))
+    assert out["x"].dtype == np.uint8
+    # explicit cast still wins
+    cd2 = ConfigDict({
+        "data": {
+            "data": {"segmentation.datasets.COVIDQUDataset": {
+                "uint8_transfer": True}},
+            "transforms": {"train": "transform.RepeatChannels",
+                           "val": "transform.RepeatChannels",
+                           "casting": {"x": "torch.FloatTensor"}},
+        }})
+    train_tr2, _, _, _, _ = build_transform_pipelines(cd2, seed=0)
+    out2 = train_tr2(x=x, mask=np.zeros((8, 8), np.uint8))
+    assert out2["x"].dtype == np.float32
+
+
+def test_planned_sort_by_uses_resolved_rows():
+    """sort_by must sort the plan by the keys of the rows each balanced
+    index RESOLVES to (positive indices repeat via the oversampling
+    remap), not by raw plan-index lookup."""
+    n_neg, n_pos = 6, 2
+    data = {
+        "x": np.arange(n_neg + n_pos, dtype=np.float32),
+        "label": np.array([0] * n_neg + [1] * n_pos, np.int32),
+        "sort_key": np.arange(n_neg + n_pos, dtype=np.float32)[::-1].copy(),
+    }
+    cfg = ConfigDict({"epoch": {"oversampling": {
+                          "ratio of positives": 0.5}},
+                      "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": "sort_key",
+                      "pad_with": None})
+    loader = BalancedDataLoader(data, cfg, bs=4, actual_bs=4, seed=0)
+    batches = list(loader)
+    rows = np.concatenate([b["x"] for b in batches]).astype(int)
+    keys = data["sort_key"][rows]
+    assert (np.diff(keys) >= 0).all(), keys
+
+
+def test_rotation_handles_five_channel_masks():
+    """IDRiD multilabel masks have 5 channels; cv2.warpAffine supports
+    only 1-4, so joint rotations must chunk channels."""
+    from medsegpretrainimagenet_tpu.data.transforms.segmentation import (
+        RandomRotation)
+
+    tr = RandomRotation(ConfigDict({"limit": 45, "probability": 1.0}),
+                        seed=0)
+    x = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    mask = np.zeros((16, 16, 5), np.float32)
+    mask[4:12, 4:12, :] = 1.0
+    out = tr(x=x, mask=mask)
+    assert out["mask"].shape == (16, 16, 5)
+    assert out["mask"].sum() > 0
+
+
+def test_undersampling_above_target_ratio_clamps_cut():
+    """A dataset already above the target positive ratio must not produce
+    a negative cut (which truncated the epoch to a few items)."""
+    data = {"x": np.arange(10, dtype=np.float32),
+            "label": np.array([1] * 7 + [0] * 3, np.int32)}
+    src = BalancedSource(data, balanced="under", pos_ratio_in_ds=0.5,
+                         seed=0)
+    assert src.cut["amount"] >= 0
