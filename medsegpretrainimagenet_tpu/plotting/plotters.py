@@ -56,7 +56,12 @@ class BasePlotter:
     DEFAULTS: Dict[str, Any] = {}
 
     def __init__(self, params: Dict[str, Any], *args, **kwargs):
-        merged = dict(self.DEFAULTS)
+        import copy
+        # deep-copy the class-level defaults: a shallow dict() would share
+        # the nested legend/baselines/histogram dicts across ALL instances,
+        # so one caller mutating e.g. plotter.legend['labels'] in place
+        # would corrupt every later plotter in a long multi-experiment run
+        merged = copy.deepcopy(self.DEFAULTS)
         merged.update(params or {})
         self.params = merged
         for key, value in merged.items():
@@ -206,11 +211,35 @@ class GeneralPlotter(BasePlotter):
         return fig
 
     def render_bokeh(self):
+        """Full-parity html renderer: series lines plus the baselines,
+        histogram overlays and dark mode that ``render_matplotlib``
+        renders — html is the DEFAULT export format
+        (``config/defaults.py``), so it must not silently drop data the
+        png would show."""
         from bokeh.io import output_file, save
+        from bokeh.models import Span
         from bokeh.plotting import figure
         fig = figure(title=self.title or "", x_axis_label=self.xlabel,
                      y_axis_label=self.ylabel,
                      y_axis_type="log" if self.yscale == "log" else "linear")
+        hist = self.histogram or {}
+        hist_xs = hist.get("Xs", []) or []
+        hist_labels = hist.get("labels", []) or []
+        hist_colors = hist.get("colors") or ["grey"]
+        for i, xs_h in enumerate(hist_xs):
+            counts, edges = np.histogram(
+                np.asarray(list(xs_h), dtype=np.float64),
+                bins=int(hist.get("bins", 100) or 100),
+                density=bool(hist.get("density", True)))
+            kwargs = {}
+            if i < len(hist_labels) and hist_labels[i]:
+                kwargs["legend_label"] = str(hist_labels[i])
+            fig.quad(top=counts, bottom=0, left=edges[:-1],
+                     right=edges[1:],
+                     fill_color=hist_colors[i % len(hist_colors)],
+                     line_color=None,
+                     fill_alpha=float(hist.get("alpha", 0.5) or 0.5),
+                     **kwargs)
         labels = (self.legend or {}).get("labels", []) or []
         for i, ys in enumerate(self.Ys or []):
             xs = list(self.x) if self.x is not None \
@@ -226,6 +255,32 @@ class GeneralPlotter(BasePlotter):
                     and self.dashes[i]:
                 kwargs["line_dash"] = self.dashes[i]
             fig.line(xs, list(ys), **kwargs)
+        baselines = self.baselines or {}
+        for label, value in zip(baselines.get("labels", []),
+                                baselines.get("values", [])):
+            # Span has no legend entry — draw an invisible legend proxy
+            # line so the baseline is labelled like the matplotlib axhline
+            fig.add_layout(Span(location=float(value), dimension="width",
+                                line_dash="dashed", line_alpha=0.6,
+                                line_color="grey"))
+            fig.line([], [], line_dash="dashed", line_alpha=0.6,
+                     line_color="grey", legend_label=str(label))
+        if self.dark:
+            fig.background_fill_color = "#17181c"
+            fig.border_fill_color = "#17181c"
+            fig.title.text_color = "#e0e0e0"
+            for axis in fig.axis:
+                axis.axis_label_text_color = "#e0e0e0"
+                axis.major_label_text_color = "#e0e0e0"
+                axis.axis_line_color = "#8a8a8a"
+                axis.major_tick_line_color = "#8a8a8a"
+                axis.minor_tick_line_color = "#555555"
+            for grid in fig.grid:
+                grid.grid_line_color = "#3a3b40"
+            if fig.legend:
+                for legend in fig.legend:
+                    legend.background_fill_color = "#17181c"
+                    legend.label_text_color = "#e0e0e0"
         output_file(self._path("html"))
         save(fig)
 
@@ -260,7 +315,13 @@ class ConfMtxPlotter(BasePlotter):
             matrix = np.divide(matrix, rows, out=np.zeros_like(matrix),
                                where=rows > 0)
         fig, ax = plt.subplots(figsize=(7, 6))
-        im = ax.imshow(matrix, cmap="Blues", vmin=0, vmax=1)
+        # raw counts must scale the colormap to their own max — a fixed
+        # vmax=1 would saturate every nonzero cell to the same color
+        if self.normalise or not matrix.size:
+            vmax = 1.0
+        else:
+            vmax = float(max(matrix.max(), 1.0))
+        im = ax.imshow(matrix, cmap="Blues", vmin=0, vmax=vmax)
         fig.colorbar(im, ax=ax)
         labels = self.labels
         if labels and len(labels) <= 10:
@@ -270,7 +331,9 @@ class ConfMtxPlotter(BasePlotter):
             ax.set_yticklabels(labels)
             for i in range(matrix.shape[0]):
                 for j in range(matrix.shape[1]):
-                    ax.text(j, i, f"{matrix[i, j]:.2f}", ha="center",
+                    text = (f"{matrix[i, j]:.2f}" if self.normalise
+                            else f"{matrix[i, j]:g}")
+                    ax.text(j, i, text, ha="center",
                             va="center", fontsize=8)
         ax.set_xlabel("prediction")
         ax.set_ylabel("ground truth")
@@ -342,7 +405,10 @@ class PCAPlotter(BasePlotter):
 def export_plot(plotter: BasePlotter, extensions: Iterable[str],
                 *args, **kwargs) -> None:
     """Export a plotter to each requested format, non-fatally."""
-    requested = {str(e).lower().strip(".") for e in extensions}
+    # materialize up front: a generator argument would be exhausted by the
+    # `requested` set and the loop below would silently export nothing
+    normalized = [str(e).lower().strip(".") for e in extensions]
+    requested = set(normalized)
     export_funcs = {
         "json": plotter.export_json,
         "png": lambda *a, **k: plotter.export_matplotlib("png", *a, **k),
@@ -351,11 +417,10 @@ def export_plot(plotter: BasePlotter, extensions: Iterable[str],
         "html": lambda *a, **k: plotter.export_bokeh(
             *a, png_fallback="png" not in requested, **k),
     }
-    for extension in extensions:
-        ext = str(extension).lower().strip(".")
+    for ext in normalized:
         func = export_funcs.get(ext)
         if func is None:
-            warnings.warn(f"Unknown plot format {extension!r}")
+            warnings.warn(f"Unknown plot format {ext!r}")
             continue
         # one watchdog per format: SIGALRM is one-shot, so a single alarm
         # around the whole loop would leave every format after the first

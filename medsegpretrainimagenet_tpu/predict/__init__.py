@@ -83,7 +83,7 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
     import jax.numpy as jnp
 
     from ..models import Model
-    from ..models.blocks import set_compute_dtype
+    from ..models.blocks import compute_dtype, set_compute_dtype
     from ..train import checkpoint as ckpt
 
     if not isinstance(config, ConfigDict):
@@ -94,7 +94,27 @@ def predict_from_config(config: Any, checkpoint: str, input_path: str,
     tech = config.get("meta/technical", ConfigDict({}))
     if mixed_precision is None:
         mixed_precision = bool(tech.get("mixed_precision", False))
+    # the compute dtype is process-global; restore it on exit so an
+    # in-process caller's later models are not silently flipped to bf16
+    # (or back to f32) by a predict call
+    prev_dtype = compute_dtype()
     set_compute_dtype(jnp.bfloat16 if mixed_precision else None)
+    try:
+        return _predict(config, checkpoint, input_path, output_path,
+                        batch_size, threshold, argmax, mixed_precision,
+                        repeat_channels, image_size)
+    finally:
+        set_compute_dtype(prev_dtype)
+
+
+def _predict(config, checkpoint, input_path, output_path, batch_size,
+             threshold, argmax, mixed_precision, repeat_channels,
+             image_size) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import Model
+    from ..train import checkpoint as ckpt
 
     model = registry.build(config, key="model", wrapper=Model)
 
@@ -228,9 +248,16 @@ def main(argv=None) -> int:
                              "(uint8 output)")
     parser.add_argument("--argmax", action="store_true",
                         help="argmax multiclass outputs to class ids")
-    parser.add_argument("--mixed-precision", action="store_true",
-                        default=None, help="bf16 block compute")
-    parser.add_argument("--repeat-channels", action="store_true",
+    # tri-state: omitted -> None (inherit from the config / auto-detect),
+    # --x -> True, --no-x -> False (a plain store_true could never force
+    # OFF a config that enables mixed precision)
+    parser.add_argument("--mixed-precision",
+                        action=argparse.BooleanOptionalAction,
+                        default=None, help="bf16 block compute (default: "
+                                           "the config's "
+                                           "meta/technical/mixed_precision)")
+    parser.add_argument("--repeat-channels",
+                        action=argparse.BooleanOptionalAction,
                         default=None,
                         help="repeat grayscale inputs to 3 channels "
                              "(auto-detected from the model config when "

@@ -51,7 +51,8 @@ def main(argv=None):
     from ..train.checkpoint import load_encoder_variables
     from ..train.torch_mapping import (looks_like_torch_encoder,
                                        translate_reference_encoder)
-    from .sweep import run_sweep, write_scores_csv
+    from ..predict import _model_in_channels
+    from .sweep import adapt_channels, run_sweep, write_scores_csv
 
     with open(argv[0]) as fh:
         cfg = ConfigDict(yaml.full_load(fh))
@@ -73,14 +74,30 @@ def main(argv=None):
             # uint8_transfer datasets ship 0-255; the color jitter and
             # the encoders expect [0, 1]
             imgs = imgs / 255.0
-        if imgs.shape[-1] == 1:
-            imgs = np.repeat(imgs, 3, axis=-1)
-        datasets[alias.split(".")[-1]] = imgs
+        # keep the native channel count: 1->N repeat happens per encoder
+        # in run_sweep (a 1-channel encoder must NOT probe 3-channel
+        # images — its checkpoint's stem kernel would fail to graft and
+        # the sweep would score random weights)
+        name = alias.split(".")[-1]
+        if name in datasets:
+            # two aliases sharing a final component must not silently
+            # overwrite each other in the CSV's `dataset` column
+            print(f"warning: dataset short name {name!r} already used; "
+                  f"keying {alias!r} by its full alias")
+            name = alias
+        datasets[name] = imgs
 
     encoders = []
     for enc_cfg in cfg.elements_of("encoders"):
         model = registry.build(enc_cfg["model"].trim(), wrapper=Model)
-        sample = datasets[next(iter(datasets))][:1]
+        # init (and later probe) with the encoder's OWN channel count: a
+        # 1-channel encoder init'd on 3-channel probes gets a (k,k,3,C)
+        # stem kernel that its (k,k,1,C) checkpoint cannot graft into
+        want_channels = _model_in_channels(enc_cfg)
+        if want_channels is None:
+            want_channels = getattr(model.module, "in_channel_size", None)
+        sample = np.asarray(adapt_channels(
+            datasets[next(iter(datasets))][:1], want_channels))
         variables = model.init(jax.random.key(seed), {"x": sample})
         weights = enc_cfg.get("weights")
         if weights:
@@ -119,6 +136,7 @@ def main(argv=None):
             "name": enc_cfg.get("name", "encoder"),
             "pretraining_scheme": enc_cfg.get("pretraining_scheme", "none"),
             "pretraining_length": enc_cfg.get("pretraining_length", 0),
+            "in_channels": want_channels,
         })
 
     rows = run_sweep(

@@ -133,6 +133,34 @@ def color_jitter(key: jax.Array, imgs: jax.Array,
 # encoder forward
 # ---------------------------------------------------------------------------
 
+#: (id(module), id(method)) -> (module, method, jitted fn).  Strong refs to
+#: the keys' objects keep the ids valid for the cache's lifetime; a sweep
+#: holds a handful of encoders, so unbounded growth is not a concern.
+_FORWARD_CACHE: dict = {}
+
+
+def _jitted_forward(module, method):
+    """One jitted encoder forward per (module, method) — ``jax.jit`` caches
+    by function identity, so defining the closure inside ``collect_levels``
+    would recompile the identical graph on every call (run_sweep calls it
+    twice per (encoder, dataset); on the remote TPU tunnel each avoidable
+    compile costs tens of seconds)."""
+    cache_key = (id(module), id(method))
+    entry = _FORWARD_CACHE.get(cache_key)
+    if entry is not None and entry[0] is module and entry[1] is method:
+        return entry[2]
+
+    def forward(variables, x):
+        kwargs = {"train": False, "return_skip_vals": True}
+        if method is not None:
+            return method(variables, x, **kwargs)
+        return module.apply(variables, x, **kwargs)
+
+    jitted = jax.jit(forward)
+    _FORWARD_CACHE[cache_key] = (module, method, jitted)
+    return jitted
+
+
 def collect_levels(module, variables, imgs, batch_size: int = 32,
                    method: Optional[Callable] = None):
     """Batched encoder forward: all per-level activations at once.
@@ -141,18 +169,12 @@ def collect_levels(module, variables, imgs, batch_size: int = 32,
     so sweeps over (level, pool, metric, margin) cells score from these
     cached arrays instead of re-running (and re-jitting) the encoder per
     cell."""
-    @jax.jit
-    def forward(x):
-        kwargs = {"train": False, "return_skip_vals": True}
-        if method is not None:
-            return method(variables, x, **kwargs)
-        return module.apply(variables, x, **kwargs)
-
+    forward = _jitted_forward(module, method)
     outs = []
     n = imgs.shape[0]
     for start in range(0, n, batch_size):
         x = imgs[start:start + batch_size]
-        y_hat, skips = forward(x)
+        y_hat, skips = forward(variables, x)
         outs.append([*skips, y_hat])
     return [jnp.concatenate([batch[i] for batch in outs], axis=0)
             for i in range(len(outs[0]))]

@@ -147,3 +147,65 @@ def test_predict_matches_direct_apply(tmp_path, trained_checkpoint):
         {"params": variables["params"],
          "batch_stats": variables.get("batch_stats", {})}, x, train=False))
     np.testing.assert_allclose(preds, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_restores_global_compute_dtype(tmp_path,
+                                               trained_checkpoint):
+    """predict_from_config flips the process-global compute dtype for its
+    own forward but must restore the caller's setting afterwards (review
+    finding: a bf16 predict used to leak bf16 into later models)."""
+    import jax.numpy as jnp
+
+    from medsegpretrainimagenet_tpu.models.blocks import (compute_dtype,
+                                                          set_compute_dtype)
+
+    imgs = (np.random.default_rng(4).random((2, 16, 16, 3)) * 255) \
+        .astype(np.uint8)
+    np.save(tmp_path / "imgs.npy", imgs)
+    cfg = _write_config(tmp_path)
+    assert compute_dtype() is None
+    try:
+        predict_from_config(str(cfg), str(trained_checkpoint),
+                            str(tmp_path / "imgs.npy"),
+                            str(tmp_path / "out.npy"), batch_size=2,
+                            mixed_precision=True)
+        assert compute_dtype() is None
+        set_compute_dtype(jnp.bfloat16)
+        predict_from_config(str(cfg), str(trained_checkpoint),
+                            str(tmp_path / "imgs.npy"),
+                            str(tmp_path / "out.npy"), batch_size=2,
+                            mixed_precision=False)
+        assert compute_dtype() == jnp.bfloat16
+        # restored even when the run raises (empty stack)
+        np.save(tmp_path / "empty.npy", np.zeros((0, 16, 16, 3), np.uint8))
+        set_compute_dtype(None)
+        with pytest.raises(ValueError):
+            predict_from_config(str(cfg), str(trained_checkpoint),
+                                str(tmp_path / "empty.npy"),
+                                str(tmp_path / "out.npy"),
+                                mixed_precision=True)
+        assert compute_dtype() is None
+    finally:
+        set_compute_dtype(None)
+
+
+def test_predict_cli_tristate_flags(tmp_path, trained_checkpoint, capsys):
+    """--no-mixed-precision must force f32 even when the config enables
+    mixed precision (store_true could never turn it off)."""
+    cfg = tmp_path / "mp_cfg.yaml"
+    cfg.write_text(yaml.safe_dump(
+        {"model": {"segmentation.models.UNet": {
+            "architecture": {"in_channel_size": 3, "out_channel_size": 1,
+                             "channels": [4, 8], "depth": 1},
+            "final_activation": "sigmoid"}},
+         "meta": {"technical": {"mixed_precision": True}}}))
+    imgs = (np.random.default_rng(5).random((2, 16, 16, 3)) * 255) \
+        .astype(np.uint8)
+    np.save(tmp_path / "imgs.npy", imgs)
+    rc = main([str(cfg), "--checkpoint", str(trained_checkpoint),
+               "--input", str(tmp_path / "imgs.npy"),
+               "--output", str(tmp_path / "out.npy"),
+               "--no-mixed-precision", "--no-repeat-channels"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["mixed_precision"] is False

@@ -183,6 +183,88 @@ def test_run_sweep_and_csv(tmp_path):
         "pooled", "level", "pretraining_length", "robustness"]
 
 
+def test_run_sweep_same_probe_views_for_every_encoder():
+    """The jitter key is a function of (seed, dataset) only: two encoders
+    with identical weights must receive identical scores in every cell —
+    per-encoder jitter draws would make the CSV's cross-encoder ranking an
+    RNG artifact (review finding, sweep.py)."""
+    module, variables = _encoder()
+    imgs = np.random.default_rng(0).random((4, 16, 16, 3))
+    rows = run_sweep(
+        encoders=[
+            {"module": module, "variables": variables, "name": "a"},
+            {"module": module, "variables": variables, "name": "b"},
+        ],
+        datasets={"ds": imgs},
+        metrics=("cosine_distance",), margins=(0.0, 0.5), levels=(1, 2),
+        pooled=(True,), batch_size=2)
+    by_name = {}
+    for row in rows:
+        cell = (row["metric"], row["margin"], row["level"], row["pooled"])
+        by_name.setdefault(row["encoder"], {})[cell] = row["robustness"]
+    assert by_name["a"].keys() == by_name["b"].keys()
+    for cell, value in by_name["a"].items():
+        assert value == by_name["b"][cell], cell
+
+
+def test_adapt_channels():
+    from medsegpretrainimagenet_tpu.robustness.sweep import adapt_channels
+
+    gray = jnp.asarray(np.random.default_rng(0).random((2, 4, 4, 1)),
+                       jnp.float32)
+    rgb = jnp.asarray(np.random.default_rng(1).random((2, 4, 4, 3)),
+                      jnp.float32)
+    assert adapt_channels(gray, None) is gray
+    assert adapt_channels(rgb, 3) is rgb
+    up = adapt_channels(gray, 3)
+    assert up.shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(np.array(up[..., 0]),
+                                  np.array(gray[..., 0]))
+    down = adapt_channels(rgb, 1)
+    np.testing.assert_allclose(np.array(down),
+                               np.array(rgb.mean(-1, keepdims=True)),
+                               rtol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        adapt_channels(rgb, 2)
+
+
+def test_run_sweep_adapts_probes_to_encoder_channels():
+    """A 1-channel encoder must probe 1-channel views of shared 3-channel
+    images (an unconditional 3-channel repeat would init a 3-channel stem
+    that a real 1-channel checkpoint could not graft into)."""
+    module1 = UNetEncoder(in_channel_size=1, channels=[4, 8], depth=1,
+                          width=1)
+    variables1 = module1.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
+                              train=False)
+    module3, variables3 = _encoder()
+    imgs = np.random.default_rng(0).random((4, 16, 16, 3))
+    rows = run_sweep(
+        encoders=[
+            {"module": module1, "variables": variables1, "name": "gray",
+             "in_channels": 1},
+            {"module": module3, "variables": variables3, "name": "rgb",
+             "in_channels": 3},
+        ],
+        datasets={"ds": imgs},
+        metrics=("l2",), margins=(0.0,), levels=(1,), pooled=(True,),
+        batch_size=2)
+    assert {r["encoder"] for r in rows} == {"gray", "rgb"}
+    assert all(np.isfinite(r["robustness"]) for r in rows)
+
+
+def test_collect_levels_reuses_jitted_forward():
+    """collect_levels must hit one persistent jit cache per (module,
+    method) instead of re-jitting a fresh closure every call (each
+    avoidable compile costs tens of seconds on the remote TPU)."""
+    from medsegpretrainimagenet_tpu.robustness.eval import _jitted_forward
+
+    module, _variables = _encoder()
+    assert _jitted_forward(module, None) is _jitted_forward(module, None)
+    other_module, _ = _encoder()
+    assert _jitted_forward(other_module, None) is not \
+        _jitted_forward(module, None)
+
+
 def test_sweep_cli(tmp_path, monkeypatch):
     """python -m medsegpretrainimagenet_tpu.robustness cfg.yaml"""
     import yaml
@@ -213,6 +295,13 @@ def test_sweep_cli(tmp_path, monkeypatch):
             "pretraining_length": 1,
             "model": {"segmentation.models.UNet_encoder": {
                 "in_channel_size": 3, "channels": (4, 8), "depth": 1}},
+        }, {
+            # 1-channel encoder: probes must stay grayscale for it
+            # (unconditional 3-channel repeat was a review finding)
+            "name": "tiny_gray", "pretraining_scheme": "none",
+            "pretraining_length": 0,
+            "model": {"segmentation.models.UNet_encoder": {
+                "in_channel_size": 1, "channels": (4, 8), "depth": 1}},
         }],
         "metrics": ["cosine_distance", "l2"],
         "margins": [0.0],
@@ -229,6 +318,6 @@ def test_sweep_cli(tmp_path, monkeypatch):
     import csv as _csv
     with open(tmp_path / "robustness_scores.csv") as fh:
         rows = list(_csv.DictReader(fh))
-    assert len(rows) == 2
-    assert rows[0]["encoder"] == "tiny"
+    assert len(rows) == 4  # 2 metrics x 2 encoders
+    assert {r["encoder"] for r in rows} == {"tiny", "tiny_gray"}
     assert all(np.isfinite(float(r["robustness"])) for r in rows)
