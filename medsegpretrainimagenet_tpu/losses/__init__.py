@@ -16,7 +16,6 @@ the device-side metrics state.  Layout is NHWC: the class axis is -1.
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -24,15 +23,13 @@ import jax.nn
 
 from ..config import ConfigDict, register
 from ..config.registry import get_kwargs
+from ..utils.naming import snake_name
 
 __all__ = ["Loss", "DiceLoss", "BCELoss", "CrossEntropyLoss"]
 
 _LOG_CLAMP = -100.0
 
-
-def _snake(name: str) -> str:
-    name = re.sub("(.)([A-Z][a-z]+)", r"\1_\2", name)
-    return re.sub("([a-z0-9])([A-Z])", r"\1_\2", name).lower()
+_snake = snake_name
 
 
 def _squeeze_channel(target):

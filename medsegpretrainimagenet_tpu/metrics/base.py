@@ -22,10 +22,7 @@ import numpy as np
 __all__ = ["MetricSpec", "threshold_tag", "snake_name"]
 
 
-def snake_name(name: str) -> str:
-    import re
-    name = re.sub("(.)([A-Z][a-z]+)", r"\1_\2", name)
-    return re.sub("([a-z0-9])([A-Z])", r"\1_\2", name).lower()
+from ..utils.naming import snake_name  # noqa: E402 — re-exported
 
 
 def threshold_tag(threshold: float) -> str:

@@ -67,29 +67,67 @@ def _sgd(learning_rate, momentum=0.9, weight_decay=0.0, nesterov=False,
     return optax.chain(*parts)
 
 
+def _torch_amsgrad(b1: float, b2: float,
+                   eps: float) -> optax.GradientTransformation:
+    """torch amsgrad exactly: ``v_max = max(v_max, v)`` over the RAW second
+    moment, bias-corrected afterwards (``sqrt(v_max)/sqrt(1-b2^t) + eps``).
+    optax's ``scale_by_amsgrad`` maxes the bias-CORRECTED moment instead,
+    which yields a measurably different trajectory."""
+    tm = jax.tree_util.tree_map
+
+    def init(params):
+        zeros = tm(jnp.zeros_like, params)
+        return {"mu": zeros, "nu": tm(jnp.zeros_like, params),
+                "nu_max": tm(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = tm(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = tm(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
+        nu_max = tm(jnp.maximum, state["nu_max"], nu)
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        out = tm(lambda m, vm: (m / bc1) /
+                 (jnp.sqrt(vm) / jnp.sqrt(bc2) + eps), mu, nu_max)
+        return out, {"mu": mu, "nu": nu, "nu_max": nu_max, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _adam(learning_rate, beta_1=0.9, beta_2=0.999, weight_decay=0.0,
           decoupled_weight_decay=False, amsgrad=False, eps=1e-8,
           betas=None, **_ignored) -> optax.GradientTransformation:
     if betas is not None:  # torch.optim.Adam spells the pair 'betas'
         beta_1, beta_2 = betas
-    if decoupled_weight_decay:
-        return optax.adamw(learning_rate, b1=beta_1, b2=beta_2, eps=eps,
-                           weight_decay=weight_decay)
-    parts = []
-    if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
-    scale = optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=eps) if amsgrad \
+    scale = _torch_amsgrad(beta_1, beta_2, eps) if amsgrad \
         else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=eps)
-    parts.append(scale)
+    parts = []
+    if decoupled_weight_decay:
+        # torch.optim.AdamW: p -= lr*(adam_update + wd*p) — the decay is
+        # applied AFTER the adam rescale (this chain is exactly what
+        # optax.adamw builds, but amsgrad must still be honored: the
+        # reference's adam_init forwards it to torch AdamW)
+        parts.append(scale)
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    else:
+        # torch.optim.Adam couples decay into the gradient pre-momentum
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(scale)
     parts.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*parts)
 
 
 def _adamw(learning_rate, betas=(0.9, 0.999), weight_decay=0.01, eps=1e-8,
-           **_ignored) -> optax.GradientTransformation:
+           amsgrad=False, **_ignored) -> optax.GradientTransformation:
     b1, b2 = betas
-    return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                       weight_decay=weight_decay)
+    return _adam(learning_rate, beta_1=b1, beta_2=b2,
+                 weight_decay=weight_decay, decoupled_weight_decay=True,
+                 amsgrad=amsgrad, eps=eps)
 
 
 OPTIMIZERS = {
@@ -122,6 +160,7 @@ OPTIMIZERS = {
             "weight_decay": {"argument name": "weight_decay",
                              "default": 0.01},
             "eps": {"argument name": "eps", "default": 1e-8},
+            "amsgrad": {"argument name": "amsgrad", "default": False},
         },
     },
     "torch.optim.Adam": {
@@ -130,6 +169,7 @@ OPTIMIZERS = {
             "betas": {"argument name": "betas", "default": (0.9, 0.999)},
             "weight_decay": {"argument name": "weight_decay", "default": 0.0},
             "eps": {"argument name": "eps", "default": 1e-8},
+            "amsgrad": {"argument name": "amsgrad", "default": False},
         },
     },
     "torch.optim.SGD": {

@@ -122,7 +122,13 @@ def _cosine(params, base, unit, num_epochs, bpe):
                      "CosineAnnealingLR")
 
     def fn(step):
-        frac = jnp.clip(step / max(t_max, 1), 0.0, 1.0)
+        # NO clamp at T_max: torch's closed form
+        # eta_min + (base-eta_min)(1+cos(pi t/T_max))/2 is periodic — past
+        # T_max the lr climbs back toward base (reference
+        # ``optim/scheduler.py:404-422`` inherits torch verbatim), so a
+        # config whose T_max is shorter than the training span must
+        # oscillate, not pin at eta_min
+        frac = step / max(t_max, 1)
         return eta_min + (base - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
     return fn
 
@@ -198,7 +204,13 @@ def _warmup(params, base, unit, num_epochs, bpe):
     main = _sub_schedule(main_cfg, base, unit, main_epochs, bpe)
 
     def fn(step):
-        return jnp.where(step < length, warmup_lr,
+        # reference ``WarmUpScheduler.step`` (``optim/scheduler.py:203-210``)
+        # only flips out of the warmup phase when ``last_step == length``
+        # AND advances the main scheduler in the same call, so the warmup
+        # lr is used for length+1 units and the main schedule's first used
+        # value is f(1), never f(0): step <= length -> warmup, then
+        # main(step - length)
+        return jnp.where(step <= length, warmup_lr,
                          main(jnp.maximum(step - length, 0)))
     return fn
 

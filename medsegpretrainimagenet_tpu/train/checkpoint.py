@@ -29,15 +29,24 @@ __all__ = [
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # ONE batched device->host transfer for the whole tree: a per-leaf
+    # np.asarray would cost a host<->device round trip per leaf (hundreds
+    # per checkpoint) over the remote TPU tunnel.  Host leaves (ints,
+    # numpy) pass through device_get unchanged.
+    return jax.device_get(tree)
 
 
 def save_params_file(path: str, params) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # to_state_dict converts NamedTuple pytrees (optax states) to dicts
     state_dict = serialization.to_state_dict(_to_host(params))
-    with open(path, "wb") as fh:
+    # atomic tmp+rename like the async path: a crash mid-write must not
+    # leave a truncated last_model_state_dict.msgpack that breaks
+    # --continued resume
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         fh.write(serialization.msgpack_serialize(state_dict))
+    os.replace(tmp, path)
 
 
 class AsyncCheckpointer:

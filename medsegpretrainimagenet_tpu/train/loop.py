@@ -288,6 +288,17 @@ def train_model(model, train_data, val_data, test_data,
         else:
             ckpt.save_params_file(destination + filename, payload)
 
+    # metrics_and_loss=None is a supported signature (loss-only training):
+    # the epoch loop must degrade to empty metric rows, not die on
+    # None.init_state() inside the per-epoch envelope (which would silently
+    # no-op every epoch)
+    def _init_metrics():
+        return calculator.init_state() if calculator is not None else None
+
+    def _finalize(ms) -> Dict[str, Any]:
+        return calculator.finalize_epoch(ms) if calculator is not None \
+            else {}
+
     epochs = range(epoch_start, num_epochs)
     if verbose:
         try:
@@ -307,7 +318,7 @@ def train_model(model, train_data, val_data, test_data,
                     jax.profiler.start_trace(destination + "profile/trace")
                     trace_ctx = True
             try:
-                metrics_state = calculator.init_state()
+                metrics_state = _init_metrics()
                 state, metrics_state = run_epoch(
                     train_step, state, metrics_state, train_data,
                     accumulation_scale, train=True, mesh=mesh,
@@ -322,16 +333,17 @@ def train_model(model, train_data, val_data, test_data,
                     with swallow("Could not stop the profiler trace."):
                         jax.profiler.stop_trace()
                 _dump_step_times()
-            row.update(calculator.finalize_epoch(metrics_state))
+            row.update(_finalize(metrics_state))
 
             if val_data:
-                metrics_state = calculator.init_state()
+                metrics_state = _init_metrics()
                 _, metrics_state = run_epoch(
                     eval_step, state, metrics_state, val_data,
                     accumulation_scale, train=False, mesh=mesh)
                 row.update({f"val_{k}": v for k, v in
-                            calculator.finalize_epoch(metrics_state).items()})
-                if log_to_device and config_dict.get(
+                            _finalize(metrics_state).items()})
+                if log_to_device and calculator is not None \
+                        and config_dict.get(
                         "metrics/calculation/log_confusion_matrix", False):
                     with swallow("Exception logging the confusion matrix."):
                         _export_confusion_matrix(
@@ -399,11 +411,11 @@ def train_model(model, train_data, val_data, test_data,
 
     if test_data:
         try:
-            metrics_state = calculator.init_state()
+            metrics_state = _init_metrics()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          test_data, accumulation_scale,
                                          train=False, mesh=mesh)
-            test_row = calculator.finalize_epoch(metrics_state)
+            test_row = _finalize(metrics_state)
             if log_to_device:
                 append_csv_row(destination + "test_logs.csv", test_row)
         except Exception as exc:  # noqa: BLE001

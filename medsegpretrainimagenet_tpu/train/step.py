@@ -34,8 +34,11 @@ def global_norm(tree, norm_type: float = 2.0):
     leaves = jax.tree_util.tree_leaves(tree)
     if norm_type == float("inf"):
         return jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]))
-    stacked = jnp.concatenate([jnp.abs(l).reshape(-1) for l in leaves])
-    return jnp.sum(stacked ** norm_type) ** (1.0 / norm_type)
+    # per-leaf reductions summed on a stack — NOT a concatenation of every
+    # flattened leaf, which would materialize a full-model-size temporary
+    # in HBM every step just to feed a reduction
+    partial = jnp.stack([jnp.sum(jnp.abs(l) ** norm_type) for l in leaves])
+    return jnp.sum(partial) ** (1.0 / norm_type)
 
 
 def _clip_by_norm(grads, max_norm: float, norm_type: float):

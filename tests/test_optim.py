@@ -108,8 +108,11 @@ def test_warmup_scheduler():
         "main_scheduler": None, "iteration_unit": "epoch"}})
     spec = build_schedule(cfg, num_epochs=10)
     values = lr_seq(spec, 6)
-    assert values[:3] == [pytest.approx(0.1)] * 3
-    assert values[3:] == [pytest.approx(0.01)] * 3
+    # the reference holds the warmup lr for length+1 units (its step()
+    # only flips the phase when last_step == length) — pinned against the
+    # actual reference in tests/test_scheduler_parity.py
+    assert values[:4] == [pytest.approx(0.1)] * 4
+    assert values[4:] == [pytest.approx(0.01)] * 2
 
 
 def test_epoch_unit_conversion():
@@ -248,3 +251,67 @@ def test_torch_adam_betas_are_honoured():
     # first moment after g=1 then g=0 with b1: mu = b1*(1-b1)... second
     # update: mu2 = b1*mu1 = 0.5*0.5 = 0.25 (for b1=0.9: 0.09)
     assert abs(mu - 0.25) < 1e-6, mu
+
+
+def test_amsgrad_matches_torch_adam_and_adamw():
+    """amsgrad must actually be honored in every adam path (it used to be
+    silently dropped for decoupled decay and the torch.optim aliases):
+    trajectories with a shrinking-then-spiking gradient separate AMSGrad
+    (max-v) from plain Adam and must match torch elementwise."""
+    torch = pytest.importorskip("torch")
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    grads = [np.array([1.0, 1.5, -2.0], np.float32),
+             np.array([0.01, 0.01, -0.01], np.float32),
+             np.array([0.01, 0.01, -0.01], np.float32),
+             np.array([2.0, -1.0, 1.0], np.float32),
+             np.array([0.01, 0.01, -0.01], np.float32)]
+
+    cases = [
+        ({"torch.optim.Adam": {
+            "learning_rate": {"constant": {"base": 0.01}},
+            "betas": (0.9, 0.999), "weight_decay": 0.0, "amsgrad": True}},
+         lambda p: torch.optim.Adam(p, lr=0.01, betas=(0.9, 0.999),
+                                    amsgrad=True)),
+        ({"torch.optim.AdamW": {
+            "learning_rate": {"constant": {"base": 0.01}},
+            "betas": (0.9, 0.999), "weight_decay": 0.05, "amsgrad": True}},
+         lambda p: torch.optim.AdamW(p, lr=0.01, betas=(0.9, 0.999),
+                                     weight_decay=0.05, amsgrad=True)),
+        ({"adam": {
+            "learning_rate": {"constant": {"base": 0.01}},
+            "beta_1": 0.9, "beta_2": 0.999, "weight_decay": 0.05,
+            "decoupled weight decay": True, "amsgrad": True}},
+         lambda p: torch.optim.AdamW(p, lr=0.01, betas=(0.9, 0.999),
+                                     weight_decay=0.05, amsgrad=True)),
+    ]
+    for cfg_dict, make_torch in cases:
+        opt = Optimizer(ConfigDict(cfg_dict), num_epochs=1,
+                        batches_per_epoch=1)
+        params = {"w": jnp.asarray(w0)}
+        state = opt.tx.init(params)
+        for g in grads:
+            updates, state = opt.tx.update({"w": jnp.asarray(g)}, state,
+                                           params)
+            params = optax.apply_updates(params, updates)
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = make_torch([tw])
+        for g in grads:
+            topt.zero_grad()
+            tw.grad = torch.tensor(g)
+            topt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tw.detach().numpy(), rtol=1e-4,
+                                   atol=1e-6, err_msg=str(cfg_dict))
+        # and that the trajectory differs from non-amsgrad (the knob is live)
+        plain_key = next(iter(cfg_dict))
+        plain_cfg = {plain_key: dict(cfg_dict[plain_key], amsgrad=False)}
+        plain = Optimizer(ConfigDict(plain_cfg), num_epochs=1,
+                          batches_per_epoch=1)
+        p2 = {"w": jnp.asarray(w0)}
+        s2 = plain.tx.init(p2)
+        for g in grads:
+            updates, s2 = plain.tx.update({"w": jnp.asarray(g)}, s2, p2)
+            p2 = optax.apply_updates(p2, updates)
+        assert np.abs(np.asarray(params["w"]) -
+                      np.asarray(p2["w"])).max() > 1e-6

@@ -99,6 +99,29 @@ SCHEDULES = {
         "main_scheduler": {"torch.optim.lr_scheduler.CosineAnnealingLR": {
             "eta_min": 1e-6, "T_max": 15}},
         "iteration_unit": "batch"}},
+    # reference WarmUpScheduler.step only leaves the warmup phase when
+    # last_step == length AND advances the main scheduler in the same
+    # call: warmup holds length+1 units and main(0) is never used
+    "warmup_constant_epoch": {"optim.scheduler.WarmUpScheduler": {
+        "base": 0.5, "iteration_unit": "epoch",
+        "warmup": {"length": 2, "learning_rate": 0.01},
+        "main_scheduler": {"torch.optim.lr_scheduler.ExponentialLR": {
+            "gamma": 0.5}}}},
+    "warmup_constant_batch": {"optim.scheduler.WarmUpScheduler": {
+        "base": 0.05, "iteration_unit": "batch",
+        "warmup": {"length": 4, "learning_rate": 0.005},
+        "main_scheduler": {"optim.scheduler.LinearLR": {
+            "start_factor": 1.0, "end_factor": 0.1, "total_iters": 10,
+            "iteration_unit": "batch"}}}},
+    "warmup_no_main": {"optim.scheduler.WarmUpScheduler": {
+        "base": 0.2, "iteration_unit": "epoch",
+        "warmup": {"length": 1, "learning_rate": 0.02}}},
+    # torch CosineAnnealingLR is PERIODIC past T_max (the lr climbs back
+    # toward base); a clamp at T_max diverges for any config whose T_max
+    # is shorter than the training span
+    "cosine_past_tmax": {"torch.optim.lr_scheduler.CosineAnnealingLR": {
+        "base": 0.01, "eta_min": 1e-6, "T_max": 10,
+        "iteration_unit": "batch"}},
 }
 
 

@@ -502,3 +502,56 @@ def test_async_checkpointing_produces_identical_files(tmp_path):
     sync_bytes = run("sync", False)
     async_bytes = run("async", True)
     assert sync_bytes == async_bytes
+
+
+def test_train_model_without_calculator_still_trains(tmp_path):
+    """metrics_and_loss=None (loss-only training) must still run real
+    optimizer steps and write epoch rows — it used to die on
+    None.init_state() inside the per-epoch envelope, silently no-opping
+    every epoch."""
+    model, optimizer, state, loss, _calc, config = build_training(
+        tmp_path, epochs=1)
+    data = synthetic_segmentation_data(n=8)
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+
+    out = train_model(model, make_loader(data), make_loader(data),
+                      make_loader(data), config, optimizer, state,
+                      loss=loss, metrics_and_loss=None, name="nocalc",
+                      virtual_batch_size=4, true_batch_size=4,
+                      verbose=False)
+    after = jax.tree_util.tree_leaves(out.params)[0]
+    assert np.abs(np.asarray(after) - np.asarray(before)).max() > 0
+    assert int(out.step) == 2  # 8 samples / vbs 4
+    with open(tmp_path / "nocalc" / "epoch_logs.csv") as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 1 and "learning_rate" in rows[0]
+
+
+def test_global_norm_matches_concat_reference():
+    from medsegpretrainimagenet_tpu.train.step import global_norm
+
+    rng = np.random.default_rng(0)
+    tree = {"a": jnp.asarray(rng.standard_normal((3, 4)), jnp.float32),
+            "b": {"c": jnp.asarray(rng.standard_normal(7), jnp.float32)}}
+    flat = np.concatenate([np.abs(np.asarray(v).ravel())
+                           for v in (tree["a"], tree["b"]["c"])])
+    for p in (2.0, 3.0, 1.0):
+        want = (flat ** p).sum() ** (1.0 / p)
+        np.testing.assert_allclose(float(global_norm(tree, p)), want,
+                                   rtol=1e-5)
+    np.testing.assert_allclose(float(global_norm(tree, float("inf"))),
+                               flat.max(), rtol=1e-6)
+
+
+def test_sync_checkpoint_save_is_atomic_and_overwrites(tmp_path):
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    path = str(tmp_path / "state.msgpack")
+    ckpt.save_params_file(path, {"w": jnp.ones((2, 2))})
+    first = ckpt.load_params_file(path)
+    ckpt.save_params_file(path, {"w": jnp.zeros((2, 2))})
+    second = ckpt.load_params_file(path)
+    assert float(np.asarray(first["w"]).sum()) == 4.0
+    assert float(np.asarray(second["w"]).sum()) == 0.0
+    # no leftover temp file once the write completes
+    assert not (tmp_path / "state.msgpack.tmp").exists()
