@@ -379,7 +379,9 @@ class LayerScale(nn.Module):
     def __call__(self, x, train: bool = False):
         scale = self.param("scale", nn.initializers.constant(self.init_value),
                            (self.n_channels,))
-        return x * scale
+        # the param stays f32; cast to the activation dtype so bf16 compute
+        # is not silently promoted to f32 for the whole scaled branch
+        return x * scale.astype(x.dtype)
 
 
 def _bottleneck_triple(x, mid, out, kernel_size, activations, train):

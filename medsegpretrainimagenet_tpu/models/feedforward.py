@@ -90,8 +90,9 @@ class FeedForwardModel(nn.Module):
     which would crash its own pretraining configs (a Linear cannot consume a
     raw image).  The only semantics consistent with those configs and the
     published ImageNet accuracies is sequential chaining, which is what this
-    module implements.  ``features(x, upto=k)`` exposes intermediate outputs
-    (used by the robustness module to grab encoder activations).
+    module implements.  ``encoder_features(x, train, return_skip_vals)``
+    exposes the first layer's per-level activations (used by the robustness
+    module to grab encoder activations).
     """
 
     threads: Any = None

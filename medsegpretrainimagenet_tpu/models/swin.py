@@ -42,7 +42,14 @@ __all__ = [
     "DoubleSwinTransformerBlock", "window_partition", "window_reverse",
 ]
 
-_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+# timm ``trunc_normal_(std=0.02)`` semantics (reference swin_unet.py): the
+# a=-2/b=2 cutoffs are ABSOLUTE (+/-100 sigma, effectively untruncated,
+# realised std 0.02).  flax's truncated_normal(stddev=0.02) would truncate
+# at +/-2 *sigma* and shrink the realised std by ~12% — see
+# init._trunc_normal, whose semantics this mirrors.
+from .init import _trunc_normal as _timm_trunc_normal  # noqa: E402
+
+_trunc02 = _timm_trunc_normal(std=0.02)
 
 
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:

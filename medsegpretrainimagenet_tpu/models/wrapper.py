@@ -111,13 +111,15 @@ class Model:
     # ------------------------------------------------------------------
 
     def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array],
-             train: bool = True):
+             train: bool = False):
         """Initialise variables ({'params', 'batch_stats', ...}).
 
         One *jitted* call on a batch-1 sample: unjitted init dispatches
         hundreds of small ops one by one (measured 141 s for a 31M-param
         U-Net over the remote TPU tunnel vs 10 s jitted), and parameter
-        shapes never depend on the batch size.
+        shapes never depend on the batch size.  ``train`` selects the
+        tracing mode (eval by default — variable structure is identical
+        for every module in the zoo, but the argument is honored).
         """
         import functools
         x = sample_batch["x"] if isinstance(sample_batch, dict) \
@@ -125,7 +127,7 @@ class Model:
         x = x[:1] if hasattr(x, "shape") and x.shape and x.shape[0] > 1 \
             else x
         params_key, dropout_key = jax.random.split(rng)
-        init_fn = jax.jit(functools.partial(self.module.init, train=False))
+        init_fn = jax.jit(functools.partial(self.module.init, train=train))
         return init_fn({"params": params_key, "dropout": dropout_key},
                        jnp.asarray(x))
 
@@ -182,6 +184,23 @@ class Model:
 
         params = variables["params"]
 
+        # --- path-form: the single config key IS a checkpoint path
+        # (reference ``model/model.py:105-111``: ``os.path.isfile(key) or
+        # key[-3:] == '.pt'``) — load it as pretrained full-model weights;
+        # no random scheme applies
+        path_form = None
+        if isinstance(weight_init, str) and (os.path.isfile(weight_init)
+                                             or weight_init.endswith(".pt")):
+            path_form = weight_init
+        elif isinstance(weight_init, ConfigDict) \
+                and len(weight_init.keys()) == 1:
+            key = str(weight_init.key())
+            if os.path.isfile(key) or key.endswith(".pt"):
+                path_form = key
+        if path_form is not None:
+            variables = self.load_weights(variables, path_form, strict=True)
+            return self._encoder_transfer(config_dict, variables)
+
         # --- random scheme(s)
         random_init = None
         if isinstance(weight_init, (tuple, list)):
@@ -209,7 +228,17 @@ class Model:
         if isinstance(weight_init, ConfigDict) and "weights" in weight_init:
             trimmed = weight_init.trim()
             weights_path = trimmed.get("weights", None)
-        if weights_path:
+        if isinstance(weights_path, ConfigDict):
+            # {submodule: path} form (reference ``model/model.py:223-225``
+            # loads each checkpoint into the named submodule); flax params
+            # subtrees carry the module attribute names, so the same keys
+            # address the same weights
+            strict = bool(weight_init.get("strict", True))
+            for attr in list(weights_path.keys()):
+                variables = self.load_weights(
+                    variables, weights_path.get_str(attr), strict=strict,
+                    subtree=(attr,))
+        elif weights_path:
             variables = self.load_weights(
                 variables, weights_path,
                 strict=bool(weight_init.get("strict", True)))

@@ -237,3 +237,55 @@ def test_weight_init_scheme_list_applies_first_resolvable():
     kernel = np.asarray(out["conv"]["kernel"])
     assert kernel.std() > 0  # resampled, not left at zeros
     assert np.allclose(np.asarray(out["conv"]["bias"]), 0.0)  # bias_init 0
+
+
+def test_path_form_weight_init_loads_checkpoint(tmp_path):
+    """weight_init whose single key IS a checkpoint path (reference
+    model.py:105-111) must load those weights, not be mistaken for an
+    unknown random scheme and silently skipped."""
+    from medsegpretrainimagenet_tpu.models import Model
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    def build():
+        m = Model(UNet, ConfigDict())
+        m.module = UNet(img_ch=1, output_ch=1, channels=[4, 8], depth=1)
+        return m
+
+    model = build()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+    path = str(tmp_path / "pretrained.msgpack")
+    ckpt.save_params_file(path, variables)
+
+    fresh = build()
+    fresh_vars = fresh.init(jax.random.key(42), jnp.zeros((1, 16, 16, 1)))
+    # different seed -> at least one (kernel) leaf differs before loading
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree_util.tree_leaves(fresh_vars["params"]),
+                        jax.tree_util.tree_leaves(variables["params"])))
+
+    cfg = ConfigDict({"weight_init": {path: {}}})
+    cfg.expand()
+    loaded = fresh.init_weight(cfg, fresh_vars, jax.random.key(1))
+    for got, want in zip(jax.tree_util.tree_leaves(loaded["params"]),
+                         jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_swin_bias_table_realised_std():
+    """relative_position_bias_table follows timm trunc_normal_ semantics:
+    realised std 0.02, not the 12%-smaller 2-sigma-truncated value."""
+    from medsegpretrainimagenet_tpu.models.swin import _trunc02
+
+    x = np.asarray(_trunc02(jax.random.key(0), (200_000,)))
+    assert abs(float(x.std()) - 0.02) < 0.0005
+
+
+def test_layer_scale_preserves_bf16():
+    module = B.LayerScale(n_channels=8)
+    x = jnp.ones((2, 4, 4, 8), jnp.bfloat16)
+    variables = module.init(jax.random.key(0), x)
+    out = module.apply(variables, x)
+    assert out.dtype == jnp.bfloat16
+    # param itself stays f32
+    assert variables["params"]["scale"].dtype == jnp.float32
