@@ -191,7 +191,9 @@ class MetricsCalculator:
                     "dice_index", "mean_dice_index",
                     include_background=include_bg,
                     classwise=bool(calc.get("log_classwise_dice_idcs", True)),
-                    class_names=class_names, eps=1))
+                    class_names=class_names, eps=1,
+                    num_classes=num_classes, plural_name="dice_indices",
+                    validate=validate))
             elif name == "metrics.multiclass_metrics.JaccardIndex":
                 ensure_mc_cm()
                 add(AverageBinaryCMSpec(
@@ -199,30 +201,40 @@ class MetricsCalculator:
                     include_background=include_bg,
                     classwise=bool(calc.get("log_classwise_jaccard_idcs",
                                             False)),
-                    class_names=class_names, eps=1))
+                    class_names=class_names, eps=1,
+                    num_classes=num_classes, plural_name="jaccard_indices",
+                    validate=validate))
             elif name == "metrics.multiclass_metrics.BalancedAccuracy":
                 ensure_mc_cm()
                 add(AverageBinaryCMSpec(
                     "balanced_accuracy", "mean_balanced_accuracy",
                     include_background=include_bg,
-                    class_names=class_names))
+                    class_names=class_names, num_classes=num_classes,
+                    validate=validate))
             elif name == "metrics.multiclass_metrics.ClasswiseAccuracies":
                 ensure_mc_cm()
                 add(ClasswiseBinaryCMSpec(
                     "accuracy", "classwise_accuracies",
-                    include_background=include_bg, class_names=class_names))
+                    include_background=include_bg, class_names=class_names,
+                    num_classes=num_classes, plural_name="accuracies",
+                    validate=validate))
             elif name == ("metrics.multiclass_metrics."
                           "ClasswiseBalancedAccuracies"):
                 ensure_mc_cm()
                 add(ClasswiseBinaryCMSpec(
                     "balanced_accuracy", "classwise_balanced_accuracies",
-                    include_background=include_bg, class_names=class_names))
+                    include_background=include_bg, class_names=class_names,
+                    num_classes=num_classes,
+                    plural_name="balanced_accuracies", validate=validate))
             elif name == "metrics.multiclass_metrics.ClasswiseDiceIndices":
                 ensure_mc_cm()
                 add(ClasswiseBinaryCMSpec(
                     "dice_index", "classwise_dice_indices",
                     include_background=include_bg, class_names=class_names,
-                    eps=1))
+                    eps=1, num_classes=num_classes,
+                    # 'dice_indicies' preserves the reference's artifact
+                    # name verbatim (multiclass_metrics.py:410 typo)
+                    plural_name="dice_indicies", validate=validate))
             elif name == "metrics.multiclass_metrics.AUROC":
                 add(AverageContinuousSpec(
                     "area_under_roc", num_classes,
@@ -264,7 +276,6 @@ class MetricsCalculator:
     def update(self, state, prediction, batch,
                loss_value=None) -> Tuple[dict, Dict[str, Any]]:
         """Jittable: fold one (virtual) batch into the state."""
-        import jax.numpy as jnp
         if hasattr(prediction, "dtype") and prediction.dtype == jnp.bfloat16:
             prediction = prediction.astype(jnp.float32)  # mixed-precision
         new_state = dict(state)
@@ -321,7 +332,6 @@ class MetricsCalculator:
         ``multiclass_metrics.py:129-153`` logs CM images at epochs)."""
         if "multiclass_cm" not in self.specs:
             return None
-        import numpy as np
         return np.asarray(jax.device_get(state["multiclass_cm"]["cm"]))
 
     def batch_values(self, per_batch: Dict[str, Any]) -> Dict[str, float]:

@@ -22,7 +22,7 @@ import numpy as np
 from .base import MetricSpec, threshold_tag
 
 __all__ = ["ConfusionMatrixSpec", "DerivedCMSpec", "DERIVED_CM_METRICS",
-           "derived_cm_value"]
+           "derived_cm_value", "trim_multilabel_cm"]
 
 
 def _as_binary_maps(prediction, target):
@@ -50,6 +50,27 @@ def is_cm_count_name(name: str) -> bool:
     return name.startswith(CM_COUNT_PREFIXES)
 
 
+def trim_multilabel_cm(host_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Trim oversized multilabel CM buffers to the observed class count.
+
+    The device buffers are sized from ``number_of_classes`` (default 1000)
+    while the true class count is the prediction's channel axis; ``update``
+    records the latter in ``n_classes``.  The reference never over-allocates
+    (its counts adopt the tensor shape on first add, ``metrics.py:60-76``),
+    so macro averages there run over exactly C classes — trimming restores
+    that before any host-side consumer sees the arrays."""
+    n = host_state.get("n_classes")
+    if n is None:
+        return host_state
+    n = int(n)
+    if n <= 0 or np.ndim(host_state["tp"]) == 0 \
+            or n >= host_state["tp"].shape[-1]:
+        return host_state
+    return {k: (np.asarray(v)[:n]
+                if k in ("tp", "fp", "tn", "fn", "class_counts") else v)
+            for k, v in host_state.items()}
+
+
 class ConfusionMatrixSpec(MetricSpec):
     """TP/FP/TN/FN accumulator at one threshold.
 
@@ -71,8 +92,16 @@ class ConfusionMatrixSpec(MetricSpec):
     def init_state(self):
         shape = (self.num_classes,) if self.multilabel else ()
         # distinct buffers per leaf: the train step donates this pytree
-        return {key: jnp.zeros(shape, jnp.float32)
-                for key in ("tp", "fp", "tn", "fn", "class_counts")}
+        state = {key: jnp.zeros(shape, jnp.float32)
+                 for key in ("tp", "fp", "tn", "fn", "class_counts")}
+        if self.multilabel:
+            # the buffers are sized from config (number_of_classes, default
+            # 1000) but what matters is the prediction's channel count C:
+            # update() scatter-adds into [:C] and host_counts() trims to
+            # the observed C (the reference's counts start as scalar 0 and
+            # adopt the tensor shape on first add — ``metrics.py:60-76``)
+            state["n_classes"] = jnp.zeros((), jnp.int32)
+        return state
 
     def update(self, state, prediction, batch):
         target = batch[self.label_type]
@@ -93,9 +122,23 @@ class ConfusionMatrixSpec(MetricSpec):
         if self.ignore_nans:
             tn = tn - jnp.sum(nan_mask, axis=axes).astype(jnp.float32)
         counts = {"tp": tp, "fp": fp, "tn": tn, "fn": fn}
-        new_state = {k: state[k] + v for k, v in counts.items()}
-        new_state["class_counts"] = state["class_counts"] + \
-            jnp.sum(pos, axis=axes).astype(jnp.float32)
+        counts["class_counts"] = jnp.sum(pos, axis=axes).astype(jnp.float32)
+        if self.multilabel:
+            observed = int(counts["tp"].shape[-1])
+            buffer_size = int(state["tp"].shape[-1])
+            if observed > buffer_size:
+                raise ValueError(
+                    f"multilabel confusion matrix buffers hold "
+                    f"{buffer_size} classes but the prediction has "
+                    f"{observed} channels; set "
+                    f"metrics/calculation/number_of_classes >= {observed}")
+            new_state = {k: (state[k].at[:observed].add(v)
+                             if observed != buffer_size else state[k] + v)
+                         for k, v in counts.items()}
+            new_state["n_classes"] = jnp.maximum(
+                state["n_classes"], jnp.asarray(observed, jnp.int32))
+        else:
+            new_state = {k: state[k] + v for k, v in counts.items()}
         tag = threshold_tag(self.threshold)
         per_batch = {f"true_positives_threshold_{tag}": tp,
                      f"false_positives_threshold_{tag}": fp,
@@ -104,6 +147,7 @@ class ConfusionMatrixSpec(MetricSpec):
         return new_state, per_batch
 
     def finalize(self, host_state) -> Dict[str, float]:
+        host_state = trim_multilabel_cm(host_state)
         tag = threshold_tag(self.threshold)
         out = {f"true_positives_threshold_{tag}": host_state["tp"],
                f"false_positives_threshold_{tag}": host_state["fp"],
@@ -217,7 +261,7 @@ class DerivedCMSpec(MetricSpec):
         return state, {}
 
     def finalize_from(self, own_state, read_states) -> Dict[str, float]:
-        cm = read_states[self.reads[0]]
+        cm = trim_multilabel_cm(read_states[self.reads[0]])
         tp, fp, tn, fn = (np.asarray(cm[k]) for k in ("tp", "fp", "tn", "fn"))
         if tp.ndim == 0:
             value = derived_cm_value(self.base_name, tp, fp, tn, fn, self.eps,

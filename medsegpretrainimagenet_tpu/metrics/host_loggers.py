@@ -119,7 +119,9 @@ class ImageLogger(HostLogger):
             ax.set_yticks([])
             ax.set_xlabel(label, size=16)
             ax.imshow(array, cmap="Greys", vmin=0, vmax=1)
-            if self.draw_contour and label != "ground truth":
+            if self.draw_contour:
+                # reference contours EVERY panel, ground truth included
+                # (img_vis.py:178-180 via visualise_binary:213)
                 ax.contour(mask, colors="red")
         return fig
 
@@ -192,8 +194,13 @@ class ImageLogger(HostLogger):
                     KeyError("batch has neither 'mask' nor 'label'"),
                     "ImageLogger cannot find targets; skipping.")
                 return
-            x = _to_numpy(batch["x"])
             mask = _to_numpy(mask_src)
+            if not np.any(mask > 0):
+                # inspect targets BEFORE running the device forward (as
+                # CurveLogger._collect does): an all-negative batch saves
+                # no image, so its forward would be wasted device work
+                continue
+            x = _to_numpy(batch["x"])
             pred = _to_numpy(forward(batch["x"]))
             for i in range(len(x)):
                 if saved >= self.number_of_imgs:

@@ -140,7 +140,13 @@ class Top5AccuracySpec(MetricSpec):
 
 class AverageBinaryCMSpec(MetricSpec):
     """Macro one-vs-rest CM metric over classes present in the epoch
-    (reference ``AverageBinaryCMMetric``), with optional classwise values."""
+    (reference ``AverageBinaryCMMetric``), with optional classwise values.
+
+    With classwise logging on, the reference additionally sets
+    ``REQUIRES_LAST_PASS`` (``multiclass_metrics.py:189``) — triggering the
+    trainer's extra no-grad pass — and exports a combined history plot of
+    the classwise columns at the end of training
+    (``multiclass_metrics.py:247-260``); both are mirrored here."""
 
     reads = ("multiclass_cm",)
 
@@ -148,7 +154,10 @@ class AverageBinaryCMSpec(MetricSpec):
                  include_background: bool = False,
                  classwise: bool = False,
                  class_names: Optional[Sequence[str]] = None,
-                 eps: Optional[float] = None):
+                 eps: Optional[float] = None,
+                 num_classes: Optional[int] = None,
+                 plural_name: Optional[str] = None,
+                 validate: bool = True):
         self.base_name = base_name    # e.g. 'dice_index'
         self.name = name              # e.g. 'mean_dice_index'
         self.start = int(not include_background)
@@ -156,6 +165,12 @@ class AverageBinaryCMSpec(MetricSpec):
         self.class_names = list(class_names or [])
         self.eps = eps
         self.key = name
+        self.num_classes = num_classes
+        self.plural_name = plural_name or base_name + "s"
+        self.validate = validate
+        # reference multiclass_metrics.py:189: only the classwise-logging
+        # variant forces the extra last pass
+        self.requires_last_pass = bool(classwise)
 
     def init_state(self):
         return {}
@@ -194,6 +209,46 @@ class AverageBinaryCMSpec(MetricSpec):
         out[self.name] = float(np.mean(values)) if values else float(neutral)
         return out
 
+    def _legend_label(self, metric_name: str) -> str:
+        # reference legend labels are the class names with underscores as
+        # spaces (multiclass_metrics.py:252-255 uses self.labels)
+        return metric_name[len(self.base_name) + 1:].replace("_", " ")
+
+    def evaluate_at_end(self, save_path: Optional[str] = None,
+                        extensions: Sequence[str] = (), **kwargs) -> None:
+        """Combined classwise history plot at end of training (reference
+        ``AverageBinaryCMMetric.evaluate_at_end``,
+        ``multiclass_metrics.py:247-260``): reads the classwise
+        ``val_metrics/`` columns back out of ``epoch_logs.csv`` and
+        exports ``plots/<plural_name>_plot``."""
+        if not self.classwise or not self.validate or not save_path \
+                or not self.num_classes:
+            return
+        import csv
+        import os
+        path = os.path.join(save_path, "epoch_logs.csv")
+        if not os.path.isfile(path):
+            return
+        with open(path, newline="") as fh:
+            rows = list(csv.DictReader(fh))
+        if not rows:
+            return
+        names = [self._class_label(idx, self.num_classes)
+                 for idx in range(self.start, self.num_classes)]
+        cols = [(n, f"val_metrics/{n}") for n in names
+                if f"val_metrics/{n}" in rows[0]]
+        if not cols:
+            return
+        ys = [[float(r[col]) for r in rows] for _, col in cols]
+        from ..plotting import GeneralPlotter, export_plot
+        plotter = GeneralPlotter(dict(
+            Ys=ys, xlabel="epoch", ylabel=self.base_name,
+            title=f"Validation {self.plural_name}".replace("_", " "),
+            legend={"labels": [self._legend_label(n) for n, _ in cols]},
+            dirname=os.path.join(save_path, "plots"),
+            fname=f"{self.plural_name}_plot"))
+        export_plot(plotter, extensions)
+
 
 class ClasswiseBinaryCMSpec(AverageBinaryCMSpec):
     """Classwise-only variant (reference ``ClasswiseBinaryCMMetric``)."""
@@ -201,6 +256,14 @@ class ClasswiseBinaryCMSpec(AverageBinaryCMSpec):
     def __init__(self, *args, **kwargs):
         kwargs["classwise"] = True
         super().__init__(*args, **kwargs)
+        # the reference's ClasswiseBinaryCMMetric defines evaluate_at_end
+        # but does NOT set REQUIRES_LAST_PASS (multiclass_metrics.py:326+)
+        self.requires_last_pass = False
+
+    def _legend_label(self, metric_name: str) -> str:
+        # reference ClasswiseBinaryCMMetric.evaluate_at_end:387 legends
+        # with the full metric names, not the bare class names
+        return metric_name
 
     def finalize_from(self, own_state, read_states) -> Dict[str, float]:
         out = super().finalize_from(own_state, read_states)

@@ -406,8 +406,13 @@ def train_model(model, train_data, val_data, test_data,
 
     if calculator is not None:
         # reference train_model.py:294: end-of-training metric export hooks
+        # (e.g. the combined classwise-history plots, which read
+        # epoch_logs.csv back from the run directory)
         with swallow("Exception in the end-of-training metric hooks."):
-            calculator.evaluate_at_end()
+            calculator.evaluate_at_end(
+                save_path=destination,
+                extensions=config_dict.get_str_tuple(
+                    "meta/technical/export_plots_as") or ("png",))
 
     if test_data:
         try:

@@ -432,3 +432,90 @@ def test_mc_hd95_uses_argmax_not_threshold():
     # perfect-distance batch is NOT counted toward the per-class mean
     assert value["modified_hausdorff_distance"] == pytest.approx(0.0)
     assert float(jax.device_get(state["count"])[0]) == 0.0
+
+
+def test_multilabel_cm_oversized_buffer(rng):
+    """Multilabel CM with the default 1000-class buffer must accept a
+    C-channel prediction (C < 1000) and macro-average over exactly the
+    observed C classes — the reference's counts adopt the tensor shape on
+    first add (metrics.py:60-76), so any C works there."""
+    from medsegpretrainimagenet_tpu.metrics.confusion import (
+        ConfusionMatrixSpec, DerivedCMSpec, trim_multilabel_cm)
+
+    pred = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    mask = (pred > 0.4).astype(jnp.float32)
+    big = ConfusionMatrixSpec(threshold=0.5, multilabel=True,
+                              num_classes=1000)
+    exact = ConfusionMatrixSpec(threshold=0.5, multilabel=True,
+                                num_classes=3)
+    s_big, s_exact = big.init_state(), exact.init_state()
+    for _ in range(2):
+        s_big, _ = jax.jit(big.update)(s_big, pred, {"mask": mask})
+        s_exact, _ = jax.jit(exact.update)(s_exact, pred, {"mask": mask})
+    h_big = jax.device_get(s_big)
+    h_exact = jax.device_get(s_exact)
+    assert int(h_big["n_classes"]) == 3
+    trimmed = trim_multilabel_cm(h_big)
+    for key in ("tp", "fp", "tn", "fn", "class_counts"):
+        np.testing.assert_allclose(trimmed[key], np.asarray(h_exact[key]))
+    d = DerivedCMSpec("dice_index", threshold=0.5, eps=1)
+    v_big = d.finalize_from({}, {d.reads[0]: h_big})
+    v_exact = d.finalize_from({}, {d.reads[0]: h_exact})
+    assert v_big == pytest.approx(v_exact)
+    # a prediction wider than the buffer is a config error, loudly
+    tiny = ConfusionMatrixSpec(threshold=0.5, multilabel=True, num_classes=2)
+    with pytest.raises(ValueError, match="number_of_classes"):
+        tiny.update(tiny.init_state(), pred, {"mask": mask})
+
+
+def test_classwise_requires_last_pass_flag():
+    """Classwise-logging mean dice forces the extra last pass (reference
+    AverageBinaryCMMetric, multiclass_metrics.py:189); the classwise-only
+    family does not (ClasswiseBinaryCMMetric never sets it)."""
+    calc_on, _ = make_calc(["metrics.multiclass_metrics.DiceIndex"],
+                           number_of_classes=4, label_type="label",
+                           log_classwise_dice_idcs=True)
+    assert calc_on.requires_last_pass
+    calc_off, _ = make_calc(["metrics.multiclass_metrics.DiceIndex"],
+                            number_of_classes=4, label_type="label",
+                            log_classwise_dice_idcs=False)
+    assert not calc_off.requires_last_pass
+    calc_cw, _ = make_calc(
+        ["metrics.multiclass_metrics.ClasswiseDiceIndices"],
+        number_of_classes=4, label_type="label")
+    assert not calc_cw.requires_last_pass
+
+
+def test_classwise_evaluate_at_end_plot(tmp_path):
+    """End-of-training combined classwise history plots (reference
+    AverageBinaryCMMetric/ClasswiseBinaryCMMetric.evaluate_at_end,
+    multiclass_metrics.py:247-260,382-397): columns come back out of
+    epoch_logs.csv into plots/<plural>_plot.<ext>."""
+    import csv as _csv
+    import json
+    import os
+
+    calc, _ = make_calc(["metrics.multiclass_metrics.DiceIndex",
+                         "metrics.multiclass_metrics.ClasswiseDiceIndices"],
+                        number_of_classes=3, label_type="label",
+                        log_classwise_dice_idcs=True)
+    rows = []
+    for epoch in range(3):
+        row = {"learning_rate": 0.1}
+        for cls in (1, 2):
+            row[f"val_metrics/dice_index_class_{cls}"] = 0.5 + 0.1 * epoch
+        rows.append(row)
+    with open(tmp_path / "epoch_logs.csv", "w", newline="") as fh:
+        writer = _csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    calc.evaluate_at_end(save_path=str(tmp_path), extensions=("json",))
+    # mean-dice's classwise plot uses the reference plural 'dice_indices';
+    # the classwise-only metric preserves the reference's 'dice_indicies'
+    # artifact name verbatim (multiclass_metrics.py:410)
+    for fname in ("dice_indices_plot.json", "dice_indicies_plot.json"):
+        path = tmp_path / "plots" / fname
+        assert path.is_file(), fname
+        payload = json.loads(path.read_text())
+        assert len(payload["Ys"]) == 2
+        assert payload["Ys"][0] == pytest.approx([0.5, 0.6, 0.7])
