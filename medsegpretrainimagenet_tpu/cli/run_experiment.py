@@ -48,6 +48,26 @@ def _divisors(n: int) -> List[int]:
     return sorted(set(out + [n // d for d in out]))
 
 
+def effective_batch_size(batch_size: int, max_bs: int, device_count: int,
+                         spatial_sharding: int = 1) -> int:
+    """Largest divisor of the virtual batch whose *per-device* fragment
+    stays within ``maximum_actual_batch_size``.
+
+    The mesh later uses the largest divisor of the result <= the DATA-axis
+    device count, so the cap must hold for that count, not device_count in
+    aggregate (reference ``run_experiment.py:68-75`` is the single-device
+    case).  Spatial sharding consumes a mesh factor, leaving
+    ``device_count // spatial_sharding`` data devices — sizing against
+    ``device_count`` would let each data device carry a
+    spatial_sharding-times-over-cap fragment."""
+    data_devices = max(device_count // max(int(spatial_sharding), 1), 1)
+
+    def per_device(d: int) -> int:
+        return d // max(n for n in _divisors(d) if n <= data_devices)
+
+    return max(d for d in _divisors(batch_size) if per_device(d) <= max_bs)
+
+
 def _count_csv_rows(path: str) -> int:
     import csv
     with open(path) as fh:
@@ -76,8 +96,10 @@ def check_for_continued(modifiers: Optional[List[str]],
 def fill_dict_with_name_fields(config_dict: ConfigDict, name_fields=None):
     """Append ``key_value`` tags from name_fields to the experiment name."""
     values: Dict[str, Any] = {}
-    fields = name_fields if name_fields is not None else \
-        config_dict.get("meta/technical/name_fields", ())
+    # falsy `or` (reference run_experiment.py:441): an EMPTY name_fields
+    # list also falls back to the config's own name_fields, so comparison
+    # tags for past experiments come from their config.yaml
+    fields = name_fields or config_dict.get("meta/technical/name_fields", ())
     if not isinstance(fields, (list, tuple)):
         fields = [fields]
 
@@ -164,18 +186,22 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
             host.append(cfg)
         elif family == "rotation":
             # defaults mirror the host transform exactly
-            # (transforms/segmentation.py RandomRotation reads only 'p')
+            # (transforms/segmentation.py RandomRotation reads only 'p');
+            # an EXPLICIT p: 0 must stay 0 (disabled), so only a missing/
+            # null value falls back to the default — `or 1` would silently
+            # re-enable a disabled augmentation
+            p = params.get("p", None)
             kwargs.update(
                 rotation_limit=params.get("limit", 180),
-                rotation_probability=params.get("p", None) or 1,
+                rotation_probability=1 if p is None else p,
                 fill=float(params.get("value", 0) or 0),
                 mask_fill=float(params.get("mask_value", 0) or 0))
         elif family == "flip":
+            p = params.get("probability", params.get("p", None))
             kwargs.update(
                 flip_vertical=bool(params.get("vertical", True)),
                 flip_horizontal=bool(params.get("horizontal", False)),
-                flip_probability=params.get(
-                    "probability", params.get("p", None)) or 1)
+                flip_probability=1 if p is None else p)
         else:  # transform.RepeatChannels
             kwargs["repeat_to_channels"] = params.get("repeats", 3) or 3
     if not kwargs:
@@ -258,12 +284,17 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
     # JAX is deterministic by default, so ``use_deterministic_algorithms``
     # needs no action; its TPU-side analog is the NaN check below.
     mem_limit = tech.get("memory_usage_limit", -1)
-    if mem_limit and mem_limit > 0:
+    # scalar -> (soft, hard) pair, like the reference
+    # (``run_experiment.py:53-57`` accepts either form); -1 disables
+    if isinstance(mem_limit, (int, float)):
+        mem_limit = (mem_limit, mem_limit)
+    mem_limit = [float(limit) for limit in mem_limit]
+    if any(limit > 0 for limit in mem_limit):
         with swallow("Could not set the memory limit."):
             import resource
-            resource.setrlimit(resource.RLIMIT_DATA,
-                               (int(mem_limit * 2 ** 30),
-                                resource.RLIM_INFINITY))
+            resource.setrlimit(resource.RLIMIT_DATA, tuple(
+                int(limit * 2 ** 30) if limit > 0 else resource.RLIM_INFINITY
+                for limit in mem_limit))
     if tech.get("debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 
@@ -273,16 +304,8 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
         config_dict.get_or_update("data/sampling", ConfigDict()))
     max_bs = tech["maximum actual batch size"]
     batch_size = config_dict["data/sampling/batch size"]
-    # largest divisor of the virtual batch whose *per-device* fragment
-    # stays within maximum_actual_batch_size — the mesh later uses the
-    # largest divisor of bs <= device_count devices, so the cap must hold
-    # for that device count, not for device_count in aggregate
-    # (reference ``run_experiment.py:68-75`` is the single-device case)
-
-    def _per_device(d: int) -> int:
-        return d // max(n for n in _divisors(d) if n <= device_count)
-
-    bs = max(d for d in _divisors(batch_size) if _per_device(d) <= max_bs)
+    sp_factor = int(tech.get("spatial_sharding", 1) or 1)
+    bs = effective_batch_size(batch_size, max_bs, device_count, sp_factor)
 
     seed = tech["seed"] + epoch_start
 
@@ -509,7 +532,10 @@ def run_exp(train_data, val_data, test_data, destination: str,
             shutil.copy(opt_path, os.path.join(
                 destination, "optimizer_state_dict_checkpoint.msgpack"))
 
-    loss_fn = registry.build(config_dict, key="training/loss", wrapper=Loss)
+    prediction_index = int(config_dict.get("training/prediction_index", 0)
+                           or 0)
+    loss_fn = registry.build(config_dict, key="training/loss", wrapper=Loss,
+                             default_prediction_index=prediction_index)
 
     to_validate = len(val_data) > 0
     calculator = MetricsCalculator(config_dict, loss=loss_fn,
@@ -555,7 +581,10 @@ def run_exp(train_data, val_data, test_data, destination: str,
                 grad_clip_norm_type=config_dict.get(
                     "training/gradient_clipping/norm", 2.0) or 2.0,
                 mesh=mesh, host_loggers=host_loggers,
-                device_augment=device_augment)
+                device_augment=device_augment,
+                # metric-side output selection for multi-output models
+                # (reference run_experiment.py:337)
+                prediction_index=prediction_index)
 
     if log_to_device and tech.get("log metric and loss plots", False):
         plot_destination = destination + "plots/"
@@ -585,6 +614,13 @@ def _read_csv_columns(path: str) -> Dict[str, List[float]]:
 
 
 def get_argmixes(scores: List[float]) -> Dict[str, int]:
+    """Best / soft-best epoch indices for best_scores.csv.
+
+    Deliberate deviation from the reference (PARITY.md): reference
+    ``run_experiment.py:406`` compares ``-scores >= scores[-1]`` for min
+    metrics (all-False for positive losses, pinning soft_best_index to
+    1); here both directions use the consistent "first epoch at least as
+    good as the final one" comparison."""
     if len(scores) == 0:
         return {}
     mix = "max" if scores[0] <= scores[-1] else "min"
@@ -710,7 +746,11 @@ def get_logs_from_path(experiment_path, name_fields=None):
     """Load a past experiment's log metadata for cross-run comparisons."""
     if isinstance(experiment_path, ConfigDict):
         experiment_path = experiment_path.key()
-    experiment_path = str(experiment_path)
+    # compare_to paths arrive with their '/'s escaped by config ingestion;
+    # unescape before touching the filesystem (reference
+    # ``run_experiment.py:495`` does the SLASH_SUBSTITUTE replace)
+    from ..config.config_dict import unescape
+    experiment_path = unescape(str(experiment_path))
     if not os.path.isdir(experiment_path):
         raise FileNotFoundError(
             f"Couldn't open logs from '{experiment_path}': no such dir.")

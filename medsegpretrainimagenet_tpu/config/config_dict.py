@@ -149,6 +149,10 @@ class ConfigDict:
                 if chosen is not None:
                     inner = chosen.value()
                     return inner if rest2 is None else inner[rest2]
+                # no matching single-key element: the reference's match
+                # loop falls through and returns the list itself
+                # (config_dict.py:68-75)
+                return _unescape(value)
         if isinstance(value, ConfigDict):
             return value[rest]
         if value is None:
@@ -167,9 +171,18 @@ class ConfigDict:
             stored = head
             self._store[stored] = ConfigDict()
         child = self._store[stored]
-        if not isinstance(child, ConfigDict):
+        if child is None:
+            # overwriting an explicit null with a subtree is benign
             child = ConfigDict()
             self._store[stored] = child
+        if not isinstance(child, ConfigDict):
+            # the reference indexes straight into the child
+            # (config_dict.py:127: ``self.config_dict[key][rest] = value``),
+            # so a list or scalar intermediate fails LOUDLY there — silently
+            # replacing it here would drop sibling config entries
+            raise TypeError(
+                f"cannot set {path!r}: {head!r} holds a "
+                f"{type(child).__name__}, not a ConfigDict")
         child[rest] = value
 
     def has(self, path: str) -> bool:

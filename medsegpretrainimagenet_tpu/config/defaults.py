@@ -11,14 +11,21 @@ import secrets
 
 __all__ = ["default_experiment_config", "default_model_eval"]
 
+#: drawn ONCE per process, like the reference's module-level table
+#: (``default_dict.py:6``): all experiments of a grid sweep that omit an
+#: explicit seed then share one seed, so cross-experiment comparisons
+#: isolate the swept hyperparameter instead of confounding it with
+#: seed-to-seed variance
+_PROCESS_SEED = secrets.randbelow(1_000_000)
+
 
 def default_experiment_config() -> dict:
-    """Fresh defaults table (the seed default is drawn per call)."""
+    """Fresh defaults table (the seed default is fixed per process)."""
     return {
         "model": "segmentation.models.UNet",
         "meta/technical/experiment_name": "Experiment",
         "meta/technical/save_destination": "../logs/",
-        "meta/technical/seed": secrets.randbelow(1_000_000),
+        "meta/technical/seed": _PROCESS_SEED,
         "experiment/number_of_epochs": 150,
         "experiment/number_of_trials": 1,
         "training/optimizer": "sgd",

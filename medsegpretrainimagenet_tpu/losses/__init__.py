@@ -172,9 +172,16 @@ class Loss:
     PARAMS = {"label type": "mask"}
 
     def __init__(self, loss_fn: Callable, config_dict: Optional[ConfigDict]
-                 = None, *args, **kwargs):
+                 = None, default_prediction_index: int = 0,
+                 *args, **kwargs):
         if config_dict is None:
             config_dict = ConfigDict()
+        # the fallback output for multi-output models when the loss config
+        # sets no train_prediction_index: the GLOBAL training/
+        # prediction_index (reference loss.py:47-50 consumes
+        # batch['prediction'], which train_model.py:66 sets to
+        # pred[training/prediction_index])
+        self.default_prediction_index = int(default_prediction_index)
         loss_kwargs = get_kwargs(
             loss_fn, config_dict.mask("label_type", "train_prediction_index"))
         loss_kwargs = {k.replace(" ", "_"): v for k, v in loss_kwargs.items()}
@@ -196,10 +203,15 @@ class Loss:
             if hasattr(p, "dtype") and p.dtype == jnp.bfloat16:
                 return p.astype(jnp.float32)
             return p
-        if self.PASS_ALL_INPUTS:
+        if self.PASS_ALL_INPUTS or self.label_type is None:
+            # reference loss.py:46-47: an explicit ``label type: null``
+            # routes to the pass-all-inputs path, same as PASS_ALL_INPUTS
             return self.calculator(
                 prediction=jax.tree_util.tree_map(to_f32, prediction),
                 **{k: v for k, v in batch.items() if k != "x"})
         if isinstance(prediction, (tuple, list)):
-            prediction = prediction[self.prediction_index or 0]
+            idx = self.prediction_index \
+                if self.prediction_index is not None \
+                else self.default_prediction_index
+            prediction = prediction[idx]
         return self.calculator(to_f32(prediction), batch[self.label_type])

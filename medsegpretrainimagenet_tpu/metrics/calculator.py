@@ -98,6 +98,10 @@ class MetricsCalculator:
                         if name in _BINARY_DERIVED else None):
                 if key in table:
                     calc.fill_with_defaults(table[key])
+        if calc.get("log_confusion_matrix", False):
+            # reference multiclass_metrics.py:19: CM-image export epochs
+            # default to 'last' only
+            calc.get_or_update("log_confusion_matrix_at", "last")
         return config_dict
 
     def __init__(self, config_dict: ConfigDict, loss=None,
@@ -259,6 +263,13 @@ class MetricsCalculator:
 
         self.loss = loss
         self.loss_name = getattr(loss, "name", "loss")
+        if calc.get("log_confusion_matrix", False) \
+                and "multiclass_cm" in self.specs:
+            # reference multiclass_metrics.py:70: REQUIRES_LAST_PASS when
+            # the CM-image epochs include 'last'
+            at = calc.get("log_confusion_matrix_at", "last")
+            ats = [at] if isinstance(at, (str, int)) else list(at)
+            self.specs["multiclass_cm"].requires_last_pass = "last" in ats
         self.requires_last_pass = any(
             getattr(s, "requires_last_pass", False)
             for s in self.specs.values())

@@ -160,7 +160,10 @@ def _step_lr(params, base, unit, num_epochs, bpe):
     if isinstance(table, ConfigDict):
         table = {int(k): float(v if not isinstance(v, ConfigDict) else v.key())
                  for k, v in table.to_dict().items()}
-    milestones = sorted(table)
+    # a 0 (or negative) milestone is dead in the reference: its counter is
+    # incremented BEFORE the membership check (scheduler.py:336-338), so
+    # step_count never equals 0 and the entry is never applied
+    milestones = sorted(m for m in table if m >= 1)
     bounds = jnp.asarray(milestones, jnp.int32) if milestones else None
     values = jnp.asarray([base] + [table[m] for m in milestones], jnp.float32)
 
@@ -172,30 +175,50 @@ def _step_lr(params, base, unit, num_epochs, bpe):
     return fn
 
 
-def _sub_schedule(cfg, base, unit, num_epochs, bpe) -> Callable:
-    """Build a nested schedule config inheriting the parent's unit."""
+def _sub_schedule(cfg, base, parent_unit, num_epochs, bpe,
+                  config_unit: bool = True) -> Callable:
+    """Build a nested schedule: STEPPED at the parent's cadence, but its
+    'auto' horizon resolves in the sub-scheduler's OWN iteration unit.
+
+    That is the reference's nesting semantics: the nested constructor
+    receives its own ``iteration_unit`` (its config value, or its class
+    default — e.g. 'batch' for CosineAnnealingLR) for the
+    T_max/total_iters math, while the parent calls ``.step()`` on it at
+    the parent's cadence (``scheduler.py`` ``WarmUpScheduler.step`` /
+    ``SequentialLR``).  With ``config_unit=False`` the sub config's
+    explicit unit is ignored and the class default used —
+    ``SequentialLR.fill_kwargs`` pops ``iteration_unit`` from its sub
+    dicts (``scheduler.py:71-73``)."""
     if cfg is None:
-        return _constant(ConfigDict(), base, unit, num_epochs, bpe)
+        return _constant(ConfigDict(), base, parent_unit, num_epochs, bpe)
     if isinstance(cfg, str):
         cfg = ConfigDict({cfg: {}})
     name, params = cfg.item()
     if not isinstance(params, ConfigDict):
         params = ConfigDict()
-    factory = _FACTORIES.get(_canon(name))
+    canon = _canon(name)
+    factory = _FACTORIES.get(canon)
     if factory is None:
         raise KeyError(f"Unknown scheduler {name!r}")
     sub_base = float(_get(params, "base", base))
-    return factory(params, sub_base, unit, num_epochs, bpe)
+    default_unit = _DEFAULT_UNITS.get(canon, "epoch")
+    sub_unit = _unit(params, default_unit) if config_unit else default_unit
+    return factory(params, sub_base, sub_unit, num_epochs, bpe)
 
 
 def _warmup(params, base, unit, num_epochs, bpe):
     """Constant warmup lr, then base lr under the main schedule."""
-    warmup = params.get("warmup", False)
-    if warmup:
+    # an OMITTED (or empty) 'warmup' key means warmup ENABLED with the
+    # reference PARAMS defaults {learning_rate: 0.1, length: 1} — the
+    # reference's fill machinery injects the whole PARAMS table before
+    # construction (scheduler.py:142-147) and only an explicit
+    # ``warmup: false``/null reaches the disabled branch
+    warmup = params.get("warmup") if params.has("warmup") else ConfigDict()
+    if warmup is None or warmup is False:
+        length, warmup_lr = 0, base
+    else:
         length = int(_get(warmup, "length", 1))
         warmup_lr = float(_get(warmup, "learning_rate", 0.1))
-    else:
-        length, warmup_lr = 0, base
     main_cfg = params.get("main_scheduler", None)
     main_epochs = num_epochs
     if main_epochs is not None:
@@ -265,7 +288,11 @@ def _sequential(params, base, unit, num_epochs, bpe):
     end_epochs = num_epochs or default_end
     starts = [0, *epoch_milestones]
     ends = [*epoch_milestones, end_epochs]
-    fns = [_sub_schedule(cfg, base, unit, end - start, bpe)
+    # config_unit=False: SequentialLR.fill_kwargs pops iteration_unit from
+    # its sub dicts (scheduler.py:71-73), so each segment's 'auto' horizon
+    # always resolves in its class-default unit
+    fns = [_sub_schedule(cfg, base, unit, end - start, bpe,
+                         config_unit=False)
            for cfg, start, end in zip(schedulers, starts, ends)]
 
     boundaries = jnp.asarray(milestones, jnp.int32)
@@ -319,7 +346,11 @@ def fill_schedule_spec(lr_cfg: ConfigDict) -> None:
                          _DEFAULT_UNITS.get(canon, "epoch"))
     if canon == "ExponentialLR" and _get(params, "gamma", "auto") == "auto":
         params.get_or_update("min_scale", 0.001)
-    if canon == "WarmUpScheduler" and params.get("warmup"):
+    if canon == "WarmUpScheduler":
+        # reference PARAMS (scheduler.py:142-147): a missing warmup key
+        # defaults to ENABLED with {learning_rate: 0.1, length: 1}
+        if not params.has("warmup"):
+            params["warmup"] = {"learning_rate": 0.1, "length": 1}
         warmup = params["warmup"]
         if isinstance(warmup, ConfigDict):
             warmup.fill_with_defaults({"learning_rate": 0.1, "length": 1})

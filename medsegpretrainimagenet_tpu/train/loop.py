@@ -33,24 +33,45 @@ __all__ = ["train_model", "run_epoch", "append_csv_row"]
 
 
 def _export_confusion_matrix(calculator, metrics_state, destination: str,
-                             epoch: int, config_dict) -> None:
-    """K x K validation CM image per epoch (reference
-    ``multiclass_metrics.py:129-153``)."""
+                             epoch: int, config_dict,
+                             train: bool = False) -> None:
+    """K x K CM image at active epochs (reference
+    ``multiclass_metrics.py:124-153``): the train and validation passes
+    each export a row-normalised matrix as
+    ``Confusion_matrices/{train_|val_}confusion_matrix_epoch_{i}``."""
     cm = calculator.epoch_confusion_matrix(metrics_state)
     if cm is None:
         return
     from ..plotting import ConfMtxPlotter, export_plot
     labels = config_dict.get_str_tuple("metrics/calculation/class_names") \
         or None
-    out_dir = os.path.join(destination, "confusion_matrices")
+    out_dir = os.path.join(destination, "Confusion_matrices")
     os.makedirs(out_dir, exist_ok=True)
+    kind = "Train" if train else "Validation"
+    prefix = "train_" if train else "val_"
     plotter = ConfMtxPlotter({
         "matrix": cm, "labels": list(labels) if labels else None,
-        "title": f"validation confusion matrix, epoch {epoch}",
-        "dirname": out_dir, "fname": f"confusion_matrix_epoch_{epoch}"})
+        "title": f"{kind} confusion matrix at epoch {epoch}",
+        "dirname": out_dir,
+        "fname": f"{prefix}confusion_matrix_epoch_{epoch}"})
     extensions = config_dict.get_str_tuple(
         "meta/technical/export_plots_as") or ("png",)
     export_plot(plotter, extensions)
+
+
+def _cm_log_epochs(config_dict) -> tuple:
+    """(active_epochs, do_last) for CM-image export — reference
+    ``multiclass_metrics.py:64-70``: ``log_confusion_matrix_at`` defaults
+    to 'last', so per-epoch export only happens for listed epochs."""
+    if not config_dict.get("metrics/calculation/log_confusion_matrix",
+                           False):
+        return [], False
+    at = config_dict.get("metrics/calculation/log_confusion_matrix_at",
+                         "last")
+    if isinstance(at, (str, int)):
+        at = [at]
+    at = list(at)
+    return [int(e) for e in at if e != "last"], "last" in at
 
 
 def append_csv_row(path: str, row: Dict[str, Any]) -> None:
@@ -72,25 +93,26 @@ def _stack_fragments(fragments):
 def _virtual_batches(loader, accumulation_scale: int):
     """Group loader fragments into virtual batches.
 
-    Yields ``(stack, is_full)``: equal-shaped fragments are stacked into
-    (n_frag, frag_bs, ...); a shape change or the epoch end flushes a
-    *partial* group with ``is_full=False`` — the train step then runs the
-    forward/metrics/BN path but skips the optimizer update, matching the
-    reference where fragments past the last accumulation boundary never
-    reach ``optimizer.step()`` (``train_model.py:55-58,107-110``)."""
+    Yields (n_frag, frag_bs, ...) stacks of equal-shaped fragments; a
+    shape change or the epoch end flushes a *partial* group.  EVERY group
+    — the ragged epoch tail included — is one optimizer step: the
+    reference steps at each accumulation boundary AND on the epoch's last
+    fragment (``train_model.py:55``: ``step = (i + 1) % accumulation_scale
+    == 0 or i == len(ds) - 1``), i.e. ceil(len/acc) steps per epoch, which
+    is also what the schedulers' batches_per_epoch horizon counts."""
     pending = []
     for fragment in loader:
         if pending and (fragment.keys() != pending[0].keys() or any(
                 fragment[k].shape != pending[0][k].shape
                 for k in fragment)):
-            yield _stack_fragments(pending), False
+            yield _stack_fragments(pending)
             pending = []
         pending.append(fragment)
         if len(pending) == accumulation_scale:
-            yield _stack_fragments(pending), True
+            yield _stack_fragments(pending)
             pending = []
     if pending:
-        yield _stack_fragments(pending), False
+        yield _stack_fragments(pending)
 
 
 def _prefetched(iterator, mesh, depth: int = 2):
@@ -100,16 +122,15 @@ def _prefetched(iterator, mesh, depth: int = 2):
     from ..data.loader import prefetch_to_device
     from ..parallel import shard_batch
 
-    def put(item):
-        batch, is_full = item  # the flag stays host-side (it is jit-static)
+    def put(batch):
         if mesh is not None:
             # a 'spatial' mesh axis (meta/technical/spatial_sharding > 1)
             # additionally shards the image-height dim — halo exchanges
             # are inserted by XLA (parallel/mesh.py shard_batch)
             spatial = "spatial" if "spatial" in mesh.axis_names else None
             return shard_batch(batch, mesh, batch_dim=1,
-                               spatial_axis=spatial), is_full
-        return jax.device_put(batch), is_full
+                               spatial_axis=spatial)
+        return jax.device_put(batch)
 
     def on_error(exc):
         handle_exception(exc, "Exception while transferring a batch.")
@@ -125,13 +146,12 @@ def run_epoch(step_fn, state, metrics_state, loader,
     """One pass over *loader*.  Returns (state, metrics_state)."""
     pending = None  # previous step's device scalars, converted one step
     # late so the host->CSV sync never stalls the dispatch pipeline
-    for i, (batch_stack, is_full) in enumerate(_prefetched(
+    for i, batch_stack in enumerate(_prefetched(
             _virtual_batches(loader, accumulation_scale), mesh)):
         try:
             if train:
                 state, metrics_state, per_batch = step_fn(
-                    state, metrics_state, batch_stack,
-                    apply_update=is_full)
+                    state, metrics_state, batch_stack)
             else:
                 metrics_state, per_batch = step_fn(
                     state, metrics_state, batch_stack)
@@ -160,6 +180,7 @@ def train_model(model, train_data, val_data, test_data,
                 on_epoch: Optional[Callable] = None,
                 host_loggers: Iterable = (),
                 device_augment=None,
+                prediction_index: int = 0,
                 *args, **kwargs) -> TrainState:
     """Train for the configured number of epochs.  Returns the final state."""
     assert virtual_batch_size % true_batch_size == 0, \
@@ -187,6 +208,7 @@ def train_model(model, train_data, val_data, test_data,
             log_best = False
 
     calculator = metrics_and_loss
+    cm_active_epochs, cm_do_last = _cm_log_epochs(config_dict)
     # donate=False: the per-batch catch-and-continue envelope must be able
     # to keep using the old state after a failed step; with donation the
     # inputs' buffers are already marked deleted when a runtime error
@@ -196,8 +218,10 @@ def train_model(model, train_data, val_data, test_data,
                                  grad_clip_value=grad_clip_value,
                                  grad_clip_norm_type=grad_clip_norm_type,
                                  device_augment=device_augment,
-                                 donate=False)
-    eval_step = make_eval_step(model, loss, calculator, donate=False)
+                                 donate=False,
+                                 prediction_index=prediction_index)
+    eval_step = make_eval_step(model, loss, calculator, donate=False,
+                               prediction_index=prediction_index)
 
     host_loggers = list(host_loggers or ())
     module = getattr(model, "module", model)
@@ -244,9 +268,12 @@ def train_model(model, train_data, val_data, test_data,
 
     @jax.jit
     def _host_forward(variables, x):
-        from .step import _dequantize_inputs
+        from .step import _dequantize_inputs, _select_prediction
         x = _dequantize_inputs({"x": x})["x"]
-        return module.apply(variables, x, train=False)
+        pred = module.apply(variables, x, train=False)
+        # host loggers plot the metric-side output (reference
+        # train_model.py:66 selection applies to their input too)
+        return _select_prediction(pred, prediction_index)
 
     def _augmented_loader(loader):
         if device_augment is None:
@@ -334,6 +361,12 @@ def train_model(model, train_data, val_data, test_data,
                         jax.profiler.stop_trace()
                 _dump_step_times()
             row.update(_finalize(metrics_state))
+            if log_to_device and calculator is not None \
+                    and (epoch + 1) in cm_active_epochs:
+                with swallow("Exception logging the confusion matrix."):
+                    _export_confusion_matrix(
+                        calculator, metrics_state, destination,
+                        epoch + 1, config_dict, train=True)
 
             if val_data:
                 metrics_state = _init_metrics()
@@ -343,8 +376,7 @@ def train_model(model, train_data, val_data, test_data,
                 row.update({f"val_{k}": v for k, v in
                             _finalize(metrics_state).items()})
                 if log_to_device and calculator is not None \
-                        and config_dict.get(
-                        "metrics/calculation/log_confusion_matrix", False):
+                        and (epoch + 1) in cm_active_epochs:
                     with swallow("Exception logging the confusion matrix."):
                         _export_confusion_matrix(
                             calculator, metrics_state, destination,
@@ -398,11 +430,23 @@ def train_model(model, train_data, val_data, test_data,
                                          eval_train, accumulation_scale,
                                          train=False, mesh=mesh)
             calculator.finalize_epoch(metrics_state)
+            if log_to_device and cm_do_last:
+                # 'last' CM export over final weights (reference
+                # MultiClassConfusionMatrix.save with last=True)
+                with swallow("Exception logging the confusion matrix."):
+                    _export_confusion_matrix(
+                        calculator, metrics_state, destination,
+                        num_epochs, config_dict, train=True)
             metrics_state = calculator.init_state()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          val_data, accumulation_scale,
                                          train=False, mesh=mesh)
             calculator.finalize_epoch(metrics_state)
+            if log_to_device and cm_do_last:
+                with swallow("Exception logging the confusion matrix."):
+                    _export_confusion_matrix(
+                        calculator, metrics_state, destination,
+                        num_epochs, config_dict)
 
     if calculator is not None:
         # reference train_model.py:294: end-of-training metric export hooks

@@ -24,10 +24,11 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     rng_base: jax.Array
-    #: counts every train-step invocation, including apply_update=False
-    #: trailing-fragment groups — the dropout stream must advance even
-    #: when the optimizer step counter does not, or consecutive batches
-    #: reuse identical dropout/stochastic-depth masks
+    #: counts every train-step invocation; every virtual batch now also
+    #: applies the optimizer update (reference ``train_model.py:55``), so
+    #: this tracks ``step`` — kept as a distinct field for checkpoint
+    #: compatibility and so the dropout stream stays well-defined even if
+    #: a no-update pass ever returns
     micro_step: jax.Array = None  # type: ignore[assignment]
 
     @classmethod

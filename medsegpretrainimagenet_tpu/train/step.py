@@ -53,6 +53,16 @@ def _merge_fragments(tree):
         lambda x: x.reshape((-1,) + x.shape[2:]), tree)
 
 
+def _select_prediction(pred, prediction_index: int):
+    """Metric-side output selection for multi-output models (reference
+    ``train_model.py:62-76``: ``batch['prediction'] = pred[pred_idx]``
+    with ``pred_idx = training/prediction_index``,
+    ``run_experiment.py:337``).  Single-output models pass through."""
+    if isinstance(pred, (tuple, list)):
+        return pred[prediction_index]
+    return pred
+
+
 def _dequantize_inputs(batch):
     """uint8 inputs widen *on device*: images -> float32/255, integer
     targets (mask/label) -> int32.
@@ -76,7 +86,8 @@ def _dequantize_inputs(batch):
 def make_train_step(model, loss_fn: Callable, calculator,
                     optimizer, grad_clip_value: Optional[float] = None,
                     grad_clip_norm_type: float = 2.0,
-                    donate: bool = True, device_augment=None):
+                    donate: bool = True, device_augment=None,
+                    prediction_index: int = 0):
     """Build the jitted train step.
 
     ``model``: Model wrapper (or bare flax module with ``apply``).
@@ -108,15 +119,15 @@ def make_train_step(model, loss_fn: Callable, calculator,
 
     grad_fn = jax.value_and_grad(fragment_forward, has_aux=True)
 
-    def train_step(state: TrainState, metrics_state, batch_stack,
-                   apply_update: bool = True):
+    def train_step(state: TrainState, metrics_state, batch_stack):
         """One optimizer step over a (n_frag, frag_bs, ...) stack.
 
-        ``apply_update=False`` runs the forward/metrics/BN-stats path but
-        leaves params, optimizer state and the step counter untouched —
-        the reference's trailing-fragment semantics: fragments after the
-        last accumulation boundary backward but never reach
-        ``optimizer.step()`` (``train_model.py:55-58,107-110``)."""
+        Every stack — the epoch's ragged tail included — applies the
+        update: the reference steps at each accumulation boundary AND on
+        the epoch's last fragment (``train_model.py:55``), so a partial
+        trailing group is a real (mean-of-its-fragments) optimizer step,
+        keeping applied steps == the schedulers' ceil(len/acc)
+        batches_per_epoch horizon."""
         n_frag = jax.tree_util.tree_leaves(batch_stack)[0].shape[0]
         step_rng = state.step_rng()
 
@@ -148,21 +159,20 @@ def make_train_step(model, loss_fn: Callable, calculator,
 
         micro = (state.micro_step if state.micro_step is not None
                  else state.step) + 1
-        if apply_update:
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(params=params, batch_stats=batch_stats,
-                                      opt_state=opt_state,
-                                      step=state.step + 1, micro_step=micro)
-        else:
-            new_state = state.replace(batch_stats=batch_stats,
-                                      micro_step=micro)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=batch_stats,
+                                  opt_state=opt_state,
+                                  step=state.step + 1, micro_step=micro)
 
         per_batch = {"gradient_magnitude": grad_norm,
                      "learning_rate": optimizer.lr_at(state.step)}
         if calculator is not None:
-            merged_pred = preds.reshape((-1,) + preds.shape[2:])
+            # preds may be a tuple pytree (multi-output model): merge each
+            # leaf, then select the metric output like the reference
+            merged_pred = _select_prediction(
+                _merge_fragments(preds), prediction_index)
             merged_batch = _merge_fragments(aug_stack)
             metrics_state, metric_values = calculator.update(
                 metrics_state, merged_pred, merged_batch,
@@ -172,12 +182,11 @@ def make_train_step(model, loss_fn: Callable, calculator,
             per_batch["loss"] = loss_value
         return new_state, metrics_state, per_batch
 
-    return jax.jit(train_step, donate_argnums=(0, 1) if donate else (),
-                   static_argnames=("apply_update",))
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_eval_step(model, loss_fn: Optional[Callable], calculator,
-                   donate: bool = True):
+                   donate: bool = True, prediction_index: int = 0):
     """Build the jitted evaluation step (no grads, running BN stats)."""
     module = getattr(model, "module", model)
 
@@ -188,14 +197,18 @@ def make_eval_step(model, loss_fn: Optional[Callable], calculator,
             return None, pred
 
         _, preds = jax.lax.scan(forward, None, batch_stack)
-        merged_pred = preds.reshape((-1,) + preds.shape[2:])
+        # the loss sees the FULL (possibly multi-output) prediction — it
+        # applies its own train_prediction_index — while metrics get the
+        # training/prediction_index selection (reference train_model.py:66)
+        merged_pred = _merge_fragments(preds)
         merged_batch = _dequantize_inputs(_merge_fragments(batch_stack))
         loss_value = loss_fn(merged_pred, merged_batch) \
             if loss_fn is not None else None
         if calculator is not None:
             metrics_state, per_batch = calculator.update(
-                metrics_state, merged_pred, merged_batch,
-                loss_value=loss_value)
+                metrics_state, _select_prediction(merged_pred,
+                                                  prediction_index),
+                merged_batch, loss_value=loss_value)
         else:
             per_batch = {}
         return metrics_state, per_batch

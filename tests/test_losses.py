@@ -97,3 +97,46 @@ def test_loss_wrapper_from_registry():
     wrapper = registry.build(cfg, wrapper=Loss)
     assert wrapper.label_type == "label"
     assert wrapper.calculator.smooth == 0.1
+
+
+def test_loss_wrapper_default_prediction_index():
+    """Multi-output fallback: with no train_prediction_index on the loss,
+    the GLOBAL training/prediction_index selects the trained head
+    (reference loss.py:47-50 consumes batch['prediction'] =
+    pred[training/prediction_index], train_model.py:66)."""
+    from medsegpretrainimagenet_tpu.losses import DiceLoss, Loss
+
+    pred_a = jnp.full((2, 4, 4, 1), 0.9, jnp.float32)
+    pred_b = jnp.full((2, 4, 4, 1), 0.1, jnp.float32)
+    mask = jnp.ones((2, 4, 4), jnp.float32)
+    wrapper = Loss(DiceLoss, ConfigDict({"label type": "mask"}),
+                   default_prediction_index=1)
+    picked = float(wrapper((pred_a, pred_b), {"mask": mask}))
+    direct = float(wrapper(pred_b, {"mask": mask}))
+    assert picked == pytest.approx(direct)
+    # an explicit train_prediction_index still wins
+    wrapper0 = Loss(DiceLoss, ConfigDict({"label type": "mask",
+                                          "train prediction index": 0}),
+                    default_prediction_index=1)
+    picked0 = float(wrapper0((pred_a, pred_b), {"mask": mask}))
+    assert picked0 == pytest.approx(float(wrapper0(pred_a, {"mask": mask})))
+
+
+def test_loss_wrapper_null_label_type_passes_all_inputs():
+    """`label type: null` routes to the pass-all-inputs path (reference
+    loss.py:46-47) instead of crashing on batch[None]."""
+    from medsegpretrainimagenet_tpu.losses import Loss
+
+    class EveryInput:
+        name = "every_input"
+
+        def __call__(self, prediction=None, **batch):
+            assert "mask" in batch and "x" not in batch
+            return jnp.mean(prediction) + 0.0 * jnp.sum(batch["mask"])
+
+    wrapper = Loss(lambda **kw: EveryInput(),
+                   ConfigDict({"label type": None}))
+    value = float(wrapper(jnp.ones((2, 2)),
+                          {"x": jnp.zeros((2, 2)),
+                           "mask": jnp.ones((2, 2))}))
+    assert value == pytest.approx(1.0)

@@ -519,3 +519,29 @@ def test_classwise_evaluate_at_end_plot(tmp_path):
         payload = json.loads(path.read_text())
         assert len(payload["Ys"]) == 2
         assert payload["Ys"][0] == pytest.approx([0.5, 0.6, 0.7])
+
+
+def test_cm_image_export_epochs_wiring():
+    """log_confusion_matrix_at defaults to 'last' (reference
+    multiclass_metrics.py:19) and 'last' flags the extra last pass
+    (reference :70); explicit epoch lists do not."""
+    from medsegpretrainimagenet_tpu.train.loop import _cm_log_epochs
+
+    calc, cfg = make_calc(["metrics.multiclass_metrics.Accuracy"],
+                          number_of_classes=3, label_type="label",
+                          log_confusion_matrix=True)
+    assert cfg["metrics/calculation/log_confusion_matrix_at"] == "last"
+    assert calc.requires_last_pass
+    assert _cm_log_epochs(cfg) == ([], True)
+
+    calc2, cfg2 = make_calc(["metrics.multiclass_metrics.Accuracy"],
+                            number_of_classes=3, label_type="label",
+                            log_confusion_matrix=True,
+                            log_confusion_matrix_at=(1, 2))
+    assert not calc2.requires_last_pass
+    assert _cm_log_epochs(cfg2) == ([1, 2], False)
+
+    # no CM logging -> nothing active regardless of the 'at' key
+    _, cfg3 = make_calc(["metrics.multiclass_metrics.Accuracy"],
+                        number_of_classes=3, label_type="label")
+    assert _cm_log_epochs(cfg3) == ([], False)

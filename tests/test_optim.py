@@ -315,3 +315,57 @@ def test_amsgrad_matches_torch_adam_and_adamw():
             p2 = optax.apply_updates(p2, updates)
         assert np.abs(np.asarray(params["w"]) -
                       np.asarray(p2["w"])).max() > 1e-6
+
+
+def test_warmup_omitted_key_defaults_enabled():
+    """A missing 'warmup' key means warmup ENABLED with the reference
+    PARAMS defaults {learning_rate: 0.1, length: 1} (scheduler.py:142-147
+    via the fill machinery); only warmup: false/null disables it."""
+    cfg = ConfigDict({"optim.scheduler.WarmUpScheduler": {
+        "base": 0.01, "main_scheduler": None, "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg, num_epochs=10)
+    values = lr_seq(spec, 4)
+    # length 1 -> warmup lr 0.1 held for length+1 units, then base
+    assert values[:2] == [pytest.approx(0.1)] * 2
+    assert values[2:] == [pytest.approx(0.01)] * 2
+
+    disabled = ConfigDict({"optim.scheduler.WarmUpScheduler": {
+        "base": 0.01, "warmup": False, "main_scheduler": None,
+        "iteration_unit": "epoch"}})
+    spec2 = build_schedule(disabled, num_epochs=10)
+    assert lr_seq(spec2, 3) == [pytest.approx(0.01)] * 3
+
+
+def test_nested_auto_horizon_uses_sub_unit():
+    """An epoch-unit WarmUpScheduler around a CosineAnnealingLR with
+    T_max: auto: the cosine's horizon resolves in ITS default unit
+    ('batch': (num_epochs - length) * bpe) while it is stepped once per
+    epoch — so the lr stays near base, never annealing to eta_min
+    (reference nested-constructor semantics, scheduler.py:190-196)."""
+    num_epochs, bpe, length = 10, 5, 1
+    cfg = ConfigDict({"optim.scheduler.WarmUpScheduler": {
+        "base": 0.01, "warmup": {"learning_rate": 0.1, "length": length},
+        "main_scheduler": {
+            "torch.optim.lr_scheduler.CosineAnnealingLR":
+                {"eta_min": 0.0, "T_max": "auto"}},
+        "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg, num_epochs=num_epochs, batches_per_epoch=bpe)
+    values = lr_seq(spec, num_epochs * bpe, bpe=bpe)
+    # last epoch: main(num_epochs-1 - length) of a (9*5=45)-step cosine
+    t_max = (num_epochs - length) * bpe
+    expected_last = 0.01 * 0.5 * (
+        1 + np.cos(np.pi * (num_epochs - 1 - length) / t_max))
+    assert values[-1] == pytest.approx(expected_last, rel=1e-5)
+    assert values[-1] > 0.008  # nowhere near eta_min
+
+
+def test_step_lr_zero_milestone_is_dead():
+    """A 0 milestone never fires: the reference's counter is incremented
+    BEFORE the membership check (scheduler.py:336-338)."""
+    cfg = ConfigDict({"optim.scheduler.StepLearningRateScheduler": {
+        "base": 0.01, "learning_rates_dict": {0: 0.001, 2: 0.0001},
+        "iteration_unit": "epoch"}})
+    spec = build_schedule(cfg)
+    values = lr_seq(spec, 4)
+    assert values[:2] == [pytest.approx(0.01)] * 2   # 0-entry ignored
+    assert values[2:] == [pytest.approx(0.0001)] * 2

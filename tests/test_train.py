@@ -330,10 +330,11 @@ def test_uint8_mask_device_widening(tmp_path):
                                float(pb_b["dice_loss"]), rtol=1e-6)
 
 
-def test_partial_group_skips_optimizer_update(tmp_path):
-    """apply_update=False (the trailing-fragment group) must leave params,
-    opt state and the step counter untouched while still folding metrics
-    and BN stats (reference train_model.py:55-58,107-110 semantics)."""
+def test_partial_trailing_group_applies_update(tmp_path):
+    """A partial (smaller-than-accumulation_scale) group is a REAL
+    optimizer step: the reference steps on the epoch's last fragment too
+    (train_model.py:55, ``or i == len(ds) - 1``), so applied steps per
+    epoch == ceil(len/acc) == the schedulers' batches_per_epoch."""
     model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
     data = synthetic_segmentation_data()
     # donate=False so the pre-step state stays readable for comparison
@@ -341,23 +342,18 @@ def test_partial_group_skips_optimizer_update(tmp_path):
     step = make_train_step(model, loss, calculator, optimizer, donate=False)
     batch = {k: jnp.asarray(v[None, :8]) for k, v in data.items()}
     ms0 = calculator.init_state()
-    new_state, ms1, per_batch = step(state, ms0, batch, apply_update=False)
-    for a, b in zip(jax.tree_util.tree_leaves(state.params),
-                    jax.tree_util.tree_leaves(new_state.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(new_state.step) == int(state.step)
-    # metrics still folded in
+    new_state, ms1, per_batch = step(state, ms0, batch)
+    changed_params = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(new_state.params)))
+    assert changed_params
+    assert int(new_state.step) == int(state.step) + 1
     row = calculator.finalize_epoch(ms1)
     assert "metrics/dice_index_threshold_0.5" in row
-    # BN running stats did update (train-mode forward ran)
-    changed = any(
-        not np.array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
-                        jax.tree_util.tree_leaves(new_state.batch_stats)))
-    assert changed
 
 
-def test_virtual_batches_grouping_and_tail_flag():
+def test_virtual_batches_grouping():
     from medsegpretrainimagenet_tpu.train.loop import _virtual_batches
 
     def frags(shapes):
@@ -365,21 +361,17 @@ def test_virtual_batches_grouping_and_tail_flag():
             yield {"x": np.zeros((n, 4, 4, 1), np.float32),
                    "mask": np.zeros((n, 4, 4), np.int32)}
 
-    # scale 4 over [8]*5: one full group of 4 + a partial tail of 1
+    # scale 4 over [8]*5: one full group of 4 + a partial tail of 1 —
+    # BOTH are optimizer steps (ceil(5/4) = 2, reference train_model.py:55)
     out = list(_virtual_batches(frags([8] * 5), 4))
-    assert [(o["x"].shape[0] for o in (s,)) is not None and f
-            for s, f in out] == [True, False]
-    assert out[0][0]["x"].shape == (4, 8, 4, 4, 1)
-    assert out[1][0]["x"].shape == (1, 8, 4, 4, 1)
-    # scale 1: every fragment is a full group, ragged tail included
+    assert [s["x"].shape[0] for s in out] == [4, 1]
+    assert out[0]["x"].shape == (4, 8, 4, 4, 1)
+    # scale 1: every fragment is a group, ragged tail included
     out = list(_virtual_batches(frags([8, 8, 2]), 1))
-    assert [f for _, f in out] == [True, True, True]
-    # shape change mid-group flushes a partial (no-update) group
+    assert [s["x"].shape[0] for s in out] == [1, 1, 1]
+    # shape change mid-group flushes a partial group
     out = list(_virtual_batches(frags([8, 8, 2, 8, 8]), 2))
-    flags = [f for _, f in out]
-    sizes = [s["x"].shape[0] for s, _ in out]
-    assert sizes == [2, 1, 2]
-    assert flags == [True, False, True]
+    assert [s["x"].shape[0] for s in out] == [2, 1, 2]
 
 
 def test_prefetch_yields_each_batch_once_and_skips_bad():
@@ -407,11 +399,11 @@ def test_prefetch_yields_each_batch_once_and_skips_bad():
     assert len(errors) == 1
 
 
-def test_run_epoch_ragged_tail_skips_update_but_counts_metrics(tmp_path):
+def test_run_epoch_ragged_tail_steps_and_counts_metrics(tmp_path):
     """Through run_epoch: 10 samples in fragments of 4 with accumulation
-    scale 2 -> one full virtual batch (one optimizer step) + a ragged
-    tail fragment folded into metrics without stepping (reference
-    boundary semantics)."""
+    scale 2 -> one full virtual batch + the ragged tail, BOTH optimizer
+    steps: the reference steps on the epoch's last fragment too
+    (train_model.py:55), ceil(3 fragments / 2) = 2 steps."""
     from medsegpretrainimagenet_tpu.train.loop import run_epoch
 
     model, optimizer, state, loss, calculator, _ = build_training(tmp_path)
@@ -425,8 +417,8 @@ def test_run_epoch_ragged_tail_skips_update_but_counts_metrics(tmp_path):
     ms = calculator.init_state()
     state2, ms = run_epoch(step, state, ms, loader(),
                            accumulation_scale=2, train=True)
-    assert int(state2.step) == 1          # only the full group stepped
-    assert int(state2.micro_step) == 2    # but both invocations advanced rng
+    assert int(state2.step) == 2          # full group AND ragged tail step
+    assert int(state2.micro_step) == 2
     row = calculator.finalize_epoch(ms)
     # raw CM counts never reach the logged row (reference filter,
     # metric_wrapper.py:281) ...
