@@ -185,23 +185,22 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
             prefix_open = False
             host.append(cfg)
         elif family == "rotation":
-            # defaults mirror the host transform exactly
-            # (transforms/segmentation.py RandomRotation reads only 'p');
-            # an EXPLICIT p: 0 must stay 0 (disabled), so only a missing/
-            # null value falls back to the default — `or 1` would silently
-            # re-enable a disabled augmentation
-            p = params.get("p", None)
+            # defaults mirror the host transform exactly, INCLUDING the
+            # reference's falsy-p coercion (wrapped_transforms.py:81:
+            # ``p or 1`` turns a missing/null/0 p into 1) — host and
+            # device pipelines must see the same distribution for the
+            # same config
             kwargs.update(
                 rotation_limit=params.get("limit", 180),
-                rotation_probability=1 if p is None else p,
+                rotation_probability=params.get("p", None) or 1,
                 fill=float(params.get("value", 0) or 0),
                 mask_fill=float(params.get("mask_value", 0) or 0))
         elif family == "flip":
-            p = params.get("probability", params.get("p", None))
             kwargs.update(
                 flip_vertical=bool(params.get("vertical", True)),
                 flip_horizontal=bool(params.get("horizontal", False)),
-                flip_probability=1 if p is None else p)
+                flip_probability=params.get(
+                    "probability", params.get("p", None)) or 1)
         else:  # transform.RepeatChannels
             kwargs["repeat_to_channels"] = params.get("repeats", 3) or 3
     if not kwargs:

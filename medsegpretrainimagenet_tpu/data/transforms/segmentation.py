@@ -125,6 +125,11 @@ class RandomRotation(_JointTransform):
                                                    "BORDER_CONSTANT"))
         self.value = config_dict.get("value", 0)
         self.mask_value = config_dict.get("mask_value", 0)
+        # reference parity (wrapped_transforms.py:81): the reference does
+        # ``alb_kwargs['p'] = alb_kwargs.get('p') or 1`` — a falsy p
+        # (missing, null, AND an explicit 0) all become 1.  Quirky, but
+        # configs must behave identically; the device-augment path
+        # (cli/run_experiment.py) applies the same coercion.
         self.p = config_dict.get("p", None) or 1
         self.rng = np.random.default_rng(seed)
 
@@ -159,6 +164,8 @@ class RandomFlip(_JointTransform):
         self.vertical = bool(config_dict.get("vertical", True))
         if not (self.horizontal or self.vertical):
             raise ValueError("RandomFlip needs at least one direction")
+        # reference parity (wrapped_transforms.py:89): falsy probability
+        # (missing/null/0) coerces to 1 — same quirk as RandomRotation
         self.p = config_dict.get("probability",
                                  config_dict.get("p", None)) or 1
         self.rng = np.random.default_rng(seed)

@@ -58,17 +58,24 @@ def lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     with _LOCK:
-        if _TRIED:
+        if _LIB is not None or _TRIED:
             return _LIB
-        _TRIED = True
+        # NOTE: _TRIED flips True only at each terminal outcome — AFTER
+        # _LIB is assigned on success — never before the (up to 120 s)
+        # build completes: an early flip would let concurrent callers on
+        # the lock-free fast path above read (_TRIED=True, _LIB=None) and
+        # permanently take the slow numpy fallback
         if os.environ.get("MST_NATIVE", "1") == "0":
+            _TRIED = True
             return None
         path = _build()
         if path is None:
+            _TRIED = True
             return None
         try:
             cdll = ctypes.CDLL(path)
         except OSError:
+            _TRIED = True
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -84,6 +91,7 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, u8p, u8p]
         cdll.u8_to_f32_scale.argtypes = [u8p, f32p, ctypes.c_int64]
         _LIB = cdll
+        _TRIED = True
         return _LIB
 
 

@@ -107,9 +107,13 @@ def flip_batch(images: jax.Array, flip_v: jax.Array,
 
 
 def repeat_channels(x: jax.Array, n: int = 3) -> jax.Array:
-    """Gray -> n-channel (reference ``transform.RepeatChannels``)."""
-    if x.shape[-1] == n:
-        return x
+    """Repeat the channel axis *n* times (reference
+    ``transform.RepeatChannels``): ``n`` is the repeat FACTOR, not a
+    target channel count — the host transform does an unconditional
+    ``np.repeat(x, repeats, axis=-1)`` (``transforms/core.py``
+    RepeatChannels), so a C=3 input with repeats=3 becomes 9 channels
+    there and must here too, or toggling device_augmentation changes the
+    model's input shape."""
     return jnp.repeat(x, n, axis=-1)
 
 

@@ -169,7 +169,18 @@ def _fused_bwd(scale, residuals, g):
                             q.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
     dbias = jnp.sum(dlogits, axis=0)
-    dmask = None if mask is None else jnp.zeros_like(mask)
+    if mask is None:
+        dmask = None
+    else:
+        # mask broadcasts as (1, nW, 1, N, N) into the (B_/nW, nW, H, N, N)
+        # logits (_logits above), so its cotangent sums over the batch
+        # groups and heads — a zeros placeholder here would silently wrong
+        # any caller differentiating through the Pallas path w.r.t. mask
+        # (e.g. input-saliency passes over the eval forward)
+        n_w = mask.shape[0]
+        b_, h, n, _ = dlogits.shape
+        dmask = dlogits.reshape(b_ // n_w, n_w, h, n, n).sum(axis=(0, 2))
+        dmask = dmask.astype(mask.dtype)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dbias.astype(bias.dtype), dmask)
 

@@ -24,11 +24,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["tensor_parallel_shardings", "shard_train_state"]
 
 
+def _path_keys(path) -> tuple:
+    """Normalise a tree_util key path to a tuple of plain strings."""
+    keys = []
+    for entry in path:
+        if hasattr(entry, "key"):
+            keys.append(str(entry.key))
+        elif hasattr(entry, "name"):
+            keys.append(str(entry.name))
+        elif hasattr(entry, "idx"):
+            keys.append(str(entry.idx))
+        else:
+            keys.append(str(entry))
+    return tuple(keys)
+
+
 def _spec_for(path_leaf, value, axis: str, min_channels: int,
               axis_size: int):
     shape = getattr(value, "shape", ())
-    name = str(path_leaf[-1]) if path_leaf else ""
-    if "kernel" in name and len(shape) >= 2 \
+    # extract the KEY from the DictKey entry: str(DictKey) is "['bias']",
+    # which broke the exact-name matches below (kernels only survived by
+    # substring accident)
+    name = _path_keys(path_leaf)[-1] if path_leaf else ""
+    if name == "kernel" and len(shape) >= 2 \
             and shape[-1] >= min_channels and shape[-1] % axis_size == 0:
         # conv kernels (H, W, I, O) / dense kernels (I, O): shard O
         return P(*([None] * (len(shape) - 1) + [axis]))
@@ -54,21 +72,6 @@ def tensor_parallel_shardings(params, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
-def _path_keys(path) -> tuple:
-    """Normalise a tree_util key path to a tuple of plain strings."""
-    keys = []
-    for entry in path:
-        if hasattr(entry, "key"):
-            keys.append(str(entry.key))
-        elif hasattr(entry, "name"):
-            keys.append(str(entry.name))
-        elif hasattr(entry, "idx"):
-            keys.append(str(entry.idx))
-        else:
-            keys.append(str(entry))
-    return tuple(keys)
-
-
 def shard_train_state(state, mesh: Mesh, axis: str = "model",
                       min_channels: int = 256):
     """Device-put a TrainState with TP params (+matching optimizer moments)
@@ -92,7 +95,7 @@ def shard_train_state(state, mesh: Mesh, axis: str = "model",
             jax.tree_util.tree_flatten_with_path(state.params)[0]):
         by_path[_path_keys(path)] = (sh, getattr(p, "shape", None))
 
-    def put_opt(path, leaf):
+    def opt_sharding(path, leaf):
         keys = _path_keys(path)
         shape = getattr(leaf, "shape", None)
         # longest matching suffix wins (ties impossible: param paths are
@@ -100,12 +103,16 @@ def shard_train_state(state, mesh: Mesh, axis: str = "model",
         for start in range(len(keys)):
             hit = by_path.get(keys[start:])
             if hit is not None and hit[1] == shape:
-                return jax.device_put(leaf, hit[0])
-        return jax.device_put(leaf, repl)
+                return hit[0]
+        return repl
 
-    opt_state = jax.tree_util.tree_map_with_path(put_opt, state.opt_state)
+    # build the full sharding pytree FIRST, then batch the transfers into
+    # two device_put calls — per-leaf eager puts cost a host<->device
+    # round-trip each (ruinous over a remote-TPU tunnel at init)
+    opt_sh = jax.tree_util.tree_map_with_path(opt_sharding, state.opt_state)
+    opt_state = jax.device_put(state.opt_state, opt_sh)
+    batch_stats, step, rng_base = jax.device_put(
+        (state.batch_stats, state.step, state.rng_base), repl)
     return state.replace(
         params=params, opt_state=opt_state,
-        batch_stats=jax.device_put(state.batch_stats, repl),
-        step=jax.device_put(state.step, repl),
-        rng_base=jax.device_put(state.rng_base, repl))
+        batch_stats=batch_stats, step=step, rng_base=rng_base)

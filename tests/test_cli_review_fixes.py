@@ -68,10 +68,13 @@ def test_name_fields_empty_list_falls_back_to_config():
     assert tags == ["number_of_epochs: 5"]
 
 
-def test_device_augment_p_zero_stays_disabled(monkeypatch):
-    """RandomRotation {p: 0} lifted on device keeps probability 0 — the
-    previous `or 1` silently re-enabled a disabled augmentation."""
+def test_device_augment_matches_host_falsy_p_coercion(monkeypatch):
+    """The device-lifted RandomRotation applies the SAME falsy-p coercion
+    as the host/reference path (wrapped_transforms.py:81: ``p or 1``), so
+    toggling device_augmentation never changes the train distribution."""
     from medsegpretrainimagenet_tpu.cli import run_experiment as re_mod
+    from medsegpretrainimagenet_tpu.data.transforms.core import (
+        build_transform)
     from medsegpretrainimagenet_tpu.ops import augment as augment_mod
     captured = {}
 
@@ -80,12 +83,12 @@ def test_device_augment_p_zero_stays_disabled(monkeypatch):
         return lambda rng, batch: batch
 
     monkeypatch.setattr(augment_mod, "make_device_augment", fake_make)
-    cfgs = [ConfigDict({
-        "segmentation.transforms.wrapped_transforms.RandomRotation":
-            {"p": 0}})]
-    device_augment, host = re_mod._split_device_augment(cfgs)
+    cfg = {"segmentation.transforms.wrapped_transforms.RandomRotation":
+           {"p": 0}}
+    device_augment, host = re_mod._split_device_augment([ConfigDict(cfg)])
     assert device_augment is not None
-    assert captured["rotation_probability"] == 0
+    host_p = build_transform(ConfigDict(cfg), seed=0).p
+    assert captured["rotation_probability"] == host_p == 1
     assert host == []
 
 

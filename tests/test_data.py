@@ -309,3 +309,31 @@ def test_undersampling_above_target_ratio_clamps_cut():
     src = BalancedSource(data, balanced="under", pos_ratio_in_ds=0.5,
                          seed=0)
     assert src.cut["amount"] >= 0
+
+
+def test_falsy_p_coerces_to_one_reference_parity():
+    """Reference quirk pinned (wrapped_transforms.py:81,89): a falsy p —
+    missing, null, and even an explicit 0 — coerces to probability 1 for
+    RandomRotation/RandomFlip.  Host and device paths must agree on it."""
+    rot = build_transform(ConfigDict({
+        "segmentation.transforms.wrapped_transforms.RandomRotation":
+            {"p": 0}}), seed=0)
+    assert rot.p == 1
+    flip = build_transform(ConfigDict({
+        "segmentation.transforms.wrapped_transforms.RandomFlip":
+            {"probability": 0, "vertical": True}}), seed=0)
+    assert flip.p == 1
+
+
+def test_device_repeat_channels_matches_host_factor_semantics():
+    """ops.augment.repeat_channels repeats by FACTOR n like the host
+    RepeatChannels (np.repeat(x, repeats)): C=3 with n=3 -> 9 channels,
+    so toggling device_augmentation cannot change the model input shape."""
+    import jax.numpy as jnp
+
+    from medsegpretrainimagenet_tpu.ops.augment import repeat_channels
+
+    x3 = jnp.ones((2, 4, 4, 3))
+    assert repeat_channels(x3, 3).shape == (2, 4, 4, 9)
+    x1 = jnp.ones((2, 4, 4, 1))
+    assert repeat_channels(x1, 3).shape == (2, 4, 4, 3)

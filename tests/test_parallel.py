@@ -262,3 +262,58 @@ def test_tensor_parallel_2d_mesh_step():
                     jax.tree_util.tree_leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_tp_shards_wide_biases_and_scales():
+    """DictKey extraction: bias/scale leaves >= min_channels shard over
+    'model' (str(DictKey) is "['bias']" — an exact-name match on it never
+    fired, silently replicating every TP-eligible bias)."""
+    from medsegpretrainimagenet_tpu.parallel.tp import (
+        tensor_parallel_shardings)
+
+    mesh = create_mesh(("data", "model"), shape=(4, 2))
+    params = {"dense": {"kernel": jnp.ones((128, 512)),
+                        "bias": jnp.ones((512,))},
+              "norm": {"scale": jnp.ones((512,)),
+                       "bias": jnp.ones((8,))}}
+    sh = tensor_parallel_shardings(params, mesh, min_channels=256)
+    assert sh["dense"]["kernel"].spec == P(None, "model")
+    assert sh["dense"]["bias"].spec == P("model")
+    assert sh["norm"]["scale"].spec == P("model")
+    assert sh["norm"]["bias"].spec == P()   # below min_channels
+
+
+def test_initialize_distributed_safe_after_backend_init():
+    """After the backend is up (any JAX call), the no-kwargs form no-ops
+    and the kwargs form raises a clear ordering error instead of the
+    confusing jax-internal RuntimeError."""
+    from medsegpretrainimagenet_tpu.parallel import initialize_distributed
+
+    jax.devices()  # ensure the backend is initialized
+    initialize_distributed()  # must not raise
+    with pytest.raises(RuntimeError, match="before any other JAX"):
+        initialize_distributed(coordinator_address="127.0.0.1:1",
+                               num_processes=2, process_id=0)
+
+
+def test_shard_batch_ragged_tail_trims_and_pads():
+    """Single-process too: a tail fragment indivisible by the data axis is
+    trimmed (or, below the axis size, padded by repetition) instead of
+    raising — a raise would be swallowed by the prefetch error envelope
+    and silently drop the reference-mandated tail optimizer step."""
+    import warnings
+
+    mesh = create_mesh(("data",))  # 8-way
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tail = {"x": np.zeros((1, 11, 4, 4, 1), np.float32)}
+        out = shard_batch(tail, mesh, batch_dim=1)
+        assert out["x"].shape == (1, 8, 4, 4, 1)
+        tiny = {"x": np.arange(3, dtype=np.float32).reshape(1, 3, 1, 1, 1)}
+        out2 = shard_batch(tiny, mesh, batch_dim=1)
+        assert out2["x"].shape == (1, 8, 1, 1, 1)
+        np.testing.assert_array_equal(
+            np.asarray(out2["x"]).reshape(-1),
+            [0, 1, 2, 2, 2, 2, 2, 2])
+    assert any("trimmed" in str(w.message) for w in caught)
+    assert any("padded" in str(w.message) for w in caught)

@@ -315,3 +315,31 @@ def test_swin_unet_from_reference_yaml():
                 jax.tree_util.tree_leaves(shapes))
     # Swin-T-scale U-Net: tens of millions of parameters
     assert total > 20e6
+
+
+def test_window_attention_mask_gradient_matches_xla():
+    """The custom VJP's mask cotangent must match XLA autodiff — a zeros
+    placeholder would silently wrong saliency/robustness passes that
+    differentiate through the Pallas eval forward w.r.t. mask."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    b_, h, n, d = 8, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((b_, h, n, d)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.standard_normal((4, n, n)), jnp.float32)
+    scale = 0.25
+
+    def grad_of(impl):
+        def loss(m):
+            return jnp.sum(window_attention_core(
+                q, k, v, bias, m, scale, force=impl) ** 2)
+        return jax.grad(loss)(mask)
+
+    g_ref = grad_of("xla")
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = grad_of("pallas")
+    assert float(jnp.max(jnp.abs(g_ref))) > 1e-3  # nontrivial gradient
+    np.testing.assert_allclose(np.array(g_pl), np.array(g_ref),
+                               rtol=2e-4, atol=2e-4)
