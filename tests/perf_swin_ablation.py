@@ -12,8 +12,10 @@ part of the FLOPs; this ablation separates the other suspects:
   baseline        — the bench configuration (stoch depth 0.2, dropout rng)
   no_stochdepth   — stochastic_depth_rate = 0 (removes per-block bernoulli
                     + where over full activations)
-  no_dropout_rng  — no 'dropout' rng collection plumbed (traces without
-                    rng folding)
+  no_dropout_rng  — stoch depth 0 AND no 'dropout' rng collection plumbed
+                    (stoch depth needs the rng, so this composes with
+                    no_stochdepth; the delta vs no_stochdepth is the rng
+                    folding cost alone)
   fwd_only        — value only, no backward (bounds the bwd share)
 """
 from __future__ import annotations
@@ -86,5 +88,5 @@ if __name__ == "__main__":
     print("backend:", jax.devices()[0].platform, flush=True)
     run("baseline")
     run("no_stochdepth", stoch_depth=0.0)
-    run("no_dropout_rng", use_rng=False)
+    run("no_dropout_rng", stoch_depth=0.0, use_rng=False)
     run("fwd_only", backward=False)
