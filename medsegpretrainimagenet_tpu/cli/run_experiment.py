@@ -176,7 +176,7 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
         family = ("rotation" if name.endswith("RandomRotation") else
                   "flip" if name.endswith("RandomFlip") else "repeat")
         lifted = {"rotation": "rotation_limit", "flip": "flip_probability",
-                  "repeat": "repeat_to_channels"}[family] in kwargs
+                  "repeat": "channel_repeats"}[family] in kwargs
         if not prefix_open or name not in _DEVICE_ABLE or lifted or (
                 family == "rotation" and border != "BORDER_CONSTANT"):
             # a second transform of an already-lifted family must not be
@@ -202,7 +202,7 @@ def _split_device_augment(train_cfgs: List[ConfigDict]):
                 flip_probability=params.get(
                     "probability", params.get("p", None)) or 1)
         else:  # transform.RepeatChannels
-            kwargs["repeat_to_channels"] = params.get("repeats", 3) or 3
+            kwargs["channel_repeats"] = params.get("repeats", 3) or 3
     if not kwargs:
         return None, train_cfgs
     return make_device_augment(**kwargs), host

@@ -40,6 +40,21 @@ def _host_logger_names():
     from .host_loggers import HOST_LOGGER_NAMES
     return HOST_LOGGER_NAMES
 
+def cm_log_epochs(calc_config) -> tuple:
+    """(active_epochs, do_last) for CM-image export — reference
+    ``multiclass_metrics.py:64-70``: ``log_confusion_matrix_at`` defaults
+    to 'last', so per-epoch export only happens for listed epochs.  The
+    single source of truth for this parsing: the trainer's export
+    schedule and the calculator's REQUIRES_LAST_PASS flag must agree."""
+    if not calc_config.get("log_confusion_matrix", False):
+        return [], False
+    at = calc_config.get("log_confusion_matrix_at", "last")
+    if isinstance(at, (str, int)):
+        at = [at]
+    at = list(at)
+    return [int(e) for e in at if e != "last"], "last" in at
+
+
 _BINARY_DERIVED = {
     "metrics.Accuracy": "accuracy",
     "metrics.BalancedAccuracy": "balanced_accuracy",
@@ -263,13 +278,12 @@ class MetricsCalculator:
 
         self.loss = loss
         self.loss_name = getattr(loss, "name", "loss")
-        if calc.get("log_confusion_matrix", False) \
-                and "multiclass_cm" in self.specs:
+        if "multiclass_cm" in self.specs:
             # reference multiclass_metrics.py:70: REQUIRES_LAST_PASS when
             # the CM-image epochs include 'last'
-            at = calc.get("log_confusion_matrix_at", "last")
-            ats = [at] if isinstance(at, (str, int)) else list(at)
-            self.specs["multiclass_cm"].requires_last_pass = "last" in ats
+            _, do_last = cm_log_epochs(calc)
+            if do_last:
+                self.specs["multiclass_cm"].requires_last_pass = True
         self.requires_last_pass = any(
             getattr(s, "requires_last_pass", False)
             for s in self.specs.values())
@@ -329,11 +343,17 @@ class MetricsCalculator:
         """End-of-training export hooks (reference
         ``metric_wrapper.py:324-329``): invoked once after the optional
         last pass; specs with an ``evaluate_at_end`` callable export their
-        accumulated artifacts (classwise histories etc.)."""
-        for spec in self.specs.values():
+        accumulated artifacts (classwise histories etc.).  Each hook is
+        isolated: one failing export (a malformed CSV cell, a plotting
+        backend error) must not abort every later spec's export — the
+        trainer wraps this whole call in a single ``swallow``."""
+        from ..utils.errors import swallow
+        for name, spec in self.specs.items():
             hook = getattr(spec, "evaluate_at_end", None)
             if callable(hook):
-                hook(*args, **kwargs)
+                with swallow(f"Exception in the end-of-training hook "
+                             f"of metric {name!r}."):
+                    hook(*args, **kwargs)
 
     def epoch_confusion_matrix(self, state):
         """Host copy of the pooled K x K confusion matrix, or None.

@@ -122,7 +122,7 @@ def make_device_augment(rotation_limit: Optional[float] = None,
                         flip_vertical: bool = False,
                         flip_horizontal: bool = False,
                         flip_probability: float = 1.0,
-                        repeat_to_channels: Optional[int] = None,
+                        channel_repeats: Optional[int] = None,
                         mask_keys: Sequence[str] = ("mask", "distance_map"),
                         fill: float = 0.0, mask_fill: float = 0.0
                         ) -> Callable:
@@ -179,8 +179,8 @@ def make_device_augment(rotation_limit: Optional[float] = None,
                         and batch[key].ndim >= 3:
                     batch[key] = flip_batch(batch[key], fv, fh)
 
-        if repeat_to_channels:
-            x = repeat_channels(x, repeat_to_channels)
+        if channel_repeats:
+            x = repeat_channels(x, channel_repeats)
         batch["x"] = x
         return batch
 

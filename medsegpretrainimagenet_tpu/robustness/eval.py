@@ -134,9 +134,11 @@ def color_jitter(key: jax.Array, imgs: jax.Array,
 # ---------------------------------------------------------------------------
 
 #: (id(module), id(method)) -> (module, method, jitted fn).  Strong refs to
-#: the keys' objects keep the ids valid for the cache's lifetime; a sweep
-#: holds a handful of encoders, so unbounded growth is not a concern.
+#: the keys' objects keep the ids valid for the cache's lifetime.  Bounded
+#: FIFO: a long-lived process running many sweeps would otherwise pin every
+#: encoder module plus its compiled executables forever.
 _FORWARD_CACHE: dict = {}
+_FORWARD_CACHE_MAX = 8
 
 
 def _jitted_forward(module, method):
@@ -157,6 +159,8 @@ def _jitted_forward(module, method):
         return module.apply(variables, x, **kwargs)
 
     jitted = jax.jit(forward)
+    while len(_FORWARD_CACHE) >= _FORWARD_CACHE_MAX:  # FIFO eviction
+        _FORWARD_CACHE.pop(next(iter(_FORWARD_CACHE)))
     _FORWARD_CACHE[cache_key] = (module, method, jitted)
     return jitted
 

@@ -60,18 +60,13 @@ def _export_confusion_matrix(calculator, metrics_state, destination: str,
 
 
 def _cm_log_epochs(config_dict) -> tuple:
-    """(active_epochs, do_last) for CM-image export — reference
-    ``multiclass_metrics.py:64-70``: ``log_confusion_matrix_at`` defaults
-    to 'last', so per-epoch export only happens for listed epochs."""
-    if not config_dict.get("metrics/calculation/log_confusion_matrix",
-                           False):
-        return [], False
-    at = config_dict.get("metrics/calculation/log_confusion_matrix_at",
-                         "last")
-    if isinstance(at, (str, int)):
-        at = [at]
-    at = list(at)
-    return [int(e) for e in at if e != "last"], "last" in at
+    """(active_epochs, do_last) for CM-image export: the shared parser in
+    ``metrics.calculator.cm_log_epochs`` applied to the full experiment
+    config (one source of truth with the calculator's last-pass flag)."""
+    from ..config import ConfigDict
+    from ..metrics.calculator import cm_log_epochs
+    return cm_log_epochs(
+        config_dict.get("metrics/calculation", ConfigDict()))
 
 
 def append_csv_row(path: str, row: Dict[str, Any]) -> None:

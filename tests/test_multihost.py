@@ -49,19 +49,20 @@ WORKER = textwrap.dedent("""
     assert float(jnp.sum(g["x"])) == global_sum
 
     # ragged epoch tails must not raise (the prefetch envelope would drop
-    # the optimizer step): with a 4-way data axis, 6 samples trim to 4
-    # and a 1-sample tail pads to 4 by repeating its last sample
+    # the optimizer step): with a 4-way data axis an indivisible tail is
+    # replicated over the mesh — exact values, exact shape
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         tail = {{"x": rng.random((1, 6, 16, 16, 1)).astype(np.float32)}}
         g6 = shard_batch(tail, mesh, batch_dim=1)
-        assert g6["x"].shape == (1, 4, 16, 16, 1), g6["x"].shape
+        assert g6["x"].shape == (1, 6, 16, 16, 1), g6["x"].shape
+        np.testing.assert_array_equal(np.asarray(g6["x"]), tail["x"])
         tiny = {{"x": rng.random((1, 1, 16, 16, 1)).astype(np.float32)}}
         g1 = shard_batch(tiny, mesh, batch_dim=1)
-        assert g1["x"].shape == (1, 4, 16, 16, 1), g1["x"].shape
-        np.testing.assert_array_equal(np.asarray(g1["x"][0, 0]),
-                                      np.asarray(g1["x"][0, 3]))
+        assert g1["x"].shape == (1, 1, 16, 16, 1), g1["x"].shape
+        np.testing.assert_array_equal(np.asarray(g1["x"]),
+                                      tiny["x"])
 
     module = UNet(img_ch=1, output_ch=1, channels=[4, 8], depth=1)
     variables = module.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))

@@ -296,24 +296,34 @@ def test_initialize_distributed_safe_after_backend_init():
                                num_processes=2, process_id=0)
 
 
-def test_shard_batch_ragged_tail_trims_and_pads():
-    """Single-process too: a tail fragment indivisible by the data axis is
-    trimmed (or, below the axis size, padded by repetition) instead of
-    raising — a raise would be swallowed by the prefetch error envelope
-    and silently drop the reference-mandated tail optimizer step."""
+def test_shard_batch_ragged_tail_replicates_exactly():
+    """A tail fragment indivisible by the data axis is replicated over the
+    mesh instead of sharded (or raising — a raise would be swallowed by
+    the prefetch error envelope and silently drop the reference-mandated
+    tail optimizer step).  Replication keeps the step numerically exact:
+    no trimmed samples missing from epoch metrics, no repeated samples
+    over-weighted in the mean gradient."""
     import warnings
+
+    from jax.sharding import PartitionSpec as P
 
     mesh = create_mesh(("data",))  # 8-way
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        tail = {"x": np.zeros((1, 11, 4, 4, 1), np.float32)}
+        tail = {"x": np.arange(11 * 4, dtype=np.float32).reshape(
+            1, 11, 4, 1, 1)}
         out = shard_batch(tail, mesh, batch_dim=1)
-        assert out["x"].shape == (1, 8, 4, 4, 1)
+        # shape and values are EXACT — nothing trimmed, nothing padded
+        assert out["x"].shape == (1, 11, 4, 1, 1)
+        np.testing.assert_array_equal(np.asarray(out["x"]), tail["x"])
+        assert all(p is None for p in out["x"].sharding.spec)
         tiny = {"x": np.arange(3, dtype=np.float32).reshape(1, 3, 1, 1, 1)}
         out2 = shard_batch(tiny, mesh, batch_dim=1)
-        assert out2["x"].shape == (1, 8, 1, 1, 1)
+        assert out2["x"].shape == (1, 3, 1, 1, 1)
         np.testing.assert_array_equal(
-            np.asarray(out2["x"]).reshape(-1),
-            [0, 1, 2, 2, 2, 2, 2, 2])
-    assert any("trimmed" in str(w.message) for w in caught)
-    assert any("padded" in str(w.message) for w in caught)
+            np.asarray(out2["x"]).reshape(-1), [0, 1, 2])
+        # a divisible batch still shards
+        full = {"x": np.zeros((1, 16, 4, 1, 1), np.float32)}
+        out3 = shard_batch(full, mesh, batch_dim=1)
+        assert out3["x"].sharding.spec == P(None, "data")
+    assert any("replicating" in str(w.message) for w in caught)
