@@ -10,6 +10,7 @@ from .host_loggers import (ImageLogger, PrecisionRecallCurve,  # noqa: F401
 from .multiclass import (AverageBinaryCMSpec,  # noqa: F401
                          AverageContinuousSpec, MCAccuracySpec, MCHD95Spec,
                          MultiClassCMSpec, Top5AccuracySpec)
+from . import surface  # noqa: F401  (full vendored-medpy API parity)
 
 __all__ = ["MetricsCalculator", "MetricSpec", "ConfusionMatrixSpec",
            "DerivedCMSpec", "AUCSpec", "HD95Spec", "MultiClassCMSpec",
