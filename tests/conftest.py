@@ -19,9 +19,33 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _cpu_fingerprint():
+    """Hash of this host's CPU identity, to key the compile cache.
+
+    This VM migrates between physical hosts; XLA's persistent cache key
+    does NOT cover the host CPU's feature set, so an executable cached on
+    one host can SIGABRT mid-``block_until_ready`` on another (observed:
+    sequence-dependent 'Fatal Python error: Aborted' in the suite).
+    Keying the cache dir by CPU model+flags makes foreign-host entries
+    unreachable instead of fatal.
+    """
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = [ln for ln in f
+                     if ln.startswith(("model name", "flags", "vendor_id"))]
+        ident = "".join(sorted(set(lines)))
+    except OSError:
+        import platform
+        ident = platform.processor() or platform.machine()
+    return hashlib.sha256(ident.encode()).hexdigest()[:10]
+
+
 # persistent compile cache: repeat suite runs skip most XLA CPU compiles
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/mst_jax_cache"))
+                  os.path.expanduser(f"~/.cache/mst_jax_cache-{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
     jax.config.update("jax_num_cpu_devices", 8)
