@@ -47,6 +47,7 @@ N_EPOCHS = 6
 N_TRAIN, N_VAL = 16, 8
 SIZE = 16
 TBS = 4                   # fragment (true-batch) size
+N_CLASSES = 4             # multiclass variant (ACDC-shaped: bg + 3)
 DICE = "metrics/dice_index_threshold_0.5"
 
 
@@ -80,6 +81,31 @@ def _experiment_config(destination: str) -> dict:
     }
 
 
+def _experiment_config_mc(destination: str) -> dict:
+    """ACDC-shaped multiclass variant: softmax head over ``N_CLASSES``
+    channels, batchwise multiclass DiceLoss (the shipped
+    ``config/downstream/acdc/unet.yaml:155-160`` loss spec) and the
+    explicit multiclass metric family
+    (``multiclass_metrics.py:262,292``)."""
+    cd = _experiment_config(destination)
+    arch = cd["model"]["segmentation.models.UNet"]["architecture"]
+    arch["out channel size"] = N_CLASSES
+    arch["activation function"] = {"final": "softmax"}
+    cd["training"]["loss"] = {"segmentation.losses.DiceLoss": {
+        "batchwise": True, "include_background": True,
+        "apply_softmax": False, "smoothing_term": 1.0e-05}}
+    # classwise columns stay off: with them on the reference requires the
+    # full neptune/plot-export kwargs surface (multiclass_metrics.py:183-189)
+    cd["metrics"] = {
+        "metrics": ("metrics.multiclass_metrics.DiceIndex",
+                    "metrics.multiclass_metrics.Accuracy"),
+        "calculation": {"label_type": "mask",
+                        "number_of_classes": N_CLASSES,
+                        "class_names": ("rv", "myo", "lv"),
+                        "log_classwise_dice_idcs": False}}
+    return cd
+
+
 def _fragments(n, rng):
     """Deterministic learnable data, pre-cut into fragment dicts of TBS."""
     xs, masks = [], []
@@ -94,6 +120,24 @@ def _fragments(n, rng):
             for i in range(0, n, TBS)]
 
 
+def _fragments_mc(n, rng):
+    """Learnable ``N_CLASSES``-way data: each class-c patch carries a
+    distinct intensity band so the net can learn intensity -> class."""
+    xs, masks = [], []
+    for _ in range(n):
+        x = rng.random((SIZE, SIZE, 1)).astype(np.float32) * 0.2
+        mask = np.zeros((SIZE, SIZE), np.int64)
+        for c in range(1, N_CLASSES):
+            cx, cy = rng.integers(2, SIZE - 4, 2)
+            x[cx:cx + 4, cy:cy + 4] = 0.2 + 0.25 * c
+            mask[cx:cx + 4, cy:cy + 4] = c
+        xs.append(x)
+        masks.append(mask)
+    xs, masks = np.stack(xs), np.stack(masks)
+    return [{"x": xs[i:i + TBS], "mask": masks[i:i + TBS]}
+            for i in range(0, n, TBS)]
+
+
 def _read_epoch_logs(path):
     with open(path) as fh:
         return list(csv.DictReader(fh))
@@ -103,10 +147,13 @@ def _read_epoch_logs(path):
 # reference runner (actual /root/reference/src/train_model.py loop)
 # ---------------------------------------------------------------------------
 
-def _run_reference(tmp_path, seed: int, vbs: int):
+def _run_reference(tmp_path, seed: int, vbs: int,
+                   config_fn=None, frag_fn=None):
     """Run the reference loop; returns (epoch_rows, initial_weights)."""
     import torch
 
+    config_fn = config_fn or _experiment_config
+    frag_fn = frag_fn or _fragments
     destination = str(tmp_path) + f"/ref_{seed}_{vbs}/"
     os.makedirs(destination + "run", exist_ok=True)
     with reference_import("timm.models.layers", "utils", "model", "optim",
@@ -129,7 +176,7 @@ def _run_reference(tmp_path, seed: int, vbs: int):
             raise e
         ref_tm.handle_exception = reraise
 
-        cd = ref_utils.ConfigDict(_experiment_config(destination))
+        cd = ref_utils.ConfigDict(config_fn(destination))
         cd.expand()
         cd.fill_with_defaults(ref_utils.default_dict)
         for key in ("model", "training/loss"):
@@ -163,8 +210,8 @@ def _run_reference(tmp_path, seed: int, vbs: int):
         to_t = lambda frags: [
             {"x": torch.as_tensor(np.moveaxis(f["x"], -1, 1)),
              "mask": torch.as_tensor(f["mask"])} for f in frags]
-        train_frags = to_t(_fragments(N_TRAIN, np.random.default_rng(42)))
-        val_frags = to_t(_fragments(N_VAL, np.random.default_rng(77)))
+        train_frags = to_t(frag_fn(N_TRAIN, np.random.default_rng(42)))
+        val_frags = to_t(frag_fn(N_VAL, np.random.default_rng(77)))
 
         ref_tm.train_model(
             nn_model, train_frags, val_frags, None, cd,
@@ -217,12 +264,15 @@ def _transplant(params, tw):
     return p
 
 
-def _run_ours(tmp_path, seed: int, vbs: int, torch_weights):
+def _run_ours(tmp_path, seed: int, vbs: int, torch_weights,
+              config_fn=None, frag_fn=None):
     import jax.numpy as jnp
 
     destination = str(tmp_path) + f"/jax_{seed}_{vbs}/"
     os.makedirs(destination + "run", exist_ok=True)
-    cd = _fill(ConfigDict(_experiment_config(destination)))
+    config_fn = config_fn or _experiment_config
+    frag_fn = frag_fn or _fragments
+    cd = _fill(ConfigDict(config_fn(destination)))
 
     model = registry.build(cd["model"].trim(), wrapper=Model)
     variables = dict(model.init(
@@ -239,8 +289,8 @@ def _run_ours(tmp_path, seed: int, vbs: int, torch_weights):
     loss = registry.build(cd["training/loss"].trim(), wrapper=Loss)
     calculator = MetricsCalculator(cd, loss=loss)
 
-    train_frags = _fragments(N_TRAIN, np.random.default_rng(42))
-    val_frags = _fragments(N_VAL, np.random.default_rng(77))
+    train_frags = frag_fn(N_TRAIN, np.random.default_rng(42))
+    val_frags = frag_fn(N_VAL, np.random.default_rng(77))
 
     train_model(model, train_frags, val_frags, None, cd, optimizer, state,
                 loss=loss, metrics_and_loss=calculator, name="run",
@@ -293,6 +343,52 @@ def test_whole_loop_trajectory_matches_reference_bitwise(tmp_path):
             assert float(a[col]) == pytest.approx(float(b[col]),
                                                   abs=2e-3), \
                 f"batch {i}: {col}"
+
+
+def test_multiclass_trajectory_matches_reference(tmp_path):
+    """ACDC-shaped multiclass path, same bitwise setup: softmax head,
+    batchwise multiclass DiceLoss, K×K-CM-derived macro Dice + accuracy
+    (``multiclass_metrics.py:11,262,292``).  Pins the multiclass wiring
+    the binary test cannot see: argmax CM streams, the
+    include_background_in_averages default, present-class filtering, and
+    mean-of-batches epoch aggregation of the MC metrics."""
+    ref_rows, init_w = _run_reference(
+        tmp_path, seed=0, vbs=TBS,
+        config_fn=_experiment_config_mc, frag_fn=_fragments_mc)
+    our_rows = _run_ours(
+        tmp_path, seed=0, vbs=TBS, torch_weights=init_w,
+        config_fn=_experiment_config_mc, frag_fn=_fragments_mc)
+
+    ref_cols = set(ref_rows[0].keys())
+    our_cols = set(our_rows[0].keys())
+    assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
+    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    assert not extras, f"undocumented extra columns: {extras}"
+    assert len(ref_rows) == len(our_rows) == N_EPOCHS
+
+    # tolerances: the continuous loss stream is float-accumulation tight;
+    # argmax-CM-derived columns carry near-tie pixel-flip noise (one
+    # flipped 16x16 pixel moves a small class's dice by ~1/32), so they
+    # get a looser pointwise bound PLUS a mean-|delta| tracking bound
+    # that a systematic aggregation drift would break
+    deltas = {col: [] for col in ref_cols}
+    for i, (ref_row, our_row) in enumerate(zip(ref_rows, our_rows)):
+        for col in sorted(ref_cols):
+            r, o = float(ref_row[col]), float(our_row[col])
+            deltas[col].append(abs(o - r))
+            if col == "learning_rate":
+                assert r == pytest.approx(o, rel=1e-6), f"epoch {i}"
+            elif "loss" in col:
+                tol = 8e-3 if col.startswith("val_") else 2e-3
+                assert r == pytest.approx(o, abs=tol), f"epoch {i}: {col}"
+            else:               # argmax-derived CM metrics
+                assert r == pytest.approx(o, abs=2e-2), f"epoch {i}: {col}"
+    for col, ds in deltas.items():
+        assert float(np.mean(ds)) < 8e-3, (col, ds)
+
+    # the run must have actually learned the foreground classes
+    mdice = "metrics/mean_dice_index"
+    assert float(our_rows[-1][mdice]) > float(our_rows[0][mdice]) + 0.1
 
 
 def test_accumulation_deviation_converges_at_least_as_fast(tmp_path):
