@@ -32,7 +32,8 @@ __all__ = [
     "Conv2d", "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d", "Flatten",
     "Linear", "LayerNorm", "Identity", "Upsample", "ConvBlock", "UpConvBlock",
     "ResNeXtBlock", "InvertedBottleneckBlock", "ConvNeXtBlock",
-    "ChannelwiseLayerNorm", "LayerScale", "ResConnection", "ConcatBlock",
+    "ChannelwiseLayerNorm", "LayerScale", "TorchBatchNorm", "ResConnection",
+    "ConcatBlock",
     "AttentionBlock", "ConcatLinearBlock", "drop_path", "make_block_builder",
     "set_compute_dtype", "compute_dtype",
     "set_remat", "remat_enabled", "maybe_remat",
@@ -267,9 +268,83 @@ class Upsample(nn.Module):
 # core conv blocks
 # ---------------------------------------------------------------------------
 
+class TorchBatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` with torch's running-variance semantics.
+
+    Torch normalizes with the *biased* batch variance but accumulates the
+    *unbiased* one (Bessel ``n/(n-1)``) into ``running_var``
+    (``torch.nn.modules.batchnorm`` — the reference's BN layers, e.g.
+    ``blocks.py:455``, inherit this).  Flax stores the biased variance, so
+    eval-mode outputs drift from a reference checkpoint by ``~1/n`` per
+    layer.  Only the running-average update differs; the normalize path
+    (and therefore every *train*-mode output and gradient) is unchanged.
+    Variable names stay ``batch_stats/{mean,var}`` so checkpoints and
+    torch-transfer remaps are unaffected.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None, *,
+                 mask=None):
+        from flax.linen.normalization import (_canonicalize_axes,
+                                              _compute_stats, _normalize)
+        from flax.linen import module as _flax_module
+
+        use_running_average = _flax_module.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = (jnp.float32 if self.force_float32_reductions
+                      else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, stat_dtype),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, stat_dtype),
+                               feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            if not self.force_float32_reductions:
+                mean = jnp.asarray(mean, self.param_dtype)
+                var = jnp.asarray(var, self.param_dtype)
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * (bessel * var))
+
+        return _normalize(self, x, mean, var, reduction_axes, feature_axes,
+                          self.dtype, self.param_dtype, self.epsilon,
+                          self.use_bias, self.use_scale, self.bias_init,
+                          self.scale_init, self.force_float32_reductions)
+
+
+# Keep flax auto-naming at ``BatchNorm_N`` so param trees, msgpack
+# checkpoints, and the torch-transfer remaps are byte-identical to the
+# plain-flax layout.
+TorchBatchNorm.__name__ = "BatchNorm"
+TorchBatchNorm.__qualname__ = "BatchNorm"
+
+
 def _batch_norm(train: bool) -> nn.Module:
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=compute_dtype())
+    return TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=compute_dtype())
 
 
 @register("segmentation.models.blocks.ConvBlock", "conv_block")

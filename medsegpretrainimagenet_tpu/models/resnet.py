@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import register
+from .blocks import TorchBatchNorm
 from .blocks import _batch_norm as _bn
 from .blocks import compute_dtype, maybe_remat
 
@@ -178,10 +179,10 @@ class DeepResNet(nn.Module):
                                  strides=(2, 2), padding=((3, 3), (3, 3)),
                                  use_bias=self.bias, dtype=compute_dtype())
         if version == "v1":
-            self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
+            self.stem_bn = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
         if self.head:
             if version == "v2":
-                self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
+                self.head_bn = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=compute_dtype())
             self.head_dense = nn.Dense(self.output_size, dtype=compute_dtype())
 
     def __call__(self, x, train: bool = False, return_skip_vals: bool = False):

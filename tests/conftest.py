@@ -33,9 +33,17 @@ def _cpu_fingerprint():
     """
     import hashlib
     try:
+        # family/model/stepping matter even when the virtualized
+        # "model name" is a generic string: LLVM keys microarch
+        # scheduling pseudo-features (prefer-no-gather/-scatter) off
+        # them, and an executable AOT-compiled with a mismatched set
+        # aborts at dispatch (observed: Sapphire→Emerald Rapids
+        # migration with identical model name + flags).
         with open("/proc/cpuinfo") as f:
             lines = [ln for ln in f
-                     if ln.startswith(("model name", "flags", "vendor_id"))]
+                     if ln.startswith(("model name", "flags", "vendor_id",
+                                       "cpu family", "model\t", "model :",
+                                       "stepping", "microcode"))]
         ident = "".join(sorted(set(lines)))
     except OSError:
         import platform

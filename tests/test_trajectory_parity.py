@@ -48,6 +48,7 @@ N_TRAIN, N_VAL = 16, 8
 SIZE = 16
 TBS = 4                   # fragment (true-batch) size
 N_CLASSES = 4             # multiclass variant (ACDC-shaped: bg + 3)
+N_CLS = 5                 # classification variant (pretraining-shaped)
 DICE = "metrics/dice_index_threshold_0.5"
 
 
@@ -106,6 +107,89 @@ def _experiment_config_mc(destination: str) -> dict:
     return cd
 
 
+def _experiment_config_cls(destination: str) -> dict:
+    """Pretraining-shaped classification variant
+    (``config/pretraining/unet_encoder/simple.yaml``, scaled down):
+    FeedForwardModel(encoder -> GAP -> Flatten -> Linear), label-smoothed
+    CrossEntropy, AdamW with linear-warmup + cosine batch schedule, and
+    the multiclass Accuracy/AUROC metric pair."""
+    return {
+        "model": {"model.FeedForwardModel": {
+            "layers": (
+                {"segmentation.models.UNet_encoder": {
+                    "in_channel_size": 1, "channels": (8, 16),
+                    "depth": 1}},
+                {"torch.nn.AdaptiveAvgPool2d": {"output_size": 1}},
+                "torch.nn.Flatten",
+                {"torch.nn.Linear": {"in_features": 16,
+                                     "out_features": N_CLS}},
+            ),
+            "weight_init": {"torch.nn.init.kaiming_normal_": {
+                "nonlinearity": "relu"}}}},
+        "training": {
+            "loss": {"classification.losses.CrossEntropyLoss": {
+                "label_smoothing": 0.1, "label_type": "label"}},
+            "optimizer": {"torch.optim.AdamW": {
+                "learning_rate": {
+                    "optim.scheduler.LinearWarmupScheduler": {
+                        "base": 0.004, "warmup_length": 2,
+                        # numeric T_max: the shipped yaml pins it (92335);
+                        # 'auto' only exists on the reference's own
+                        # CosineAnnealingLR, not the raw torch one
+                        "main_scheduler": {
+                            "torch.optim.lr_scheduler.CosineAnnealingLR": {
+                                "eta_min": 1.0e-06,
+                                "T_max": N_EPOCHS * 4 - 2}},
+                        "iteration_unit": "batch"}},
+                "betas": (0.9, 0.999), "weight_decay": 0.05}}},
+        "metrics": {
+            "metrics": ("metrics.multiclass_metrics.Accuracy",
+                        "metrics.multiclass_metrics.AUROC"),
+            "calculation": {"include_background_in_averages": True,
+                            "apply_softmax": True,
+                            "number_of_classes": N_CLS,
+                            "label_type": "label"}},
+        "experiment": {"number_of_epochs": N_EPOCHS,
+                       "number_of_trials": 1},
+        "meta": {"technical": {
+            "log_to_device": True, "verbose": False,
+            "log_best_model": False, "log_last_model": False,
+            "absolute_path": destination}},
+    }
+
+
+def _patch_ffm(ref_utils, ref_model):
+    """Make the reference ``FeedForwardModel`` runnable (PARITY.md): as
+    published it can neither be constructed from its own configs (config
+    key ``layers`` vs required positional ``threads``,
+    ``model/model.py:324``) nor produce a classification output
+    (``forward`` fans the SAME input into every layer and returns a list,
+    ``model/model.py:327-333`` — a Linear cannot consume a raw image).
+    The shim applies the only semantics consistent with the shipped
+    pretraining configs and published ImageNet accuracies: sequential
+    chaining.  Everything else (loop, loss, optimizer, scheduler,
+    metrics) stays the genuine reference code."""
+    orig = ref_model.FeedForwardModel
+
+    class FixedFFM(orig):
+        @staticmethod
+        def fill_kwargs(config_dict):
+            key = "threads" if "threads" in config_dict else "layers"
+            for layer_dict in config_dict.elements_of(key):
+                ref_utils.fill_dict(layer_dict)
+
+        def __init__(self, threads=None, layers=None, *a, **k):
+            super().__init__(threads if threads is not None else layers)
+
+        def forward(self, x, *a, **k):
+            for layer in self.layers:
+                x = layer(x)
+            return x
+
+    FixedFFM.__name__ = "FeedForwardModel"
+    ref_model.FeedForwardModel = FixedFFM
+
+
 def _fragments(n, rng):
     """Deterministic learnable data, pre-cut into fragment dicts of TBS."""
     xs, masks = [], []
@@ -138,6 +222,39 @@ def _fragments_mc(n, rng):
             for i in range(0, n, TBS)]
 
 
+def _fragments_cls(n, rng):
+    """Classification data with wide margins: class-c images carry mean
+    intensity ``0.2*c`` over low noise, so GAP features separate cleanly
+    (few argmax near-ties -> tight accuracy parity)."""
+    xs, labels = [], []
+    for i in range(n):
+        label = i % N_CLS       # every TBS=4 batch sees 4 distinct classes
+        xs.append(rng.random((SIZE, SIZE, 1)).astype(np.float32) * 0.15
+                  + 0.2 * label)
+        labels.append(label)
+    xs = np.stack(xs)
+    # (B, 1): the reference CE loss squeezes dim 1 (classification/
+    # losses.py:25), so the loader-side label column is 2-D
+    labels = np.asarray(labels, np.int64).reshape(-1, 1)
+    return [{"x": xs[i:i + TBS], "label": labels[i:i + TBS]}
+            for i in range(0, n, TBS)]
+
+
+def _transplant_cls(params, tw):
+    """Torch -> flax for the FeedForwardModel classifier (encoder under
+    ``layers_0``, Linear head under ``layers_3``)."""
+    enc, pre = params["layers_0"], "model.layers.0.model."
+    enc["stem_block"]["Conv_0"]["kernel"] = _conv_t(
+        tw[pre + "first_block.model.weight"])
+    enc["stem_block"]["Conv_0"]["bias"] = tw[pre + "first_block.model.bias"]
+    _blk(enc["level_convs_0_0"], pre + "down_layers.0.conv0.model", tw)
+    _blk(enc["bottom_convs_0"], pre + "bottom_block.conv0.model", tw)
+    params["layers_3"]["Dense_0"]["kernel"] = \
+        tw["model.layers.3.model.weight"].T
+    params["layers_3"]["Dense_0"]["bias"] = tw["model.layers.3.model.bias"]
+    return params
+
+
 def _read_epoch_logs(path):
     with open(path) as fh:
         return list(csv.DictReader(fh))
@@ -148,7 +265,7 @@ def _read_epoch_logs(path):
 # ---------------------------------------------------------------------------
 
 def _run_reference(tmp_path, seed: int, vbs: int,
-                   config_fn=None, frag_fn=None):
+                   config_fn=None, frag_fn=None, patch_ref=None):
     """Run the reference loop; returns (epoch_rows, initial_weights)."""
     import torch
 
@@ -169,6 +286,8 @@ def _run_reference(tmp_path, seed: int, vbs: int,
 
         tml.DropPath = DropPath
         tml.trunc_normal_ = lambda t, std=1.0, **kw: t
+        if patch_ref is not None:
+            patch_ref(ref_utils, ref_model)
 
         # the reference loop swallows exceptions (catch-log-continue);
         # for a parity test any exception means mis-wiring -> raise
@@ -208,8 +327,8 @@ def _run_reference(tmp_path, seed: int, vbs: int,
                                               class_names=())
 
         to_t = lambda frags: [
-            {"x": torch.as_tensor(np.moveaxis(f["x"], -1, 1)),
-             "mask": torch.as_tensor(f["mask"])} for f in frags]
+            {k: torch.as_tensor(np.moveaxis(v, -1, 1) if k == "x" else v)
+             for k, v in f.items()} for f in frags]
         train_frags = to_t(frag_fn(N_TRAIN, np.random.default_rng(42)))
         val_frags = to_t(frag_fn(N_VAL, np.random.default_rng(77)))
 
@@ -227,21 +346,30 @@ def _run_reference(tmp_path, seed: int, vbs: int,
 # this framework's runner (train/loop.py), seeded from the torch weights
 # ---------------------------------------------------------------------------
 
+def _conv_t(w):
+    return np.moveaxis(w, (0, 1), (3, 2))   # OIHW -> HWIO
+
+
+def _blk(dst, pfx, tw):
+    """One ConvBlock (conv-BN-relu x2): torch ``block.N`` -> flax names."""
+    dst["Conv_0"]["kernel"] = _conv_t(tw[pfx + ".block.0.weight"])
+    dst["Conv_0"]["bias"] = tw[pfx + ".block.0.bias"]
+    dst["BatchNorm_0"]["scale"] = tw[pfx + ".block.1.weight"]
+    dst["BatchNorm_0"]["bias"] = tw[pfx + ".block.1.bias"]
+    dst["Conv_1"]["kernel"] = _conv_t(tw[pfx + ".block.3.weight"])
+    dst["Conv_1"]["bias"] = tw[pfx + ".block.3.bias"]
+    dst["BatchNorm_1"]["scale"] = tw[pfx + ".block.4.weight"]
+    dst["BatchNorm_1"]["bias"] = tw[pfx + ".block.4.bias"]
+
+
 def _transplant(params, tw):
     """Torch (OIHW) state -> flax (HWIO) param tree for the test's
     depth-1/(8,16) basic U-Net (same pairing the torch-transfer tests
     use; scoped to this fixed architecture)."""
-    conv = lambda w: np.moveaxis(w, (0, 1), (3, 2))
+    conv = _conv_t
 
     def blk(dst, pfx):
-        dst["Conv_0"]["kernel"] = conv(tw[pfx + ".block.0.weight"])
-        dst["Conv_0"]["bias"] = tw[pfx + ".block.0.bias"]
-        dst["BatchNorm_0"]["scale"] = tw[pfx + ".block.1.weight"]
-        dst["BatchNorm_0"]["bias"] = tw[pfx + ".block.1.bias"]
-        dst["Conv_1"]["kernel"] = conv(tw[pfx + ".block.3.weight"])
-        dst["Conv_1"]["bias"] = tw[pfx + ".block.3.bias"]
-        dst["BatchNorm_1"]["scale"] = tw[pfx + ".block.4.weight"]
-        dst["BatchNorm_1"]["bias"] = tw[pfx + ".block.4.bias"]
+        _blk(dst, pfx, tw)
 
     p = params
     p["enc"]["stem_block"]["Conv_0"]["kernel"] = conv(
@@ -265,7 +393,7 @@ def _transplant(params, tw):
 
 
 def _run_ours(tmp_path, seed: int, vbs: int, torch_weights,
-              config_fn=None, frag_fn=None):
+              config_fn=None, frag_fn=None, transplant=None):
     import jax.numpy as jnp
 
     destination = str(tmp_path) + f"/jax_{seed}_{vbs}/"
@@ -278,7 +406,7 @@ def _run_ours(tmp_path, seed: int, vbs: int, torch_weights,
     variables = dict(model.init(
         jax.random.key(seed),
         {"x": jnp.zeros((1, SIZE, SIZE, 1), jnp.float32)}))
-    variables["params"] = _transplant(
+    variables["params"] = (transplant or _transplant)(
         jax.device_get(variables["params"]), torch_weights)
 
     optimizer = Optimizer(cd["training/optimizer"], num_epochs=N_EPOCHS,
@@ -389,6 +517,64 @@ def test_multiclass_trajectory_matches_reference(tmp_path):
     # the run must have actually learned the foreground classes
     mdice = "metrics/mean_dice_index"
     assert float(our_rows[-1][mdice]) > float(our_rows[0][mdice]) + 0.1
+
+
+def test_classification_trajectory_matches_reference(tmp_path):
+    """Pretraining-path parity: FeedForwardModel classifier, smoothed CE,
+    AdamW, linear-warmup + cosine batch schedule, multiclass
+    Accuracy/AUROC — against the genuine reference loop (with only the
+    unrunnable FeedForwardModel container shimmed, see ``_patch_ffm``).
+    Pins the CE-smoothing wiring, the AdamW/weight-decay mapping, warmup
+    milestone conversion, and the mean-of-batches AUROC epoch stream."""
+    ref_rows, init_w = _run_reference(
+        tmp_path, seed=0, vbs=TBS, config_fn=_experiment_config_cls,
+        frag_fn=_fragments_cls, patch_ref=_patch_ffm)
+    our_rows = _run_ours(
+        tmp_path, seed=0, vbs=TBS, torch_weights=init_w,
+        config_fn=_experiment_config_cls, frag_fn=_fragments_cls,
+        transplant=_transplant_cls)
+
+    ref_cols = set(ref_rows[0].keys())
+    our_cols = set(our_rows[0].keys())
+    assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
+    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    assert not extras, f"undocumented extra columns: {extras}"
+    assert len(ref_rows) == len(our_rows) == N_EPOCHS
+
+    # accuracy quantum is 1/N_TRAIN = 0.0625 (one flipped sample), AUROC's
+    # is ~1/(3*4 batches); the continuous CE column is the tight signal.
+    # val tolerance is wider than the segmentation tests': under AdamW the
+    # pre-BN conv biases receive mathematically-zero gradients (train-mode
+    # BN cancels any channel constant) that autodiff realises as ~1e-9
+    # float noise, and Adam normalises that noise to full-lr steps in a
+    # backend-dependent direction.  Measured after 1 epoch: every weight
+    # matches torch to ~1e-7 while exactly the pre-BN biases drift
+    # 5e-3..1e-2 — intrinsic chaos (torch-vs-torch across BLAS builds
+    # shows the same), invisible in train mode, surfacing only through
+    # eval-mode running_mean.  running_var matches to 1e-7
+    # (TorchBatchNorm's Bessel-corrected update).
+    deltas = {col: [] for col in ref_cols}
+    for i, (ref_row, our_row) in enumerate(zip(ref_rows, our_rows)):
+        for col in sorted(ref_cols):
+            r, o = float(ref_row[col]), float(our_row[col])
+            deltas[col].append(abs(o - r))
+            if col == "learning_rate":
+                assert r == pytest.approx(o, rel=1e-6), f"epoch {i}"
+            elif "loss" in col:
+                tol = 1.5e-2 if col.startswith("val_") else 2e-3
+                assert r == pytest.approx(o, abs=tol), f"epoch {i}: {col}"
+            else:
+                # val accuracy is quantised at 1/N_VAL = 0.125: one
+                # near-tie argmax flip (the same bias chaos above) moves
+                # it a full quantum.  Allow one; the mean-|delta| bound
+                # below fails if flips are systematic (2+ epochs).
+                assert r == pytest.approx(o, abs=1.3e-1), f"epoch {i}: {col}"
+    for col, ds in deltas.items():
+        assert float(np.mean(ds)) < 2.5e-2, (col, ds)
+
+    # the classifier must actually have learned the intensity -> class map
+    acc = "metrics/accuracy"
+    assert float(our_rows[-1][acc]) > max(0.4, float(our_rows[0][acc]))
 
 
 def test_accumulation_deviation_converges_at_least_as_fast(tmp_path):
