@@ -557,27 +557,46 @@ def main():
 
     Env knobs: BENCH_BUDGET_S total wall budget (default 4200),
     BENCH_METRIC_TIMEOUT_S per-attempt cap (default 1200),
-    BENCH_NO_SUBPROC=1 to run everything in-process (old behavior).
+    BENCH_HEADLINE_RESERVE_S budget slice kept for the headline metric
+    (default 900), BENCH_NO_SUBPROC=1 to run everything in-process
+    (old behavior; also the per-metric child mode — exits 3 when a
+    non-headline metric errors so the parent retries it).
     """
     import subprocess
+    headline = "unet256_train"
     if os.environ.get("BENCH_NO_SUBPROC") == "1":
+        bad = False
         for name in _selected():
             try:
                 run_metric(name)
             except Exception as e:  # one broken metric must not hide others
-                if name == "unet256_train":
+                if name == headline:
                     raise
+                bad = True
                 print(json.dumps({"metric": name, "error": str(e)[:200]}),
                       file=sys.stderr, flush=True)
-        return 0
+        # rc 3 tells the orchestrating parent the metric genuinely
+        # errored (vs rc 0 = measured): a swallowed exception must not
+        # be recorded as done
+        return 3 if bad else 0
 
     deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "4200"))
     per_metric = float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200"))
+    # a deterministically-crashing metric (SIGABRT/OOM/code bug) must not
+    # burn the whole budget: cap real attempts per metric (tunnel-down
+    # waits don't count), and keep a reserve so the headline — ordered
+    # last for output layout — always gets a slot
+    reserve = float(os.environ.get("BENCH_HEADLINE_RESERVE_S", "900"))
     here = os.path.dirname(os.path.abspath(__file__))
     failed = []
-    for name in _selected():
+    sel = _selected()
+    for name in sel:
+        attempts = 8 if name == headline else 3
         done = False
-        while not done and time.time() < deadline:
+        while not done and attempts > 0 and time.time() < deadline:
+            if (name != headline and headline in sel
+                    and deadline - time.time() < reserve):
+                break           # protect the headline's budget
             if not _probe_device():
                 print(json.dumps({"note": "device unreachable, waiting",
                                   "metric": name}), file=sys.stderr,
@@ -597,14 +616,17 @@ def main():
                 rc = -1
             done = rc == 0
             if not done:
+                attempts -= 1
                 print(json.dumps({"note": f"metric attempt failed rc={rc},"
-                                          " retrying", "metric": name}),
+                                          f" {attempts} attempts left",
+                                  "metric": name}),
                       file=sys.stderr, flush=True)
                 time.sleep(30)
         if not done:
             failed.append(name)
     if failed:
-        print(json.dumps({"error": "budget exhausted",
+        print(json.dumps({"error": "metrics unmeasured (budget or "
+                                    "attempt cap exhausted)",
                           "unmeasured": failed}), file=sys.stderr,
               flush=True)
         return 1 if "unet256_train" in failed else 0

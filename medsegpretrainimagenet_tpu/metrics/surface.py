@@ -20,8 +20,10 @@ exact medpy semantics (``numpy.percentile`` linear interpolation).
 Pearson correlations (with two-sided p-values) are computed natively via
 ``jax.scipy.special.betainc`` — no scipy dependency.  The ``obj_*``
 family needs connected-component labelling, an inherently sequential
-flood fill: it runs host-side in numpy (these are offline analysis
-metrics, never inside the jitted step).
+flood fill: it runs host-side via ``scipy.ndimage.label`` when scipy is
+importable (identical C-scan-order labelings) with a pure-numpy flood
+fill as fallback (these are offline analysis metrics, never inside the
+jitted step).
 """
 from __future__ import annotations
 
@@ -278,6 +280,11 @@ def _pearson(x, y):
     r = jnp.sum(xm * ym) / jnp.sqrt(jnp.sum(xm ** 2) * jnp.sum(ym ** 2))
     r = jnp.clip(r, -1.0, 1.0)
     df = n - 2
+    if df <= 0:
+        # scipy.stats.pearsonr special case: with n == 2, r is ±1 by
+        # construction and p is defined as 1.0 (df = 0 leaves no room
+        # to reject the null); n < 2 raises there, callers guard it
+        return r, jnp.ones((), x.dtype)
     # p = I_{df/(df+t^2)}(df/2, 1/2) with t^2 = r^2 df / (1-r^2)
     # => df/(df+t^2) = 1 - r^2
     p = jax.scipy.special.betainc(df / 2.0, 0.5,
@@ -315,9 +322,21 @@ def volume_change_correlation(results, references) -> Tuple[float, float]:
 def connected_components(mask, connectivity: int = 1
                          ) -> Tuple[np.ndarray, int]:
     """Label distinct binary objects (scipy ``label`` semantics with the
-    connectivity-*c* structure): host-side iterative flood fill — this
-    family is offline analysis, never inside the jitted step."""
+    connectivity-*c* structure).  Uses scipy's C implementation when
+    available (both label in C scan order, so the labelings are
+    identical); the pure-python flood fill below is the no-scipy
+    fallback — this family is offline analysis, never inside the jitted
+    step, but realistic CT volumes make the interpreted fill
+    minutes-slow, so the fast path matters."""
     mask = _binary(mask)
+    try:
+        from scipy import ndimage as _ndi
+    except ImportError:
+        _ndi = None
+    if _ndi is not None:
+        structure = _ndi.generate_binary_structure(mask.ndim, connectivity)
+        labels, n = _ndi.label(mask, structure=structure)
+        return labels.astype(np.int32, copy=False), int(n)
     offsets = _structure_offsets(mask.ndim, connectivity)
     labels = np.zeros(mask.shape, np.int32)
     current = 0
@@ -340,6 +359,12 @@ def connected_components(mask, connectivity: int = 1
 
 def _bounding_windows(labels: np.ndarray, n: int):
     """scipy ``find_objects``: per label, the tuple of bounding slices."""
+    try:
+        from scipy import ndimage as _ndi
+    except ImportError:
+        _ndi = None
+    if _ndi is not None:
+        return _ndi.find_objects(labels, max_label=n)
     out = []
     for lid in range(1, n + 1):
         pos = np.nonzero(labels == lid)

@@ -43,7 +43,7 @@ def _cpu_fingerprint():
             lines = [ln for ln in f
                      if ln.startswith(("model name", "flags", "vendor_id",
                                        "cpu family", "model\t", "model :",
-                                       "stepping", "microcode"))]
+                                       "stepping"))]
         ident = "".join(sorted(set(lines)))
     except OSError:
         import platform

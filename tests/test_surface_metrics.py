@@ -104,6 +104,28 @@ def test_volume_correlations_match_scipy_pearson(medpy):
     assert p_act == pytest.approx(p_exp, rel=1e-3)
 
 
+def test_pearson_two_sample_special_case(medpy):
+    """n == 2: r is ±1 by construction and scipy defines p = 1.0 (zero
+    degrees of freedom); the |r|>=1 -> p=0 clamp must not apply here.
+    Covers volume_correlation with 2 images and volume_change_correlation
+    with 3 (diff length 2)."""
+    def vol(n):
+        m = np.zeros((12, 12), bool)
+        m.flat[:n] = True
+        return m
+
+    rs = [vol(n) for n in (3, 9, 17)]
+    gs = [vol(n) for n in (5, 6, 30)]
+    r_exp, p_exp = medpy.volume_change_correlation(rs, gs)
+    r_act, p_act = surface.volume_change_correlation(rs, gs)
+    assert r_act == pytest.approx(r_exp, rel=1e-6)
+    assert p_act == p_exp == 1.0
+    r_exp, p_exp = medpy.volume_correlation(rs[:2], gs[:2])
+    r_act, p_act = surface.volume_correlation(rs[:2], gs[:2])
+    assert r_act == pytest.approx(r_exp, rel=1e-6)
+    assert p_act == p_exp == 1.0
+
+
 def test_connected_components_match_scipy_label():
     from scipy import ndimage
     for seed in range(4):
