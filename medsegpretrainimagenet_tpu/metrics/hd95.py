@@ -15,6 +15,7 @@ Everything stays on device; one scalar pair per batch reaches the state.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
@@ -79,15 +80,36 @@ def edt(mask, spacing=None):
     return jnp.sqrt(d2)
 
 
+def _structure_offsets(nd: int, connectivity: int):
+    """Offsets of scipy's ``generate_binary_structure(nd, connectivity)``:
+    neighbours within L1 distance <= connectivity (the centre excluded)."""
+    import itertools
+    return [off for off in itertools.product((-1, 0, 1), repeat=nd)
+            if any(off) and sum(abs(o) for o in off) <= connectivity]
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def object_border(mask, connectivity: int = 1):
+    """1-element border line of the binary objects: ``mask ^ erosion(mask)``
+    with scipy's connectivity-*c* structure and a zero boundary
+    (medpy_metrics.py:1222-1224).  N-dimensional; the erosion unrolls to
+    one shifted-slice AND per structure offset, which XLA fuses into a
+    single elementwise kernel."""
+    mask = mask.astype(bool)
+    nd = mask.ndim
+    padded = jnp.pad(mask, 1, constant_values=False)
+    eroded = mask
+    for off in _structure_offsets(nd, connectivity):
+        shifted = tuple(slice(1 + o, (-1 + o) or None) for o in off)
+        eroded = eroded & padded[shifted]
+    return mask & ~eroded
+
+
 def border(mask):
     """Object border: pixels that do not survive a cross-shaped erosion
-    (medpy: ``binary_erosion`` with connectivity-1 structure, zero border)."""
-    mask = mask.astype(bool)
-    padded = jnp.pad(mask, 1, constant_values=False)
-    eroded = (mask
-              & padded[:-2, 1:-1] & padded[2:, 1:-1]
-              & padded[1:-1, :-2] & padded[1:-1, 2:])
-    return mask & ~eroded
+    (medpy: ``binary_erosion`` with connectivity-1 structure, zero border).
+    Alias of :func:`object_border` at connectivity 1."""
+    return object_border(mask, 1)
 
 
 def _masked_percentile(values, valid, q: float):

@@ -27,7 +27,6 @@ jitted step).
 """
 from __future__ import annotations
 
-import itertools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -35,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .hd95 import edt
+from .hd95 import _structure_offsets, edt, object_border
 
 __all__ = [
     "dc", "jc", "precision", "recall", "sensitivity", "specificity",
@@ -136,27 +135,8 @@ def ravd(result, reference) -> float:
 # surface distances (medpy_metrics.py:310-568, 1199-1231)
 # ---------------------------------------------------------------------------
 
-def _structure_offsets(nd: int, connectivity: int):
-    """Offsets of scipy's ``generate_binary_structure(nd, connectivity)``:
-    neighbours within L1 distance <= connectivity (the centre excluded)."""
-    return [off for off in itertools.product((-1, 0, 1), repeat=nd)
-            if any(off) and sum(abs(o) for o in off) <= connectivity]
-
-
-@partial(jax.jit, static_argnames=("connectivity",))
-def object_border(mask, connectivity: int = 1):
-    """1-element border line of the binary objects: ``mask ^ erosion(mask)``
-    with scipy's connectivity-*c* structure and a zero boundary
-    (medpy_metrics.py:1222-1224)."""
-    mask = mask.astype(bool)
-    nd = mask.ndim
-    padded = jnp.pad(mask, 1, constant_values=False)
-    eroded = mask
-    for off in _structure_offsets(nd, connectivity):
-        shifted = tuple(slice(1 + o, (-1 + o) or None) for o in off)
-        eroded = eroded & padded[shifted]
-    return mask & ~eroded
-
+# _structure_offsets / object_border live in .hd95 (single N-D XLA
+# implementation; hd95.border is its connectivity-1 alias)
 
 def _border_np(mask: np.ndarray, connectivity: int) -> np.ndarray:
     """numpy twin of :func:`object_border` for the small-array host path."""

@@ -268,6 +268,14 @@ class Upsample(nn.Module):
 # core conv blocks
 # ---------------------------------------------------------------------------
 
+try:
+    from flax.linen.normalization import (_canonicalize_axes,
+                                          _compute_stats, _normalize)
+    _HAVE_FLAX_NORM_INTERNALS = True
+except ImportError:                     # pragma: no cover - flax upgrade
+    _HAVE_FLAX_NORM_INTERNALS = False
+
+
 class TorchBatchNorm(nn.BatchNorm):
     """``nn.BatchNorm`` with torch's running-variance semantics.
 
@@ -285,8 +293,6 @@ class TorchBatchNorm(nn.BatchNorm):
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None, *,
                  mask=None):
-        from flax.linen.normalization import (_canonicalize_axes,
-                                              _compute_stats, _normalize)
         from flax.linen import module as _flax_module
 
         use_running_average = _flax_module.merge_param(
@@ -333,6 +339,21 @@ class TorchBatchNorm(nn.BatchNorm):
                           self.dtype, self.param_dtype, self.epsilon,
                           self.use_bias, self.use_scale, self.bias_init,
                           self.scale_init, self.force_float32_reductions)
+
+
+if not _HAVE_FLAX_NORM_INTERNALS:       # pragma: no cover - flax upgrade
+    # A flax release moved its normalization internals: degrade to plain
+    # flax BN (biased running var).  Train-mode numerics are identical;
+    # only eval-vs-torch running-stat parity loosens by ~1/n per layer.
+    import warnings
+
+    warnings.warn(
+        "flax.linen.normalization internals unavailable; TorchBatchNorm "
+        "degrades to biased running-var updates (eval outputs may drift "
+        "~1/n per BN layer from a torch reference)", RuntimeWarning)
+
+    class TorchBatchNorm(nn.BatchNorm):  # noqa: F811
+        """Fallback without the torch running-var correction."""
 
 
 # Keep flax auto-naming at ``BatchNorm_N`` so param trees, msgpack
