@@ -378,13 +378,24 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                     tuple(f"class_{j}" for j in range(config_dict.get(
                         "metrics/calculation/number_of_classes", 0) or 0))))
 
+            # per-host input slicing (meta/technical/per_host_input_slicing):
+            # in multi-host runs each process assembles only its
+            # 1/process_count slice of every batch instead of the whole
+            # seeded global batch — host read/augment work scales down with
+            # the fleet (parallel/mesh.py shard_batch already_local path)
+            proc_shard = None
+            if config_dict.get("meta/technical/per_host_input_slicing",
+                               False) and jax.process_count() > 1:
+                proc_shard = (jax.process_index(), jax.process_count())
+
             def make_loader(data, split_cfg, pipeline, ds_type):
                 return BalancedDataLoader(
                     data, split_cfg, bs=batch_size, actual_bs=bs,
                     transforms=pipeline,
                     partition_count=partition_count[ds_type],
                     load_function=load_function, seed=curr_seed,
-                    datapoints_per_sample=datapoint_count[ds_type])
+                    datapoints_per_sample=datapoint_count[ds_type],
+                    process_shard=proc_shard)
 
             train_ds = make_loader(train_data,
                                    config_dict["data/sampling/train"],

@@ -63,16 +63,41 @@ class BalancedDataLoader:
                     "ratio of positives",
                     BalancedDataLoader.SAMPLING_PARAMS["ratio of positives"])
 
+    #: reserved batch key marking a per-process input slice (popped by the
+    #: training loop before the batch reaches the jitted step)
+    LOCAL_SLICE_KEY = "_mst_local_slice"
+
     def __init__(self, data: Dict[str, Any], config_dict: ConfigDict,
                  bs: int = 1, actual_bs: int = 1,
                  transforms: Optional[Callable] = None,
                  datapoints_per_sample: Optional[int] = 1,
                  shuffle: bool = True, seed: Optional[int] = None,
-                 drop_last: bool = False, **kwargs):
+                 drop_last: bool = False,
+                 process_shard: Optional[tuple] = None, **kwargs):
+        """``process_shard=(rank, count)`` turns on per-host input slicing
+        for multi-host runs: every process computes the identical (seeded)
+        index plan but assembles only its ``1/count`` slice of each evenly
+        divisible batch, cutting per-host read/augment work by the process
+        count.  Sliced batches carry :attr:`LOCAL_SLICE_KEY` so
+        ``parallel.shard_batch(..., already_local=True)`` rebuilds the
+        global array; ragged tails are assembled whole on every process
+        (they replicate over the mesh)."""
         self.empty = not data or any(len(v) == 0 for v in data.values())
         self.bs = bs
         self.actual_bs = actual_bs
         self._plan_len: Optional[int] = None
+        self.process_shard = tuple(process_shard) if process_shard else None
+        if self.process_shard is not None:
+            rank, count = self.process_shard
+            if not 0 <= rank < count:
+                raise ValueError(f"bad process_shard {process_shard}")
+            if count > 1 and actual_bs % count != 0:
+                import warnings
+                warnings.warn(
+                    f"actual batch size {actual_bs} not divisible by "
+                    f"process count {count}: per-host input slicing "
+                    "disabled (every batch would replicate)", stacklevel=2)
+                self.process_shard = None
         self.rng = np.random.default_rng(seed)
         if self.empty:
             self.source = None
@@ -174,6 +199,17 @@ class BalancedDataLoader:
             chunk = indices[start:start + self.actual_bs]
             if self._mode == "planned" and len(chunk) < self.actual_bs:
                 break  # reference DataIterator stops before a ragged tail
+            if self.process_shard is not None:
+                rank, count = self.process_shard
+                if len(chunk) % count == 0:
+                    per = len(chunk) // count
+                    local = chunk[rank * per:(rank + 1) * per]
+                    batch = assemble_batch(self.source, local,
+                                           pad_with=self.pad_with)
+                    batch[self.LOCAL_SLICE_KEY] = np.ones((), bool)
+                    yield batch
+                    continue
+                # indivisible tail: assemble whole (replicates on device)
             yield assemble_batch(self.source, chunk, pad_with=self.pad_with)
 
 

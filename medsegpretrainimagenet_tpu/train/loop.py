@@ -118,13 +118,18 @@ def _prefetched(iterator, mesh, depth: int = 2):
     from ..parallel import shard_batch
 
     def put(batch):
+        # per-host input slicing: the loader marks batches it assembled
+        # as this process's local slice (loader.py LOCAL_SLICE_KEY); the
+        # mark must never reach the jitted step
+        local = isinstance(batch, dict) and \
+            batch.pop("_mst_local_slice", None) is not None
         if mesh is not None:
             # a 'spatial' mesh axis (meta/technical/spatial_sharding > 1)
             # additionally shards the image-height dim — halo exchanges
             # are inserted by XLA (parallel/mesh.py shard_batch)
             spatial = "spatial" if "spatial" in mesh.axis_names else None
             return shard_batch(batch, mesh, batch_dim=1,
-                               spatial_axis=spatial)
+                               spatial_axis=spatial, already_local=local)
         return jax.device_put(batch)
 
     def on_error(exc):

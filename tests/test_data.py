@@ -101,6 +101,46 @@ def test_loader_uniform_batches():
     assert len(loader) == 5
 
 
+def test_loader_process_shard_slices():
+    """Per-host input slicing: with the same seed, the (rank, count)
+    shards of each batch concatenate to exactly the unsliced loader's
+    batch, carry the local-slice mark, and a ragged tail is yielded
+    whole (unmarked) on every rank."""
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    # n=19, actual_bs=4 -> four full batches (sliced 2+2) and a ragged
+    # tail of 3 (indivisible by 2 -> whole on every rank)
+    full = list(BalancedDataLoader(toy_data(19), cfg, bs=8, actual_bs=4,
+                                   seed=0))
+    shards = [list(BalancedDataLoader(toy_data(19), cfg, bs=8, actual_bs=4,
+                                      seed=0, process_shard=(r, 2)))
+              for r in range(2)]
+    key = BalancedDataLoader.LOCAL_SLICE_KEY
+    assert len(shards[0]) == len(shards[1]) == len(full) == 5
+    for b, (s0, s1) in enumerate(zip(*shards)):
+        if full[b]["x"].shape[0] % 2 == 0:
+            assert key in s0 and key in s1
+            merged = np.concatenate([s0["x"], s1["x"]])
+            np.testing.assert_array_equal(merged, full[b]["x"])
+        else:       # ragged tail: whole batch on every rank, no mark
+            assert key not in s0 and key not in s1
+            np.testing.assert_array_equal(s0["x"], full[b]["x"])
+            np.testing.assert_array_equal(s1["x"], full[b]["x"])
+    # at least one full batch must actually have been sliced
+    assert any(key in s for s in shards[0])
+
+
+def test_loader_process_shard_indivisible_bs_disables():
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    with pytest.warns(UserWarning, match="not divisible"):
+        loader = BalancedDataLoader(toy_data(), cfg, bs=9, actual_bs=3,
+                                    seed=0, process_shard=(0, 2))
+    assert loader.process_shard is None
+
+
 def test_loader_fill_kwargs():
     cfg = ConfigDict({})
     BalancedDataLoader.fill_kwargs(cfg)

@@ -48,6 +48,17 @@ WORKER = textwrap.dedent("""
     g = shard_batch(batch, mesh, batch_dim=1)
     assert float(jnp.sum(g["x"])) == global_sum
 
+    # per-host input slicing: each process contributes only its local
+    # slice (already_local=True) and the assembled global array matches
+    # the full-batch path bit for bit
+    local = {{k: v[:, rank * 4:(rank + 1) * 4] for k, v in batch.items()}}
+    gl = shard_batch(local, mesh, batch_dim=1, already_local=True)
+    assert gl["x"].shape == g["x"].shape, gl["x"].shape
+    assert float(jnp.sum(gl["x"])) == global_sum
+    # value equality via an on-device reduction (a global array spanning
+    # both processes cannot be fetched host-side)
+    assert float(jnp.sum((gl["x"] - g["x"]) ** 2)) == 0.0
+
     # ragged epoch tails must not raise (the prefetch envelope would drop
     # the optimizer step): with a 4-way data axis an indivisible tail is
     # replicated over the mesh — exact values, exact shape
