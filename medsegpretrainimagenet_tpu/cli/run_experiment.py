@@ -325,19 +325,27 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
         handle_exception(exc, "Exception while filling out name fields.")
         added_tags = []
 
+    from ..parallel import is_main_process
+    main_proc = is_main_process()
     if not continued:
         save_destination = os.path.abspath(
             tech.get_or_update("save destination", "../logs/")) + "/"
         save_destination += str(datetime.now()).split(" ")[0] + "/"
-        os.makedirs(save_destination, exist_ok=True)
+        if main_proc:
+            os.makedirs(save_destination, exist_ok=True)
         if tech["log to device"]:
             save_destination += str(tech["experiment_name"])
             candidate, i = save_destination, 1
-            while os.path.isdir(candidate):
-                i += 1
-                candidate = f"{save_destination}_{i}"
+            if main_proc:
+                # existence-dedup is inherently single-writer: non-main
+                # processes never create dirs (all their sinks no-op), so
+                # only process 0 walks the _2/_3 suffixes
+                while os.path.isdir(candidate):
+                    i += 1
+                    candidate = f"{save_destination}_{i}"
             save_destination = os.path.abspath(candidate) + "/"
-            os.makedirs(save_destination)
+            if main_proc:
+                os.makedirs(save_destination)
             tech["server"] = socket.gethostname()
             tech["absolute path"] = save_destination
             tech["series_id"] = series_id
@@ -351,13 +359,15 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
     if not continued and tech["log to device"]:
         config_dict["meta/technical/start time"] = \
             "".join(str(datetime.now()).split(".")[:-1])
-        import yaml
-        with open(save_destination + "config.yaml", "w") as fh:
-            yaml.dump(config_dict.trim().to_dict(lists_to_tuples=True), fh,
-                      sort_keys=False)
-        if original is not None:
-            with open(save_destination + "source_config.yaml", "w") as fh:
-                yaml.dump(original, fh, sort_keys=False)
+        if main_proc:
+            import yaml
+            with open(save_destination + "config.yaml", "w") as fh:
+                yaml.dump(config_dict.trim().to_dict(lists_to_tuples=True),
+                          fh, sort_keys=False)
+            if original is not None:
+                with open(save_destination + "source_config.yaml",
+                          "w") as fh:
+                    yaml.dump(original, fh, sort_keys=False)
 
     num_trials = config_dict["experiment/number of trials"]
     for i in range(run_start, num_trials + 1):
@@ -422,7 +432,7 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                 exc, f"Exception occured in run {i} of experiment "
                      f"'{tech.get('experiment name')}'.")
 
-    if tech["log to device"]:
+    if tech["log to device"] and main_proc:
         modules = {}
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
@@ -645,6 +655,9 @@ def plot_and_save_history(logs_path: str, destination: str,
                           plot_destination: str, name: str = "",
                           baselines=None, extensions=(), **kwargs):
     """Per-metric train/val history plots + best_scores.csv."""
+    from ..parallel import is_main_process
+    if not is_main_process():   # one writer per shared destination
+        return
     logs = _read_csv_columns(logs_path)
     metric_names = [c for c in logs if not c.startswith("val_")]
     argmixes: Dict[str, Dict[str, int]] = {}
@@ -701,7 +714,8 @@ def _baselines_for_metric(metric: str, all_baselines) -> Dict[str, list]:
 def compare_experiments(num_trials: int, save_path: str, extensions=()):
     """Multi-trial variance statistics + comparison plots (reference
     ``run_experiment.py:518-582``)."""
-    if num_trials < 2:
+    from ..parallel import is_main_process
+    if num_trials < 2 or not is_main_process():
         return
     os.makedirs(save_path + "variance_comparisons", exist_ok=True)
     labels = [f"run {k}" for k in range(1, num_trials + 1)]

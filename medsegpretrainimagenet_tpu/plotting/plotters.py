@@ -405,6 +405,9 @@ class PCAPlotter(BasePlotter):
 def export_plot(plotter: BasePlotter, extensions: Iterable[str],
                 *args, **kwargs) -> None:
     """Export a plotter to each requested format, non-fatally."""
+    from ..parallel import is_main_process
+    if not is_main_process():   # multi-host: plots are identical on
+        return                  # every process; process 0 writes
     # materialize up front: a generator argument would be exhausted by the
     # `requested` set and the loop below would silently export nothing
     normalized = [str(e).lower().strip(".") for e in extensions]

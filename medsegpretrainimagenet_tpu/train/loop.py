@@ -70,6 +70,10 @@ def _cm_log_epochs(config_dict) -> tuple:
 
 
 def append_csv_row(path: str, row: Dict[str, Any]) -> None:
+    from ..parallel import is_main_process
+    if not is_main_process():   # multi-host: results are replicated on
+        return                  # every process; one writer is correct,
+                                # N writers interleave-corrupt the file
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_header = not os.path.isfile(path)
     with open(path, "a", newline="") as fh:
@@ -289,6 +293,9 @@ def train_model(model, train_data, val_data, test_data,
         return gen()
 
     def run_host_loggers(epoch_1idx: int, last: bool = False):
+        from ..parallel import is_main_process
+        if not is_main_process():
+            return              # images/curves are identical per process
         forward = lambda x: _host_forward(state.variables, x)  # noqa: E731
         for logger in host_loggers:
             if not logger.active(epoch_1idx, last=last):
@@ -308,6 +315,9 @@ def train_model(model, train_data, val_data, test_data,
         if tech.get("async_checkpointing", False) else None
 
     def save_model(filename: str):
+        from ..parallel import is_main_process
+        if not is_main_process():   # DP state is replicated; one writer
+            return
         payload = {"params": state.params,
                    "batch_stats": state.batch_stats}
         if async_writer is not None:

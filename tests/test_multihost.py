@@ -89,6 +89,16 @@ WORKER = textwrap.dedent("""
     state = put_replicated(state, mesh)
     with mesh:
         _, _, per_batch = step(state, None, g)
+
+    # host sinks are single-writer: only process 0 appends CSV rows
+    import tempfile, os as _os
+    from medsegpretrainimagenet_tpu.parallel import is_main_process
+    from medsegpretrainimagenet_tpu.train.loop import append_csv_row
+    assert is_main_process() == (rank == 0)
+    p = tempfile.mkdtemp() + "/row.csv"
+    append_csv_row(p, {{"a": 1.0}})
+    assert _os.path.isfile(p) == (rank == 0), (rank, _os.path.isfile(p))
+
     print("LOSS", repr(float(per_batch["loss"])), flush=True)
 """)
 
