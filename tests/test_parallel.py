@@ -86,9 +86,40 @@ def test_sharded_batch_layout():
 
 
 def test_multichip_dryrun_entrypoint():
-    """The driver-facing dryrun compiles + executes on this mesh."""
-    import __graft_entry__
-    __graft_entry__.dryrun_multichip(8)
+    """The driver-facing dryrun compiles + executes, in a FRESH process.
+
+    Subprocess on purpose — this mirrors how the driver invokes it, and
+    in-process execution after a long test session is flaky at the XLA
+    *CPU* backend level: the virtual-device collective rendezvous
+    (``rendezvous.cc``) can time out when one of the tp-subgroup device
+    threads is slow to join after hundreds of prior compiles (observed:
+    ``Termination timeout for all gather ... only 3 of 4 arrived``
+    -> SIGABRT).  That is a CPU-emulation thread-pool artifact, not a
+    sharding bug — the same program is deterministic on real chips and
+    in a clean process.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Persistent-cache HITS of the sharded step are what make the
+    # rendezvous race likely (all 8 device threads dispatch at once);
+    # fresh compiles have never deadlocked.  The driver configures no
+    # compilation cache either, so cache-off is also the faithful
+    # environment.  One retry guards the residual flake.
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_ENABLE_COMPILATION_CACHE": "false"}
+    cmd = [sys.executable, "-c",
+           "import __graft_entry__; __graft_entry__.dryrun_multichip(8); "
+           "print('DRYRUN_OK')"]
+    for attempt in (1, 2):
+        proc = subprocess.run(cmd, cwd=repo, capture_output=True,
+                              text=True, timeout=540, env=env)
+        if proc.returncode == 0:
+            break
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DRYRUN_OK" in proc.stdout
 
 
 def test_spatial_sharding_forward_bitwise():
