@@ -289,3 +289,53 @@ def test_layer_scale_preserves_bf16():
     assert out.dtype == jnp.bfloat16
     # param itself stays f32
     assert variables["params"]["scale"].dtype == jnp.float32
+
+
+def test_torch_batchnorm_running_stats_match_torch():
+    """TorchBatchNorm's running stats follow torch exactly: biased batch
+    variance for normalization, UNBIASED (Bessel n/(n-1)) accumulated
+    into running_var (torch.nn.modules.batchnorm semantics; plain flax
+    stores the biased one).  Eval output then matches torch BN given the
+    same affine params."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    xs = [rng.standard_normal((4, 8, 16, 16)).astype(np.float32) * 1.7 + 0.3
+          for _ in range(4)]
+
+    tbn = torch.nn.BatchNorm2d(8)
+    tbn.train()
+    with torch.no_grad():
+        for x in xs:
+            tbn(torch.as_tensor(x))
+    tbn.eval()
+    xe = rng.standard_normal((4, 8, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        yt = tbn(torch.as_tensor(xe)).numpy()
+
+    bn = B.TorchBatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+    xs_j = [jnp.asarray(np.moveaxis(x, 1, -1)) for x in xs]
+    variables = bn.init(jax.random.key(0), xs_j[0])
+    state = variables["batch_stats"]
+    for x in xs_j:
+        _, upd = bn.apply({"params": variables["params"],
+                           "batch_stats": state}, x,
+                          mutable=["batch_stats"])
+        state = upd["batch_stats"]
+
+    np.testing.assert_allclose(np.asarray(state["mean"]),
+                               tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state["var"]),
+                               tbn.running_var.numpy(), atol=1e-6)
+
+    bne = B.TorchBatchNorm(use_running_average=True, momentum=0.9,
+                           epsilon=1e-5)
+    yj = bne.apply({"params": variables["params"], "batch_stats": state},
+                   jnp.asarray(np.moveaxis(xe, 1, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(yj), -1, 1), yt,
+                               atol=2e-6)
+
+    # param-tree naming stays plain-flax ("BatchNorm_N") for checkpoint
+    # and torch-transfer compatibility
+    assert B.TorchBatchNorm.__name__ == "BatchNorm"
