@@ -90,6 +90,13 @@ def check_for_continued(modifiers: Optional[List[str]],
         if num_epochs == epoch_start:
             run_start += 1
             epoch_start = 0
+        # multi-host: the counts were read off the filesystem, which only
+        # process 0 writes (and which may not even be mounted elsewhere) —
+        # all processes must resume from process 0's position or their
+        # collective programs desynchronize
+        from ..parallel import broadcast_from_main
+        run_start, epoch_start = broadcast_from_main(
+            (run_start, epoch_start))
     return continued, run_start, epoch_start
 
 
@@ -343,6 +350,13 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                 while os.path.isdir(candidate):
                     i += 1
                     candidate = f"{save_destination}_{i}"
+            # multi-host: every process must carry process 0's suffix in
+            # `absolute path` (it lands in the dumped config, which a later
+            # --continued resume reads on every host)
+            from ..parallel import broadcast_from_main
+            (i,) = broadcast_from_main((i,))
+            if not main_proc and i > 1:
+                candidate = f"{save_destination}_{i}"
             save_destination = os.path.abspath(candidate) + "/"
             if main_proc:
                 os.makedirs(save_destination)

@@ -201,7 +201,14 @@ class BalancedDataLoader:
                 break  # reference DataIterator stops before a ragged tail
             if self.process_shard is not None:
                 rank, count = self.process_shard
-                if len(chunk) % count == 0:
+                # only FULL batches are sliced: the training mesh's data
+                # axis is chosen as a divisor of actual_bs
+                # (run_experiment.py), so a full marked batch is never
+                # ragged over it — a short tail could be (divisible by the
+                # process count yet not by the data axis), and shard_batch
+                # rejects ragged already_local input, so tails assemble
+                # whole and replicate like in the unsliced path
+                if len(chunk) == self.actual_bs and len(chunk) % count == 0:
                     per = len(chunk) // count
                     local = chunk[rank * per:(rank + 1) * per]
                     batch = assemble_batch(self.source, local,

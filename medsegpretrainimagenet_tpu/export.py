@@ -30,8 +30,6 @@ import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
-
 from .config import ConfigDict, registry
 
 __all__ = ["export_forward", "save_exported", "load_exported",

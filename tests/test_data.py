@@ -131,6 +131,34 @@ def test_loader_process_shard_slices():
     assert any(key in s for s in shards[0])
 
 
+def test_loader_process_shard_short_even_tail_assembles_whole():
+    """A short tail that happens to divide the process count must still
+    assemble whole and unmarked: the training mesh's data axis divides
+    actual_bs, not arbitrary tail sizes, and shard_batch rejects ragged
+    already-local input — a marked short tail would be dropped by the
+    per-batch error envelope every epoch."""
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    # n=18, actual_bs=4 -> four full (marked, sliced 2+2) + tail of 2
+    # (even, but short -> whole + unmarked)
+    key = BalancedDataLoader.LOCAL_SLICE_KEY
+    shards = [list(BalancedDataLoader(toy_data(18), cfg, bs=8, actual_bs=4,
+                                      seed=0, process_shard=(r, 2)))
+              for r in range(2)]
+    tails = [s[-1] for s in shards]
+    assert all(t["x"].shape[0] == 2 for t in tails)
+    assert all(key not in t for t in tails)
+    np.testing.assert_array_equal(tails[0]["x"], tails[1]["x"])
+    assert sum(key in b for b in shards[0]) == 4
+
+
+def test_broadcast_from_main_single_process_identity():
+    from medsegpretrainimagenet_tpu.parallel import broadcast_from_main
+    assert broadcast_from_main((3, 17)) == [3, 17]
+    assert broadcast_from_main([]) == []
+
+
 def test_loader_process_shard_indivisible_bs_disables():
     cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
                       "relative_size": 1.0, "sort_by": None,

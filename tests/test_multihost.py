@@ -99,6 +99,12 @@ WORKER = textwrap.dedent("""
     append_csv_row(p, {{"a": 1.0}})
     assert _os.path.isfile(p) == (rank == 0), (rank, _os.path.isfile(p))
 
+    # filesystem-derived decisions (resume position, save-dir dedup
+    # suffix) must be process 0's everywhere
+    from medsegpretrainimagenet_tpu.parallel import broadcast_from_main
+    agreed = broadcast_from_main((100 + rank, 7 * (rank + 1)))
+    assert agreed == [100, 7], agreed
+
     print("LOSS", repr(float(per_batch["loss"])), flush=True)
 """)
 
