@@ -32,8 +32,12 @@ def _to_host(tree):
     # ONE batched device->host transfer for the whole tree: a per-leaf
     # np.asarray would cost a host<->device round trip per leaf (hundreds
     # per checkpoint) over the remote TPU tunnel.  Host leaves (ints,
-    # numpy) pass through device_get unchanged.
-    return jax.device_get(tree)
+    # numpy) pass through device_get unchanged.  Cross-host-sharded leaves
+    # (multi-host TP/spatial state) are collectively all-gathered first —
+    # in multi-host runs the save entry points must therefore be reached
+    # by EVERY process before any main-process write gate (loop.py does).
+    from ..parallel.mesh import gather_tree_to_host
+    return gather_tree_to_host(tree)
 
 
 def save_params_file(path: str, params) -> None:

@@ -293,13 +293,22 @@ def train_model(model, train_data, val_data, test_data,
         return gen()
 
     def run_host_loggers(epoch_1idx: int, last: bool = False):
-        from ..parallel import is_main_process
+        from ..parallel import gather_tree_to_host, is_main_process
+        active = [logger for logger in host_loggers
+                  if logger.active(epoch_1idx, last=last)]
+        if not active:
+            return
+        variables = state.variables
+        if jax.process_count() > 1:
+            # jit over globally-sharded weights is an SPMD program every
+            # process must launch; the loggers run on process 0 only, so
+            # fetch the weights (collective — before the gate) and run the
+            # logger forwards on the local device instead
+            variables = gather_tree_to_host(variables)
         if not is_main_process():
             return              # images/curves are identical per process
-        forward = lambda x: _host_forward(state.variables, x)  # noqa: E731
-        for logger in host_loggers:
-            if not logger.active(epoch_1idx, last=last):
-                continue
+        forward = lambda x: _host_forward(variables, x)  # noqa: E731
+        for logger in active:
             with swallow("Exception in a host epoch logger."):
                 logger.log(epoch_1idx, _augmented_loader(train_data),
                            forward, train=True, last=last)
@@ -315,11 +324,15 @@ def train_model(model, train_data, val_data, test_data,
         if tech.get("async_checkpointing", False) else None
 
     def save_model(filename: str):
-        from ..parallel import is_main_process
-        if not is_main_process():   # DP state is replicated; one writer
-            return
-        payload = {"params": state.params,
-                   "batch_stats": state.batch_stats}
+        from ..parallel import gather_tree_to_host, is_main_process
+        # the gather is a collective over cross-host-sharded leaves
+        # (multi-host TP/spatial state): every process must join it, so it
+        # runs BEFORE the single-writer gate.  Replicated state (all DP
+        # runs) makes it a plain device_get.
+        payload = gather_tree_to_host({"params": state.params,
+                                       "batch_stats": state.batch_stats})
+        if not is_main_process():   # one writer is correct; N writers
+            return                  # race the same tmp file on shared fs
         if async_writer is not None:
             async_writer.save(destination + filename, payload)
         else:
@@ -403,24 +416,32 @@ def train_model(model, train_data, val_data, test_data,
                         save_model("best_model_state_dict.msgpack")
                 if (epoch + 1) in checkpoints:
                     save_model(f"model_state_dict_epoch_{epoch + 1}.msgpack")
-                ckpt.save_state_file(
-                    destination + "optimizer_state_dict.msgpack",
+                from ..parallel import gather_tree_to_host, is_main_process
+                # collective gather before the single-writer gate, like
+                # save_model: opt-state moments inherit the params'
+                # (possibly cross-host) shardings
+                opt_payload = gather_tree_to_host(
                     {"opt_state": state.opt_state,
                      "step": np.asarray(state.step),
                      "micro_step": np.asarray(
                          state.micro_step if state.micro_step is not None
                          else state.step)})
-                # file-role parity with the reference's
-                # scheduler_state_dict.pt: our schedules are pure functions
-                # of the step counter, so the "state" is that counter plus
-                # the schedule identity (forensics + resume sanity)
-                schedule = getattr(optimizer, "schedule", None)
-                if schedule is not None:
+                if is_main_process():
                     ckpt.save_state_file(
-                        destination + "scheduler_state_dict.msgpack",
-                        {"step": np.asarray(state.step),
-                         "unit": schedule.unit,
-                         "base": float(schedule.base)})
+                        destination + "optimizer_state_dict.msgpack",
+                        opt_payload)
+                    # file-role parity with the reference's
+                    # scheduler_state_dict.pt: our schedules are pure
+                    # functions of the step counter, so the "state" is that
+                    # counter plus the schedule identity (forensics +
+                    # resume sanity)
+                    schedule = getattr(optimizer, "schedule", None)
+                    if schedule is not None:
+                        ckpt.save_state_file(
+                            destination + "scheduler_state_dict.msgpack",
+                            {"step": np.asarray(state.step),
+                             "unit": schedule.unit,
+                             "base": float(schedule.base)})
             run_host_loggers(epoch + 1)
             if on_epoch is not None:
                 on_epoch(epoch, row, state)

@@ -105,6 +105,27 @@ WORKER = textwrap.dedent("""
     agreed = broadcast_from_main((100 + rank, 7 * (rank + 1)))
     assert agreed == [100, 7], agreed
 
+    # cross-host-sharded state (multi-host TP/spatial): the checkpoint
+    # host transfer is a collective both ranks join, yields the full
+    # global array, and round-trips through the msgpack writer — plain
+    # device_get would raise on the non-addressable shards
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from medsegpretrainimagenet_tpu.parallel import gather_tree_to_host
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckptio
+    host_w = np.arange(16.0, dtype=np.float32).reshape(4, 4)
+    m4 = create_mesh(("model",))          # 4 devices over the 2 processes
+    sharded = jax.make_array_from_callback(
+        host_w.shape, NamedSharding(m4, P("model")),
+        lambda idx: host_w[idx])
+    assert not sharded.is_fully_addressable
+    got = gather_tree_to_host(dict(w=sharded, n=3))
+    np.testing.assert_array_equal(got["w"], host_w)
+    assert got["n"] == 3
+    p2 = tempfile.mkdtemp() + "/sharded.msgpack"   # rank-local path
+    ckptio.save_params_file(p2, dict(w=sharded))
+    np.testing.assert_array_equal(
+        ckptio.load_params_file(p2)["w"], host_w)
+
     print("LOSS", repr(float(per_batch["loss"])), flush=True)
 """)
 

@@ -358,3 +358,19 @@ def test_shard_batch_ragged_tail_replicates_exactly():
         out3 = shard_batch(full, mesh, batch_dim=1)
         assert out3["x"].sharding.spec == P(None, "data")
     assert any("replicating" in str(w.message) for w in caught)
+
+
+def test_gather_tree_to_host_single_process_paths():
+    """Single-process: sharded-but-fully-addressable and plain-host leaves
+    both take the device_get path (no collective) and come back exact."""
+    from medsegpretrainimagenet_tpu.parallel import gather_tree_to_host
+    mesh = create_mesh(("model",))
+    w = np.arange(32.0, dtype=np.float32).reshape(8, 4)
+    sharded = jax.device_put(w, NamedSharding(mesh, P("model")))
+    assert sharded.is_fully_addressable
+    got = gather_tree_to_host({"w": sharded, "n": 3,
+                               "h": np.ones(2, np.int32)})
+    np.testing.assert_array_equal(got["w"], w)
+    assert got["n"] == 3
+    np.testing.assert_array_equal(got["h"], np.ones(2, np.int32))
+    assert all(isinstance(v, np.ndarray) for v in (got["w"], got["h"]))
