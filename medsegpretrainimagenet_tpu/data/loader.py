@@ -221,26 +221,43 @@ class BalancedDataLoader:
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None,
-                       put=None, on_error=None):
+                       put=None, on_error=None, threaded=None):
     """Double-buffered host->device prefetch.
 
     Pulls *size* batches ahead, moving each to device (with a
     ``NamedSharding`` or a custom ``put``) so H2D DMA overlaps the running
     step.  With ``on_error``, a batch whose transfer fails is reported and
     skipped instead of aborting the stream (the per-batch error envelope).
+
+    By default the pull + transfer run on a background worker thread, so
+    host batch assembly (transforms, stacking) and the H2D transfer both
+    overlap the device step instead of serializing with it on the calling
+    thread — this is what actually hides the input path behind compute
+    (the reference gets the same overlap from torch DataLoader workers,
+    ``data/dataset.py:352``).  ``threaded=False`` (or env
+    ``MST_PREFETCH_THREAD=0``) restores the synchronous single-thread
+    behavior; batch ORDER is identical either way (one worker, FIFO).
     """
-    import collections
+    import os
 
     import jax
-
-    queue = collections.deque()
 
     if put is None:
         def put(batch):
             if sharding is not None:
                 return jax.device_put(batch, sharding)
             return jax.device_put(batch)
+    if threaded is None:
+        threaded = os.environ.get("MST_PREFETCH_THREAD", "1") != "0"
+    if threaded:
+        return _threaded_prefetch(iterator, size, put, on_error)
+    return _sync_prefetch(iterator, size, put, on_error)
 
+
+def _sync_prefetch(iterator, size, put, on_error):
+    import collections
+
+    queue = collections.deque()
     it = iter(iterator)
 
     def fill_one() -> bool:
@@ -268,3 +285,79 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
     while queue:
         yield queue.popleft()
         fill_one()
+
+
+def _threaded_prefetch(iterator, size, put, on_error):
+    """One daemon worker pulls batches and device-puts them into a bounded
+    FIFO queue; the consumer generator pops ready device batches.
+
+    Error semantics match ``_sync_prefetch``: with ``on_error`` an
+    iterator exception ends the stream and a ``put`` exception skips that
+    batch; without it the exception re-raises in the consumer.  The
+    worker exits promptly when the consumer abandons the generator
+    (``stop`` event + bounded-put timeout), so a crashed epoch does not
+    leak a blocked thread.
+    """
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue(maxsize=max(1, size))
+    stop = threading.Event()
+
+    def offer(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker():
+        it = iter(iterator)
+        while not stop.is_set():
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            except Exception as exc:  # noqa: BLE001 - generator is dead
+                if on_error is None:
+                    offer(("raise", exc))
+                    return
+                on_error(exc)
+                break
+            try:
+                item = ("batch", put(batch))
+            except Exception as exc:  # noqa: BLE001
+                if on_error is None:
+                    offer(("raise", exc))
+                    return
+                on_error(exc)
+                continue
+            if not offer(item):
+                return
+        offer(("end", None))
+
+    thread = threading.Thread(target=worker, daemon=True,
+                              name="mst-prefetch")
+    thread.start()
+
+    def gen():
+        try:
+            while True:
+                kind, value = q.get()
+                if kind == "end":
+                    return
+                if kind == "raise":
+                    raise value
+                yield value
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            thread.join(timeout=5)
+
+    return gen()

@@ -114,10 +114,12 @@ def _virtual_batches(loader, accumulation_scale: int):
         yield _stack_fragments(pending)
 
 
-def _prefetched(iterator, mesh, depth: int = 2):
+def _prefetched(iterator, mesh, depth: int = 2, threaded=None):
     """Device-put *depth* batches ahead so H2D transfer overlaps compute;
     a batch whose sharding/transfer fails is logged and skipped (the
-    reference's per-batch error envelope)."""
+    reference's per-batch error envelope).  ``threaded`` (default: on, see
+    ``data/loader.py:prefetch_to_device``) moves batch assembly + H2D to a
+    worker thread so they overlap the device step."""
     from ..data.loader import prefetch_to_device
     from ..parallel import shard_batch
 
@@ -140,18 +142,20 @@ def _prefetched(iterator, mesh, depth: int = 2):
         handle_exception(exc, "Exception while transferring a batch.")
 
     return prefetch_to_device(iterator, size=depth, put=put,
-                              on_error=on_error)
+                              on_error=on_error, threaded=threaded)
 
 
 def run_epoch(step_fn, state, metrics_state, loader,
               accumulation_scale: int = 1, train: bool = True,
               mesh=None, log_path: Optional[str] = None,
-              calculator=None, on_batch: Optional[Callable] = None):
+              calculator=None, on_batch: Optional[Callable] = None,
+              threaded_prefetch=None):
     """One pass over *loader*.  Returns (state, metrics_state)."""
     pending = None  # previous step's device scalars, converted one step
     # late so the host->CSV sync never stalls the dispatch pipeline
     for i, batch_stack in enumerate(_prefetched(
-            _virtual_batches(loader, accumulation_scale), mesh)):
+            _virtual_batches(loader, accumulation_scale), mesh,
+            threaded=threaded_prefetch)):
         try:
             if train:
                 state, metrics_state, per_batch = step_fn(
@@ -198,6 +202,9 @@ def train_model(model, train_data, val_data, test_data,
     log_batches = bool(log_to_device) and log_to_device != "epoch"
     log_last = tech.get("log_last_model", True)
     log_best = tech.get("log_best_model", True)
+    # worker-thread input prefetch (assemble + H2D off the step-dispatch
+    # thread); None defers to the MST_PREFETCH_THREAD env default (on)
+    threaded_prefetch = tech.get("threaded prefetch", None)
     checkpoints = tech.get_tuple("model_log_checkpoints", [])
 
     watched_metric, best_value, pick = None, None, max
@@ -374,7 +381,8 @@ def train_model(model, train_data, val_data, test_data,
                     accumulation_scale, train=True, mesh=mesh,
                     log_path=destination + "batch_logs.csv" if log_batches
                     else None, calculator=calculator,
-                    on_batch=_on_batch_timer)
+                    on_batch=_on_batch_timer,
+                    threaded_prefetch=threaded_prefetch)
             finally:
                 # stop/flush even when the train pass raises — otherwise
                 # the profiler keeps tracing for the rest of the run and
@@ -395,7 +403,8 @@ def train_model(model, train_data, val_data, test_data,
                 metrics_state = _init_metrics()
                 _, metrics_state = run_epoch(
                     eval_step, state, metrics_state, val_data,
-                    accumulation_scale, train=False, mesh=mesh)
+                    accumulation_scale, train=False, mesh=mesh,
+                    threaded_prefetch=threaded_prefetch)
                 row.update({f"val_{k}": v for k, v in
                             _finalize(metrics_state).items()})
                 if log_to_device and calculator is not None \
@@ -459,7 +468,8 @@ def train_model(model, train_data, val_data, test_data,
             metrics_state = calculator.init_state()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          eval_train, accumulation_scale,
-                                         train=False, mesh=mesh)
+                                         train=False, mesh=mesh,
+                                         threaded_prefetch=threaded_prefetch)
             calculator.finalize_epoch(metrics_state)
             if log_to_device and cm_do_last:
                 # 'last' CM export over final weights (reference
@@ -471,7 +481,8 @@ def train_model(model, train_data, val_data, test_data,
             metrics_state = calculator.init_state()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          val_data, accumulation_scale,
-                                         train=False, mesh=mesh)
+                                         train=False, mesh=mesh,
+                                         threaded_prefetch=threaded_prefetch)
             calculator.finalize_epoch(metrics_state)
             if log_to_device and cm_do_last:
                 with swallow("Exception logging the confusion matrix."):
@@ -494,7 +505,8 @@ def train_model(model, train_data, val_data, test_data,
             metrics_state = _init_metrics()
             _, metrics_state = run_epoch(eval_step, state, metrics_state,
                                          test_data, accumulation_scale,
-                                         train=False, mesh=mesh)
+                                         train=False, mesh=mesh,
+                                         threaded_prefetch=threaded_prefetch)
             test_row = _finalize(metrics_state)
             if log_to_device:
                 append_csv_row(destination + "test_logs.csv", test_row)

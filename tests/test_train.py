@@ -1,5 +1,6 @@
 import csv
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -374,12 +375,13 @@ def test_virtual_batches_grouping():
     assert [s["x"].shape[0] for s in out] == [2, 1, 2]
 
 
-def test_prefetch_yields_each_batch_once_and_skips_bad():
+@pytest.mark.parametrize("threaded", [False, True])
+def test_prefetch_yields_each_batch_once_and_skips_bad(threaded):
     from medsegpretrainimagenet_tpu.data.loader import prefetch_to_device
 
     batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(6)]
     got = list(prefetch_to_device(iter(batches), size=2,
-                                  put=lambda b: b))
+                                  put=lambda b: b, threaded=threaded))
     assert [int(b["x"][0, 0]) for b in got] == [0, 1, 2, 3, 4, 5]
 
     def flaky():
@@ -394,9 +396,57 @@ def test_prefetch_yields_each_batch_once_and_skips_bad():
         return b
 
     got = list(prefetch_to_device(flaky(), size=2, put=bad_put,
-                                  on_error=errors.append))
+                                  on_error=errors.append, threaded=threaded))
     assert [int(b["x"][0, 0]) for b in got] == [0, 1, 3, 4]
     assert len(errors) == 1
+
+
+@pytest.mark.parametrize("threaded", [False, True])
+def test_prefetch_iterator_error_semantics(threaded):
+    """An iterator exception ends the stream through on_error; without
+    on_error it re-raises in the consumer (both prefetch modes)."""
+    from medsegpretrainimagenet_tpu.data.loader import prefetch_to_device
+
+    def dies_after_two():
+        yield {"x": np.zeros((1,), np.float32)}
+        yield {"x": np.ones((1,), np.float32)}
+        raise ValueError("source died")
+
+    errors = []
+    got = list(prefetch_to_device(dies_after_two(), size=2,
+                                  put=lambda b: b, on_error=errors.append,
+                                  threaded=threaded))
+    assert len(got) == 2 and len(errors) == 1
+
+    with pytest.raises(ValueError, match="source died"):
+        list(prefetch_to_device(dies_after_two(), size=2,
+                                put=lambda b: b, threaded=threaded))
+
+
+def test_threaded_prefetch_worker_exits_on_abandonment():
+    """Abandoning the consumer mid-stream (an epoch crash) must not leak
+    a blocked worker thread."""
+    import threading
+
+    from medsegpretrainimagenet_tpu.data.loader import prefetch_to_device
+
+    def endless():
+        i = 0
+        while True:
+            yield {"x": np.full((1,), i, np.float32)}
+            i += 1
+
+    gen = prefetch_to_device(endless(), size=2, put=lambda b: b,
+                             threaded=True)
+    next(gen)
+    gen.close()  # GeneratorExit at the yield point
+    for _ in range(50):
+        if not any(t.name == "mst-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.1)
+    assert not any(t.name == "mst-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
 
 
 def test_run_epoch_ragged_tail_steps_and_counts_metrics(tmp_path):
