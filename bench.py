@@ -14,7 +14,12 @@ LAST so a last-line parser records it.
 * ``pretrain224_train`` — ImageNet-style pretraining step: U-Net encoder
   + GAP + 1000-way head, CE loss, uint8 H2D batches
 * ``covidqu256_e2e_breakdown`` — host-assemble / H2D / device-step time
-  split for the downstream input path (uint8 transfer)
+  split for the downstream input path (uint8 transfer), measured
+  un-overlapped (a lower bound + a step bound)
+* ``covidqu256_e2e_measured`` — REAL loop throughput: BalancedDataLoader
+  assembly -> threaded device prefetch -> jitted train step via
+  ``train/loop.run_epoch`` (uint8 H2D, on-device dequantize + augment),
+  i.e. the overlap the framework actually achieves per epoch
 
 ``mfu`` is model-FLOPs-utilization from XLA's compiled cost analysis
 against the chip's peak bf16 FLOP/s (override via BENCH_PEAK_TFLOPS).
@@ -37,7 +42,8 @@ TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
 SWIN_BATCH = int(os.environ.get("BENCH_SWIN_BATCH", "24"))
 PRETRAIN_BATCH = int(os.environ.get("BENCH_PRETRAIN_BATCH", "64"))
 ALL_METRICS = ("swin224_train", "swin224_eval", "pretrain224_train",
-               "covidqu256_e2e_breakdown", "unet256_train")
+               "covidqu256_e2e_breakdown", "covidqu256_e2e_measured",
+               "unet256_train")
 METRICS = tuple(m for m in os.environ.get(
     "BENCH_METRICS", ",".join(ALL_METRICS)).split(",") if m)
 
@@ -375,6 +381,96 @@ def bench_pretrain224():
 
 
 # ---------------------------------------------------------------------------
+# E2E measured: the REAL loop (loader -> prefetch -> jitted step)
+# ---------------------------------------------------------------------------
+
+def bench_e2e_measured():
+    """Steady-state epoch throughput through the framework's actual
+    machinery: BalancedDataLoader batch assembly, the (default threaded)
+    device prefetch, uint8 H2D with on-device dequantize + channel-repeat
+    augmentation, and the full jitted train step (grad clip, optax update,
+    metric fold-in) driven by ``train/loop.run_epoch`` — the same path as
+    ``python src/experiment.py`` per epoch, minus dataset file IO and CSV
+    sinks.  Unlike the breakdown metric's un-overlapped lower bound, this
+    measures the overlap the loop actually achieves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.data.loader import BalancedDataLoader
+    from medsegpretrainimagenet_tpu.losses import DiceLoss, Loss
+    from medsegpretrainimagenet_tpu.metrics import MetricsCalculator
+    from medsegpretrainimagenet_tpu.models import UNet
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+    from medsegpretrainimagenet_tpu.ops.augment import make_device_augment
+    from medsegpretrainimagenet_tpu.optim import Optimizer
+    from medsegpretrainimagenet_tpu.train import TrainState, make_train_step
+    from medsegpretrainimagenet_tpu.train.loop import run_epoch
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    n_imgs = int(os.environ.get("BENCH_E2E_IMGS", str(24 * BATCH)))
+    rng = np.random.default_rng(0)
+    data = {
+        "x": rng.integers(0, 256, (n_imgs, SIZE, SIZE, 1), dtype=np.uint8),
+        "mask": rng.integers(0, 2, (n_imgs, SIZE, SIZE)).astype(np.uint8),
+    }
+    loader_cfg = ConfigDict({"epoch": {"uniform": {}},
+                             "batch": {"uniform": {}},
+                             "relative_size": 1.0, "sort_by": None,
+                             "pad_with": None})
+    loader = BalancedDataLoader(data, loader_cfg, bs=BATCH, actual_bs=BATCH,
+                                seed=0, drop_last=True)
+
+    module = UNet(img_ch=3, output_ch=1, depth=4)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x0, train=True)
+    optimizer = Optimizer(ConfigDict({"sgd": {
+        "momentum": 0.9, "weight_decay": 0.0,
+        "learning_rate": {"constant": {"base": 0.01}}}}),
+        num_epochs=4, batches_per_epoch=max(1, n_imgs // BATCH))
+    state = TrainState.create(
+        variables, optimizer.tx.init(variables["params"]), jax.random.key(1))
+    loss = Loss(DiceLoss, ConfigDict({"label type": "mask"}))
+    calculator = MetricsCalculator(
+        ConfigDict({"metrics": {
+            "metrics": ("metrics.DiceIndex",),
+            "calculation": {"thresholds": 0.5, "label_type": "mask"}}}),
+        loss=loss)
+    step = make_train_step(module, loss, calculator, optimizer,
+                           grad_clip_value=1.0,
+                           device_augment=make_device_augment(
+                               channel_repeats=3))
+
+    def epoch():
+        nonlocal state
+        metrics_state = calculator.init_state()
+        state, metrics_state = run_epoch(step, state, metrics_state, loader)
+        calculator.finalize_epoch(metrics_state)
+
+    epoch()                               # warmup: compile + caches
+    _sync(jax.tree_util.tree_leaves(state.params)[0])
+    timed_epochs = int(os.environ.get("BENCH_E2E_EPOCHS", "2"))
+    t0 = time.perf_counter()
+    for _ in range(timed_epochs):
+        epoch()
+    _sync(jax.tree_util.tree_leaves(state.params)[0])
+    sec = (time.perf_counter() - t0) / timed_epochs
+    steps = n_imgs // BATCH
+    img_s = steps * BATCH / sec
+    return _emit(
+        "covidqu256_e2e_measured_images_per_sec", img_s, "images/sec/chip",
+        extras={"sec_per_epoch": round(sec, 3), "steps_per_epoch": steps,
+                "batch": BATCH,
+                "threaded_prefetch": os.environ.get(
+                    "MST_PREFETCH_THREAD", "0") == "1",
+                "note": "real loader+prefetch+jitted-step loop (uint8 H2D, "
+                        "on-device dequantize+augment); excludes dataset "
+                        "file IO and CSV sinks"})
+
+
+# ---------------------------------------------------------------------------
 # E2E input-path breakdown (host assemble / H2D / device step)
 # ---------------------------------------------------------------------------
 
@@ -518,6 +614,7 @@ def run_metric(name):
         "swin224_eval": lambda: bench_swin224(train=False),
         "pretrain224_train": bench_pretrain224,
         "covidqu256_e2e_breakdown": bench_e2e_breakdown,
+        "covidqu256_e2e_measured": bench_e2e_measured,
         "unet256_train": bench_unet256,
     }
     runners[name]()

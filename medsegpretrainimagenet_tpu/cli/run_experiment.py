@@ -412,6 +412,12 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                                False) and jax.process_count() > 1:
                 proc_shard = (jax.process_index(), jax.process_count())
 
+            # reference number_of_data_loader_workers (default_dict.py:17,
+            # torch DataLoader workers) -> the loader's parallel lazy-load
+            # pool; batches stay bit-identical to the 0-worker path
+            num_workers = int(config_dict.get(
+                "meta/technical/number_of_data_loader_workers", 0) or 0)
+
             def make_loader(data, split_cfg, pipeline, ds_type):
                 return BalancedDataLoader(
                     data, split_cfg, bs=batch_size, actual_bs=bs,
@@ -419,7 +425,7 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
                     partition_count=partition_count[ds_type],
                     load_function=load_function, seed=curr_seed,
                     datapoints_per_sample=datapoint_count[ds_type],
-                    process_shard=proc_shard)
+                    process_shard=proc_shard, num_workers=num_workers)
 
             train_ds = make_loader(train_data,
                                    config_dict["data/sampling/train"],

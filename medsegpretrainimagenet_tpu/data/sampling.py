@@ -22,7 +22,16 @@ import numpy as np
 
 from ..config import ConfigDict
 
-__all__ = ["BalancedSource", "batch_index_plan", "assemble_batch"]
+__all__ = ["BalancedSource", "StatefulLoadFunctions", "batch_index_plan",
+           "assemble_batch"]
+
+
+class StatefulLoadFunctions(dict):
+    """Marker for per-column load functions whose calls are ORDER-DEPENDENT
+    (MixedDataset's lazy-reload counter columns drive a stateful record
+    pointer, ``mixed.py``).  Sources carrying one never run ``_load`` on
+    the loader's worker pool — items must load one at a time, in index
+    order, counter columns first."""
 
 
 def balance_factor(pos_len: int, neg_len: int, pos_ratio: float) -> float:
@@ -207,7 +216,13 @@ class BalancedSource:
             return int(self.negative_idcs[idx])
         return int(self.positive_idcs[(idx - self.neg_len) % self.pos_len])
 
-    def __getitem__(self, index: int) -> Dict[str, Any]:
+    def fetch_raw(self, index: int):
+        """Stage 1 of ``__getitem__``: index resolution + the k-extra rng
+        draws — everything that consumes the sequential sampler rng, so it
+        must run on ONE thread in index order.  Returns the *unloaded*
+        ``(index_out, data)`` pair; feed ``data`` through :meth:`_load`
+        (stage 2, rng-free — parallelizable) and the pair through
+        :meth:`finish_item` (stage 3, sequential transform rng)."""
         idx = self.resolve_row(index)
 
         if self.k > 0:
@@ -221,9 +236,11 @@ class BalancedSource:
         else:
             index_out = index
             data = {name: values[idx] for name, values in self.data.items()}
+        return index_out, data
 
-        data = self._load(data)
-
+    def finish_item(self, index_out, data: Dict[str, Any]) -> Dict[str, Any]:
+        """Stage 3 of ``__getitem__``: transforms (shared sequential rng
+        stream — single-threaded, index order) + k-extra collapse."""
         if self.transforms is not None:
             data = self.transforms(**data, _index=index_out, k=self.k + 1)
             data.pop("_index", None)
@@ -234,6 +251,19 @@ class BalancedSource:
                 if isinstance(values, list):
                     data[name] = values[0]
         return data
+
+    def parallel_load_ok(self) -> bool:
+        """True when ``_load`` may run concurrently across items: there is
+        per-item load work, and it is not order-dependent (MixedDataset's
+        lazy-reload counters are stateful — marked with
+        :class:`StatefulLoadFunctions`)."""
+        return (self.load_function is not None
+                and not isinstance(self.load_function,
+                                   StatefulLoadFunctions))
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        index_out, data = self.fetch_raw(index)
+        return self.finish_item(index_out, self._load(data))
 
 
 def batch_index_plan(ds_len: int, nr_pos: int, p: int, n: int, bs: int,
@@ -276,15 +306,32 @@ def batch_index_plan(ds_len: int, nr_pos: int, p: int, n: int, bs: int,
 
 
 def assemble_batch(source, indices: Iterable[int],
-                   pad_with: Optional[float] = None) -> Dict[str, np.ndarray]:
+                   pad_with: Optional[float] = None,
+                   executor=None) -> Dict[str, np.ndarray]:
     """Stack items into a numpy batch, right-padding the last axis when
-    lengths differ (reference ``get_batch``)."""
+    lengths differ (reference ``get_batch``).
+
+    With *executor* (a ``ThreadPoolExecutor``) the rng-free lazy-load
+    stage (``BalancedSource._load`` — per-item ``np.load``/decode, the
+    disk-I/O hot spot of ImageNet-style pretraining, reference
+    ``data/utils.py:148-149``) runs concurrently across the batch's items;
+    the sampler's k-extra draws and the transforms keep their sequential
+    shared-rng order, so batches are BIT-IDENTICAL to the serial path.
+    Sources whose loads are order-dependent (``StatefulLoadFunctions``)
+    fall back to serial assembly."""
     if pad_with is None and hasattr(source, "supports_vectorized") \
             and source.supports_vectorized():
         return source.get_batch_vectorized(indices)
+    if executor is not None and hasattr(source, "parallel_load_ok") \
+            and source.parallel_load_ok():
+        raws = [source.fetch_raw(int(idx)) for idx in indices]
+        loaded = list(executor.map(source._load, (d for _, d in raws)))
+        items = [source.finish_item(index_out, data)
+                 for (index_out, _), data in zip(raws, loaded)]
+    else:
+        items = [source[int(idx)] for idx in indices]
     columns: Dict[str, list] = {}
-    for idx in indices:
-        item = source[int(idx)]
+    for item in items:
         for key, value in item.items():
             columns.setdefault(key, []).append(np.asarray(value))
     batch = {}

@@ -40,17 +40,28 @@ def _to_host(tree):
     return gather_tree_to_host(tree)
 
 
-def save_params_file(path: str, params) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def encode_state(params) -> bytes:
+    """Serialize a (host or device) pytree to msgpack bytes once — callers
+    writing the same state to several files (last/best/epoch-tagged in one
+    epoch) encode once and fan the blob out."""
     # to_state_dict converts NamedTuple pytrees (optax states) to dicts
-    state_dict = serialization.to_state_dict(_to_host(params))
-    # atomic tmp+rename like the async path: a crash mid-write must not
-    # leave a truncated last_model_state_dict.msgpack that breaks
-    # --continued resume
+    return serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(params)))
+
+
+def write_bytes_atomic(path: str, blob: bytes) -> None:
+    """Atomic tmp+rename write: a crash mid-write must not leave a
+    truncated last_model_state_dict.msgpack that breaks --continued
+    resume."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(serialization.msgpack_serialize(state_dict))
+        fh.write(blob)
     os.replace(tmp, path)
+
+
+def save_params_file(path: str, params) -> None:
+    write_bytes_atomic(path, encode_state(params))
 
 
 class AsyncCheckpointer:

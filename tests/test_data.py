@@ -405,3 +405,98 @@ def test_device_repeat_channels_matches_host_factor_semantics():
     assert repeat_channels(x3, 3).shape == (2, 4, 4, 9)
     x1 = jnp.ones((2, 4, 4, 1))
     assert repeat_channels(x1, 3).shape == (2, 4, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# parallel lazy-load workers (meta/technical/number_of_data_loader_workers)
+# ---------------------------------------------------------------------------
+
+def _lazy_path_data(tmp_path, n=14, pos_frac=0.3, seed=5):
+    """Column data where 'x' is lazy string paths (ImageNet-style,
+    reference data/utils.py:148-149)."""
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img_{i}.npy"
+        np.save(p, rng.random((6, 6, 1)).astype(np.float32))
+        paths.append(str(p))
+    positives = np.zeros(n, bool)
+    positives[:int(n * pos_frac)] = True
+    return {"x": paths,
+            "mask": (rng.random((n, 6, 6)) > 0.5).astype(np.int32),
+            "positives": positives}
+
+
+class _SeededJitter:
+    """Transform drawing from a sequential rng stream — the property the
+    worker pool must not disturb."""
+
+    def __init__(self, seed):
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, k=1, _index=0, **data):
+        data["x"] = np.asarray(data["x"]) + self.rng.random()
+        return data
+
+
+def test_loader_workers_bit_identical(tmp_path):
+    """num_workers>0 parallelizes only the rng-free lazy-load stage:
+    every batch (lazy np.load + sequential-rng transform, balanced
+    sampling) is bit-identical to the serial loader."""
+    cfg = ConfigDict({"epoch": {"oversampling": {"ratio of positives": 0.5}},
+                      "batch": {"uniform": {}}, "relative_size": 1.0,
+                      "sort_by": None, "pad_with": None})
+
+    def make(workers):
+        return BalancedDataLoader(
+            _lazy_path_data(tmp_path), cfg, bs=4, actual_bs=4, seed=0,
+            transforms=_SeededJitter(11),
+            load_function={"x": np.load}, num_workers=workers)
+
+    serial = list(make(0))
+    parallel = list(make(3))
+    assert len(serial) == len(parallel) > 0
+    for s, p in zip(serial, parallel):
+        assert set(s) == set(p)
+        for key in s:
+            np.testing.assert_array_equal(s[key], p[key])
+
+
+def test_assemble_batch_executor_preserves_k_extra_draws(tmp_path):
+    """With extra_datapoints (Mixup pair sampling) the k-extra rng draws
+    happen on the calling thread in index order, so executor assembly
+    equals serial assembly exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def make_source():
+        return BalancedSource(_lazy_path_data(tmp_path), balanced=1, seed=7,
+                              extra_datapoints=1,
+                              load_function={"x": np.load})
+
+    idcs = [3, 0, 9, 5]
+    serial = assemble_batch(make_source(), idcs)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        parallel = assemble_batch(make_source(), idcs, executor=pool)
+    for key in serial:
+        np.testing.assert_array_equal(serial[key], parallel[key])
+
+
+def test_mixed_dataset_lazy_loads_stay_serial(tmp_path):
+    """MixedDataset lazy-reload load functions are order-dependent
+    (stateful record pointer) — the loader must refuse to pool them."""
+    from medsegpretrainimagenet_tpu.data.sampling import StatefulLoadFunctions
+
+    src = BalancedSource(
+        {"x": np.arange(4, dtype=np.float32), "label": np.ones(4, np.int32)},
+        balanced=1, seed=0,
+        load_function=StatefulLoadFunctions({"x": lambda v: v}))
+    assert not src.parallel_load_ok()
+
+    cfg = ConfigDict({"epoch": {"uniform": {}}, "batch": {"uniform": {}},
+                      "relative_size": 1.0, "sort_by": None,
+                      "pad_with": None})
+    loader = BalancedDataLoader(
+        {"x": np.arange(4, dtype=np.float32), "label": np.ones(4, np.int32)},
+        cfg, bs=2, actual_bs=2, seed=0, num_workers=2,
+        load_function=StatefulLoadFunctions({"x": lambda v: v}))
+    assert loader._load_executor() is None

@@ -597,3 +597,38 @@ def test_sync_checkpoint_save_is_atomic_and_overwrites(tmp_path):
     assert float(np.asarray(second["w"]).sum()) == 0.0
     # no leftover temp file once the write completes
     assert not (tmp_path / "state.msgpack.tmp").exists()
+
+
+def test_epoch_checkpoints_share_one_gather(tmp_path, monkeypatch):
+    """An epoch's last/best/epoch-tagged model sinks write IDENTICAL state
+    through ONE device->host gather (repeated params-sized D2H — not the
+    step — dominated per-epoch time on slow device links)."""
+    import medsegpretrainimagenet_tpu.parallel as par
+
+    calls = []
+    orig = par.gather_tree_to_host
+
+    def counting(tree):
+        calls.append(jax.tree_util.tree_leaves(tree)[0].size)
+        return orig(tree)
+
+    monkeypatch.setattr(par, "gather_tree_to_host", counting)
+
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=1)
+    config["meta/technical/model_log_checkpoints"] = (1,)
+    data = synthetic_segmentation_data(n=8)
+    train_model(model, make_loader(data), make_loader(data), None, config,
+                optimizer, state, loss=loss, metrics_and_loss=calculator,
+                name="run", virtual_batch_size=4, true_batch_size=4,
+                verbose=False)
+    run_dir = tmp_path / "run"
+    last = (run_dir / "last_model_state_dict.msgpack").read_bytes()
+    # best is written in the same epoch (first value always improves on
+    # None) and the epoch-1 tagged checkpoint too: all three identical
+    assert (run_dir / "best_model_state_dict.msgpack").read_bytes() == last
+    assert (run_dir / "model_state_dict_epoch_1.msgpack"
+            ).read_bytes() == last
+    # exactly 2 gathers for the epoch: one shared model gather (three
+    # sinks) + one optimizer-state gather
+    assert len(calls) == 2
