@@ -17,7 +17,8 @@ LAST so a last-line parser records it.
   split for the downstream input path (uint8 transfer), measured
   un-overlapped (a lower bound + a step bound)
 * ``covidqu256_e2e_measured`` — REAL loop throughput: BalancedDataLoader
-  assembly -> threaded device prefetch -> jitted train step via
+  assembly -> device prefetch (sync default; MST_PREFETCH_THREAD=1 for
+  the worker-thread variant) -> jitted train step via
   ``train/loop.run_epoch`` (uint8 H2D, on-device dequantize + augment),
   i.e. the overlap the framework actually achieves per epoch
 
@@ -386,8 +387,8 @@ def bench_pretrain224():
 
 def bench_e2e_measured():
     """Steady-state epoch throughput through the framework's actual
-    machinery: BalancedDataLoader batch assembly, the (default threaded)
-    device prefetch, uint8 H2D with on-device dequantize + channel-repeat
+    machinery: BalancedDataLoader batch assembly, the device prefetch
+    (sync default), uint8 H2D with on-device dequantize + channel-repeat
     augmentation, and the full jitted train step (grad clip, optax update,
     metric fold-in) driven by ``train/loop.run_epoch`` — the same path as
     ``python src/experiment.py`` per epoch, minus dataset file IO and CSV

@@ -371,9 +371,14 @@ def _threaded_prefetch(iterator, size, put, on_error):
 
     thread = threading.Thread(target=worker, daemon=True,
                               name="mst-prefetch")
-    thread.start()
 
     def gen():
+        # start the worker on FIRST iteration, not at construction: a
+        # stream that is created but never iterated (caller errors before
+        # its first next()) must not leave a worker pulling + device-
+        # putting batches forever — close()/GC of a never-started
+        # generator skips the finally, so nothing would ever stop it
+        thread.start()
         try:
             while True:
                 kind, value = q.get()

@@ -90,21 +90,27 @@ class AsyncCheckpointer:
             if item is None:
                 self._queue.task_done()
                 return
-            path, state_dict = item
-            try:
-                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as fh:
-                    fh.write(serialization.msgpack_serialize(state_dict))
-                os.replace(tmp, path)
-            except Exception as e:      # surfaced on wait()
-                self._errors.append((path, e))
-            finally:
-                self._queue.task_done()
+            paths, state_dict = item
+            blob = None
+            for path in paths:
+                try:
+                    if blob is None:    # encode ONCE per submission
+                        blob = serialization.msgpack_serialize(state_dict)
+                    write_bytes_atomic(path, blob)
+                except Exception as e:  # surfaced on wait()
+                    self._errors.append((path, e))
+            self._queue.task_done()
 
     def save(self, path: str, params) -> None:
-        # host transfer + state-dict conversion on the caller's thread
-        self._queue.put((path, serialization.to_state_dict(
+        self.save_many([path], params)
+
+    def save_many(self, paths, params) -> None:
+        """One submission writing the SAME state to every path in *paths*
+        (an epoch's last/best/epoch-tagged sinks): the worker encodes the
+        tree once and fans the bytes out.  Host transfer + state-dict
+        conversion stay on the caller's thread (the next step may donate
+        the device buffers)."""
+        self._queue.put((list(paths), serialization.to_state_dict(
             _to_host(params))))
 
     def wait(self) -> None:

@@ -352,8 +352,8 @@ def train_model(model, train_data, val_data, test_data,
         if not is_main_process():   # one writer is correct; N writers
             return                  # race the same tmp file on shared fs
         if async_writer is not None:
-            for filename in filenames:
-                async_writer.save(destination + filename, payload)
+            async_writer.save_many(
+                [destination + f for f in filenames], payload)
         else:
             blob = ckpt.encode_state(payload)
             for filename in filenames:
@@ -419,9 +419,13 @@ def train_model(model, train_data, val_data, test_data,
                 # gathers find the bytes already transferred — the copy
                 # overlaps the val pass instead of stalling after it
                 # (state buffers stay alive until save_model; the next
-                # train epoch's donation happens after)
-                for leaf in jax.tree_util.tree_leaves(
-                        (state.params, state.batch_stats, state.opt_state)):
+                # train epoch's donation happens after).  Model state is
+                # prefetched only when some model sink will consume it —
+                # the opt state is written every epoch regardless.
+                prefetch = [state.opt_state]
+                if log_last or log_best or (epoch + 1) in checkpoints:
+                    prefetch.append((state.params, state.batch_stats))
+                for leaf in jax.tree_util.tree_leaves(prefetch):
                     if isinstance(leaf, jax.Array) \
                             and leaf.is_fully_addressable:
                         try:                 # best-effort prefetch only

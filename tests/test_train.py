@@ -436,6 +436,15 @@ def test_threaded_prefetch_worker_exits_on_abandonment():
             yield {"x": np.full((1,), i, np.float32)}
             i += 1
 
+    # a stream that is created but NEVER iterated must not start (and
+    # therefore not leak) a worker at all — the worker starts lazily on
+    # the first next()
+    never = prefetch_to_device(endless(), size=2, put=lambda b: b,
+                               threaded=True)
+    assert not any(t.name == "mst-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+    never.close()
+
     gen = prefetch_to_device(endless(), size=2, put=lambda b: b,
                              threaded=True)
     next(gen)
@@ -604,15 +613,25 @@ def test_epoch_checkpoints_share_one_gather(tmp_path, monkeypatch):
     through ONE device->host gather (repeated params-sized D2H — not the
     step — dominated per-epoch time on slow device links)."""
     import medsegpretrainimagenet_tpu.parallel as par
+    import medsegpretrainimagenet_tpu.parallel.mesh as par_mesh
 
     calls = []
-    orig = par.gather_tree_to_host
+    orig = par_mesh.gather_tree_to_host
 
     def counting(tree):
-        calls.append(jax.tree_util.tree_leaves(tree)[0].size)
+        leaves = jax.tree_util.tree_leaves(tree)
+        # only DEVICE gathers count — encode paths re-run _to_host on the
+        # already-gathered numpy payload, which is a free no-op
+        if any(isinstance(leaf, jax.Array) for leaf in leaves):
+            calls.append(leaves[0].size)
         return orig(tree)
 
+    # patch BOTH import sites: loop.py resolves via the package
+    # (`from ..parallel import ...` at call time), checkpoint.py's
+    # _to_host via the mesh module — a regression re-adding per-sink
+    # gathers inside checkpoint.py must not escape the count
     monkeypatch.setattr(par, "gather_tree_to_host", counting)
+    monkeypatch.setattr(par_mesh, "gather_tree_to_host", counting)
 
     model, optimizer, state, loss, calculator, config = build_training(
         tmp_path, epochs=1)
