@@ -108,6 +108,34 @@ def test_pipeline_composes_with_data_parallel():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pipeline_real_swin_stages():
+    """Pipeline actual model blocks: 4 DoubleSwin (W-MSA + SW-MSA pair)
+    stages — LayerNorms, windowed attention with rel-pos bias and the
+    shifted-window mask all inside the per-tick stage fn.  Repeated
+    same-config blocks are exactly the homogeneous-stack contract."""
+    from medsegpretrainimagenet_tpu.models.swin import (
+        DoubleSwinTransformerBlock)
+
+    block = DoubleSwinTransformerBlock(
+        in_channels=8, embed_dim=8, img_size=28, patch_size=4, depth=2,
+        num_heads_layers=(2, 2, 2, 2), window_size=7)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 49, 8)), jnp.float32)
+    params = [block.init(jax.random.key(i), x)["params"] for i in range(4)]
+
+    def stage_fn(p, h):
+        return block.apply({"params": p}, h, train=False)
+
+    mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
+    y = pipeline_apply(stage_fn, stack_stage_params(params), x, mesh=mesh,
+                       num_microbatches=2)
+    ref = x
+    for p in params:
+        ref = stage_fn(p, ref)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_rejects_ragged_microbatching():
     _, stacked = _make_stages(4)
     mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
