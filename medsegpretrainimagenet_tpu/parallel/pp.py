@@ -33,7 +33,6 @@ Usage::
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Sequence
 
 import jax
