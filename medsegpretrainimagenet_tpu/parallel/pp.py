@@ -24,6 +24,15 @@ Composes with the existing axes: ``inputs`` may carry a data-parallel
 sharding on the sample axis — each tick's stage compute then runs
 dp-sharded while ``'pipe'`` carries the stage hand-off.
 
+Memory model: the microbatched input (replicated over ``'pipe'``), the
+output buffer in the scan carry, and the final output broadcast are all
+FULL-batch sized on every pipe device — per-device *activation* memory
+does not shrink with pipeline depth (only per-device *parameter* memory
+does, which is what pipeline parallelism buys).  For inputs too large to
+replicate, shard the sample axis over ``data_axis`` (dp×pp) so each
+device holds ``B/dp`` activations, or slice the output before the final
+broadcast.
+
 Usage::
 
     mesh = create_mesh(("pipe",), shape=(4,))
@@ -66,7 +75,13 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
     ``stage_fn(params_i, x) -> y`` must be shape/dtype-preserving; it is
     traced once and runs on every pipe device every tick (bubble ticks
     compute on zeros — the standard GPipe fill/drain cost of
-    ``(S-1)/(M+S-1)`` idle fraction).
+    ``(S-1)/(M+S-1)`` idle fraction).  Because bubble ticks really
+    execute ``stage_fn`` on all-zero activations, the stage must be
+    finite at zero input in BOTH forward and VJP (true for conv / norm
+    (eps) / attention / MLP stacks): a stage that divides by an
+    un-epsiloned norm would inject NaNs that the forward's validity
+    gating hides but the backward's ``0-cotangent × NaN-jacobian``
+    products would propagate into the parameter gradients.
 
     Args:
       stage_fn: one stage's forward; pure, no RNG (pass PRNG material
@@ -89,6 +104,18 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
       (and sharded over ``data_axis`` on the sample dim when given).
     """
     num_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    # shard_map only checks divisibility: 8 stacked stages on a pipe=4
+    # mesh would silently place 2 stages per device and `a[0]` would run
+    # stages 0,2,4,6 only — reject any stage-count/mesh mismatch
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            stacked_params)[0]:
+        lead = getattr(leaf, "shape", (None,))[0] if getattr(
+            leaf, "ndim", 1) else None
+        if lead != num_stages:
+            raise ValueError(
+                f"stacked_params leaf {jax.tree_util.keystr(path)} has "
+                f"leading dim {lead}, expected num_stages={num_stages} "
+                f"(the '{axis}' mesh axis size)")
     m = num_stages if num_microbatches is None else int(num_microbatches)
     batch = inputs.shape[0]
     if batch % m:

@@ -136,6 +136,17 @@ def test_pipeline_real_swin_stages():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_rejects_stage_count_mismatch():
+    """8 stacked stages on a pipe=4 mesh must raise, not silently run
+    stages 0,2,4,6 (shard_map would accept the divisible shape)."""
+    _, stacked = _make_stages(8)
+    mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
+    x = jnp.zeros((8, FEAT), jnp.float32)
+    with pytest.raises(ValueError, match="leading dim 8, expected"):
+        pipeline_apply(_stage_fn, stacked, x, mesh=mesh,
+                       num_microbatches=4)
+
+
 def test_pipeline_rejects_ragged_microbatching():
     _, stacked = _make_stages(4)
     mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
