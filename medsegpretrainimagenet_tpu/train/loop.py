@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import math
 import os
+import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
@@ -383,6 +384,19 @@ def train_model(model, train_data, val_data, test_data,
             row: Dict[str, Any] = {
                 "learning_rate": float(optimizer.lr_at(int(state.step)))}
 
+            # per-epoch phase split (train/val/checkpoint/loggers) under
+            # `meta/technical/profile: true` -> profile/epoch_times.csv:
+            # quantifies where a FULL CLI epoch's wall time goes (on slow
+            # device links the checkpoint D2H, not the step, dominates)
+            seg: Dict[str, float] = {}
+            seg_t = [time.perf_counter()]
+
+            def _mark(name: str) -> None:
+                if profile_cfg:
+                    now = time.perf_counter()
+                    seg[name] = seg.get(name, 0.0) + now - seg_t[0]
+                    seg_t[0] = now
+
             trace_ctx = None
             if profile_cfg and epoch == epoch_start:
                 with swallow("Could not start the profiler trace."):
@@ -406,6 +420,7 @@ def train_model(model, train_data, val_data, test_data,
                         jax.profiler.stop_trace()
                 _dump_step_times()
             row.update(_finalize(metrics_state))
+            _mark("train_s")
             if log_to_device and calculator is not None \
                     and (epoch + 1) in cm_active_epochs:
                 with swallow("Exception logging the confusion matrix."):
@@ -441,6 +456,7 @@ def train_model(model, train_data, val_data, test_data,
                     threaded_prefetch=threaded_prefetch)
                 row.update({f"val_{k}": v for k, v in
                             _finalize(metrics_state).items()})
+                _mark("val_s")
                 if log_to_device and calculator is not None \
                         and (epoch + 1) in cm_active_epochs:
                     with swallow("Exception logging the confusion matrix."):
@@ -490,7 +506,15 @@ def train_model(model, train_data, val_data, test_data,
                             {"step": np.asarray(state.step),
                              "unit": schedule.unit,
                              "base": float(schedule.base)})
+            _mark("ckpt_s")
             run_host_loggers(epoch + 1)
+            _mark("loggers_s")
+            if profile_cfg:
+                with swallow("Exception writing epoch_times.csv."):
+                    append_csv_row(profile_dir + "epoch_times.csv", {
+                        "epoch": epoch + 1,
+                        **{k: round(v, 4) for k, v in seg.items()},
+                        "total_s": round(sum(seg.values()), 4)})
             if on_epoch is not None:
                 on_epoch(epoch, row, state)
         except Exception as exc:  # noqa: BLE001 - reference error envelope
