@@ -21,9 +21,22 @@ LAST so a last-line parser records it.
   the worker-thread variant) -> jitted train step via
   ``train/loop.run_epoch`` (uint8 H2D, on-device dequantize + augment),
   i.e. the overlap the framework actually achieves per epoch
+* ``covidqu256_cli_epoch`` — the FULL user surface: one
+  ``python src/experiment.py config.yaml`` epoch on a synthetic
+  COVID-QU dataset (file IO, CSV sinks, per-epoch checkpoint D2H all
+  included), with the train/val/checkpoint wall split from the loop's
+  ``profile: true`` hooks (``profile/epoch_times.csv``)
 
 ``mfu`` is model-FLOPs-utilization from XLA's compiled cost analysis
 against the chip's peak bf16 FLOP/s (override via BENCH_PEAK_TFLOPS).
+
+Capture-proofing (the round-2 lesson — a driver timeout during a tunnel
+outage lost the headline number): the headline is measured FIRST, every
+measured metric's JSON line is persisted to a resume file
+(BENCH_RESUME_FILE, TTL BENCH_RESUME_TTL_S) so a killed run's retry
+re-emits instantly instead of re-measuring, and a final pass re-prints
+all lines in canonical order with the headline LAST for last-line
+parsers.
 
 Env knobs: BENCH_BATCH, BENCH_SIZE, BENCH_STEPS, BENCH_MP=0 (disable
 bf16), BENCH_METRICS=comma list (default all), BENCH_TORCH_STEPS.
@@ -42,9 +55,12 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
 SWIN_BATCH = int(os.environ.get("BENCH_SWIN_BATCH", "24"))
 PRETRAIN_BATCH = int(os.environ.get("BENCH_PRETRAIN_BATCH", "64"))
+#: canonical OUTPUT order (headline last, for last-line parsers); the
+#: MEASUREMENT order puts the headline first — see _measurement_order()
 ALL_METRICS = ("swin224_train", "swin224_eval", "pretrain224_train",
                "covidqu256_e2e_breakdown", "covidqu256_e2e_measured",
-               "unet256_train")
+               "covidqu256_cli_epoch", "unet256_train")
+HEADLINE = "unet256_train"
 METRICS = tuple(m for m in os.environ.get(
     "BENCH_METRICS", ",".join(ALL_METRICS)).split(",") if m)
 
@@ -112,6 +128,81 @@ def _time_steps(run_step, n=STEPS):
         out = run_step()
     _sync(out)
     return (time.perf_counter() - t0) / n
+
+
+# ---------------------------------------------------------------------------
+# resume file: measured metrics survive a killed run
+# ---------------------------------------------------------------------------
+
+RESUME_FILE = os.environ.get(
+    "BENCH_RESUME_FILE",
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 "mst_bench_results.json"))
+RESUME_TTL_S = float(os.environ.get("BENCH_RESUME_TTL_S", "36000"))
+
+
+def _knob_sig() -> dict:
+    """The env-knob signature a cached result must match to be reused."""
+    return {"batch": BATCH, "size": SIZE, "steps": STEPS,
+            "swin_batch": SWIN_BATCH, "pretrain_batch": PRETRAIN_BATCH,
+            "mp": os.environ.get("BENCH_MP", "1")}
+
+
+def _git_rev() -> str:
+    try:
+        import subprocess
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
+
+
+def _load_resume() -> dict:
+    try:
+        with open(RESUME_FILE) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _valid_resume_entries() -> dict:
+    """name -> stored JSON line, for entries fresh enough and measured
+    with the current knob signature."""
+    sig, now = _knob_sig(), time.time()
+    out = {}
+    for name, entry in _load_resume().items():
+        try:
+            if entry["knobs"] == sig and now - entry["ts"] < RESUME_TTL_S:
+                out[name] = entry["line"]
+        except (KeyError, TypeError):
+            continue
+    return out
+
+
+def _record_result(name: str, line: dict) -> None:
+    """Persist a measured metric line (with provenance) to the resume
+    file — read-modify-write; one writer at a time by construction (the
+    parent serialises metric children)."""
+    line = dict(line)
+    extras = dict(line.get("extras") or {})
+    extras.setdefault("measured_at",
+                      time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()))
+    rev = _git_rev()
+    if rev:
+        extras.setdefault("code_rev", rev)
+    line["extras"] = extras
+    data = _load_resume()
+    data[name] = {"line": line, "ts": time.time(), "knobs": _knob_sig()}
+    try:
+        os.makedirs(os.path.dirname(RESUME_FILE), exist_ok=True)
+        tmp = RESUME_FILE + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, RESUME_FILE)
+    except OSError:
+        pass
 
 
 def _emit(metric, value, unit, vs_baseline=None, mfu=None, extras=None):
@@ -525,6 +616,130 @@ def bench_e2e_breakdown():
 
 
 # ---------------------------------------------------------------------------
+# Full-CLI epoch (the user surface, nothing excluded)
+# ---------------------------------------------------------------------------
+
+def bench_cli_epoch():
+    """One epoch through ``python src/experiment.py config.yaml`` on a
+    synthetic COVID-QU dataset — dataset file IO, loader, transforms,
+    jitted steps, CSV sinks, the val pass and the per-epoch checkpoint
+    D2H all included.  ``meta/technical/profile: true`` makes the loop
+    write ``profile/epoch_times.csv`` (train/val/ckpt wall split), at
+    the cost of per-step sync (the overlapped loop number is
+    ``covidqu256_e2e_measured``).  Reference hot loop being matched:
+    ``/root/reference/src/train_model.py:51-120``."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n_train = int(os.environ.get("BENCH_CLI_IMGS", str(12 * BATCH)))
+    workdir = tempfile.mkdtemp(prefix="mst_bench_cli_")
+    try:
+        root = os.path.join(workdir,
+                            "data/COVID_QU/Inf_segm/data arrays/COVID-19")
+        rng = np.random.default_rng(0)
+        for part, n in (("train and val", n_train), ("test", BATCH)):
+            d = os.path.join(root, part)
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "imgs.npy"),
+                    rng.integers(0, 256, (n, 1, SIZE, SIZE), dtype=np.uint8))
+            masks = np.zeros((n, 1, SIZE, SIZE), np.uint8)
+            masks[:, :, SIZE // 4:-SIZE // 4, SIZE // 4:-SIZE // 4] = 2
+            np.save(os.path.join(d, "inf_masks.npy"), masks)
+        config = f"""
+experiment: {{number_of_epochs: 3, number_of_trials: 1}}
+meta:
+  technical:
+    seed: 777
+    save_destination: {workdir}/logs
+    maximum_actual_batch_size: {BATCH}
+    mixed_precision: {os.environ.get("BENCH_MP", "1") == "1"}
+    profile: true
+data:
+  data:
+    segmentation.datasets.COVIDQUDataset:
+      lung_or_infection: inf
+      image_sizes: {SIZE}
+      validate_on_test: true
+      seed: 20231027
+  sampling: {{batch_size: {BATCH}}}
+  transforms:
+    train: transform.RepeatChannels
+    val: transform.RepeatChannels
+    casting: {{mask: torch.LongTensor}}
+model:
+  segmentation.models.UNet:
+    architecture:
+      in_channel_size: 3
+      out_channel_size: 1
+      depth: 4
+    final_activation: sigmoid
+training:
+  loss: {{segmentation.losses.DiceLoss: {{}}}}
+  optimizer:
+    sgd:
+      momentum: 0.9
+      learning_rate: {{constant: {{base: 0.01}}}}
+metrics:
+  metrics: !!python/tuple [metrics.DiceIndex]
+"""
+        cfg_path = os.path.join(workdir, "bench_cli.yaml")
+        with open(cfg_path, "w") as fh:
+            fh.write(config)
+        env = {**os.environ, "MST_DATA_DIR": os.path.join(workdir, "data")}
+        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "src", "experiment.py"),
+             cfg_path], env=env, cwd=workdir, capture_output=True,
+            text=True)
+        wall = time.perf_counter() - t0
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"CLI run failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}")
+        run_dirs = []
+        for dirpath, dirnames, filenames in os.walk(
+                os.path.join(workdir, "logs")):
+            if "epoch_logs.csv" in filenames:
+                run_dirs.append(dirpath)
+        if not run_dirs:
+            raise RuntimeError("CLI run produced no epoch_logs.csv; "
+                               f"stderr: {proc.stderr[-500:]}")
+        run_dir = run_dirs[0]
+        import csv
+        with open(os.path.join(run_dir, "profile",
+                               "epoch_times.csv")) as fh:
+            epochs = list(csv.DictReader(fh))
+        last = epochs[-1]   # epoch 1 pays the jit compiles
+        total_s = float(last["total_s"])
+        with open(os.path.join(run_dir, "profile",
+                               "step_times.csv")) as fh:
+            steps_rows = list(csv.DictReader(fh))
+        mean_step = float(steps_rows[-1]["mean_s"]) if steps_rows else None
+        img_s = n_train / total_s
+        return _emit(
+            "covidqu256_cli_epoch_images_per_sec", img_s, "images/sec/chip",
+            extras={
+                "train_s": float(last.get("train_s", 0) or 0),
+                "val_s": float(last.get("val_s", 0) or 0),
+                "ckpt_s": float(last.get("ckpt_s", 0) or 0),
+                "total_epoch_s": total_s,
+                "mean_step_s": mean_step,
+                "train_imgs_per_epoch": n_train, "batch": BATCH,
+                "cli_wall_s_3_epochs": round(wall, 1),
+                "note": "full src/experiment.py epoch (file IO, CSV "
+                        "sinks, val pass, per-epoch ckpt D2H included); "
+                        "profile mode syncs per step, so the overlapped "
+                        "loop bound is covidqu256_e2e_measured"})
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # torch-CPU baseline (headline divisor)
 # ---------------------------------------------------------------------------
 
@@ -616,17 +831,31 @@ def run_metric(name):
         "pretrain224_train": bench_pretrain224,
         "covidqu256_e2e_breakdown": bench_e2e_breakdown,
         "covidqu256_e2e_measured": bench_e2e_measured,
+        "covidqu256_cli_epoch": bench_cli_epoch,
         "unet256_train": bench_unet256,
     }
-    runners[name]()
+    line = runners[name]()
+    if isinstance(line, dict):
+        _record_result(name, line)
+    return line
 
 
-def _selected():
-    order = list(ALL_METRICS)
-    # headline always last, regardless of BENCH_METRICS order
-    sel = [m for m in order if m in METRICS and m != "unet256_train"]
-    if "unet256_train" in METRICS:
-        sel.append("unet256_train")
+def _measurement_order():
+    """HEADLINE first (the round-2 lesson: a driver kill during a tunnel
+    outage must not lose the one metric BASELINE.json names), then the
+    canonical order."""
+    sel = [m for m in ALL_METRICS if m in METRICS and m != HEADLINE]
+    if HEADLINE in METRICS:
+        sel.insert(0, HEADLINE)
+    return sel
+
+
+def _output_order():
+    """Canonical order for the final re-emission pass: headline LAST so a
+    last-line parser records it."""
+    sel = [m for m in ALL_METRICS if m in METRICS and m != HEADLINE]
+    if HEADLINE in METRICS:
+        sel.append(HEADLINE)
     return sel
 
 
@@ -653,22 +882,29 @@ def main():
     probing + retries, so a mid-run tunnel drop costs one retry rather
     than hanging the whole benchmark (the driver runs this unattended).
 
-    Env knobs: BENCH_BUDGET_S total wall budget (default 4200),
-    BENCH_METRIC_TIMEOUT_S per-attempt cap (default 1200),
-    BENCH_HEADLINE_RESERVE_S budget slice kept for the headline metric
-    (default 900), BENCH_NO_SUBPROC=1 to run everything in-process
-    (old behavior; also the per-metric child mode — exits 3 when a
+    Capture-proofing: cached resume-file lines are re-emitted FIRST (a
+    prior killed run's measurements reach stdout immediately), the
+    headline is measured before everything else, each child persists its
+    result as soon as it is measured, and a final pass re-prints every
+    line in canonical order (headline LAST for last-line parsers).
+
+    Env knobs: BENCH_BUDGET_S total wall budget (default 2400 — UNDER
+    the driver's observed kill window; r02 died at rc=124 before the old
+    4200 s budget engaged), BENCH_DEADLINE_TS absolute unix deadline
+    (wins over the budget when earlier), BENCH_METRIC_TIMEOUT_S
+    per-attempt cap (default 1200), BENCH_RESUME_FILE / BENCH_RESUME_TTL_S
+    (the measured-metric cache), BENCH_NO_SUBPROC=1 to run everything
+    in-process (also the per-metric child mode — exits 3 when a
     non-headline metric errors so the parent retries it).
     """
     import subprocess
-    headline = "unet256_train"
     if os.environ.get("BENCH_NO_SUBPROC") == "1":
         bad = False
-        for name in _selected():
+        for name in _measurement_order():
             try:
                 run_metric(name)
             except Exception as e:  # one broken metric must not hide others
-                if name == headline:
+                if name == HEADLINE:
                     raise
                 bad = True
                 print(json.dumps({"metric": name, "error": str(e)[:200]}),
@@ -678,23 +914,29 @@ def main():
         # be recorded as done
         return 3 if bad else 0
 
-    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "4200"))
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    if os.environ.get("BENCH_DEADLINE_TS"):
+        deadline = min(deadline, float(os.environ["BENCH_DEADLINE_TS"]))
     per_metric = float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200"))
-    # a deterministically-crashing metric (SIGABRT/OOM/code bug) must not
-    # burn the whole budget: cap real attempts per metric (tunnel-down
-    # waits don't count), and keep a reserve so the headline — ordered
-    # last for output layout — always gets a slot
-    reserve = float(os.environ.get("BENCH_HEADLINE_RESERVE_S", "900"))
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # 0) replay cached results: they hit stdout before any device work,
+    # so even an immediate kill keeps them
+    done_lines = _valid_resume_entries()
+    for name in _output_order():
+        if name in done_lines:
+            print(json.dumps(done_lines[name]), flush=True)
+
     failed = []
-    sel = _selected()
-    for name in sel:
-        attempts = 8 if name == headline else 3
+    for name in _measurement_order():
+        if name in done_lines:
+            continue
+        # a deterministically-crashing metric (SIGABRT/OOM/code bug) must
+        # not burn the whole budget: cap real attempts per metric
+        # (tunnel-down waits don't count)
+        attempts = 8 if name == HEADLINE else 3
         done = False
         while not done and attempts > 0 and time.time() < deadline:
-            if (name != headline and headline in sel
-                    and deadline - time.time() < reserve):
-                break           # protect the headline's budget
             if not _probe_device():
                 print(json.dumps({"note": "device unreachable, waiting",
                                   "metric": name}), file=sys.stderr,
@@ -705,7 +947,8 @@ def main():
             env = {**os.environ, "BENCH_NO_SUBPROC": "1",
                    "BENCH_METRICS": name}
             # child inherits stdout: metric JSON lines stream out as they
-            # are measured, so a later kill cannot lose earlier metrics
+            # are measured, so a later kill cannot lose earlier metrics;
+            # the child also persists its line to the resume file
             try:
                 rc = subprocess.run(
                     [sys.executable, os.path.join(here, "bench.py")],
@@ -722,12 +965,19 @@ def main():
                 time.sleep(30)
         if not done:
             failed.append(name)
+
+    # final pass: every measured line again, canonical order, headline
+    # LAST — the value a last-line parser records
+    final = _valid_resume_entries()
+    for name in _output_order():
+        if name in final:
+            print(json.dumps(final[name]), flush=True)
     if failed:
         print(json.dumps({"error": "metrics unmeasured (budget or "
                                     "attempt cap exhausted)",
                           "unmeasured": failed}), file=sys.stderr,
               flush=True)
-        return 1 if "unet256_train" in failed else 0
+        return 1 if HEADLINE in failed else 0
     return 0
 
 
