@@ -311,7 +311,11 @@ def experiment(config_dict: ConfigDict, original: Optional[dict] = None,
     max_bs = tech["maximum actual batch size"]
     batch_size = config_dict["data/sampling/batch size"]
     sp_factor = int(tech.get("spatial_sharding", 1) or 1)
-    bs = effective_batch_size(batch_size, max_bs, device_count, sp_factor)
+    tp_factor = int(tech.get("tensor_parallel", 1) or 1)
+    # both consume a mesh factor, leaving device_count // (sp*tp) data
+    # devices for the batch axis
+    bs = effective_batch_size(batch_size, max_bs, device_count,
+                              sp_factor * tp_factor)
 
     seed = tech["seed"] + epoch_start
 
@@ -596,10 +600,28 @@ def run_exp(train_data, val_data, test_data, destination: str,
         # over `spatial_sharding` devices — for inputs too large for one
         # chip's HBM; H must divide by the factor
         sp = int(tech.get("spatial_sharding", 1) or 1)
+        # optional tensor parallelism (meta/technical/tensor_parallel):
+        # big conv/dense kernels' output channels sharded over a second
+        # 'model' mesh axis (parallel/tp.py) — XLA's sharding propagation
+        # inserts the ICI collectives; optimizer moments follow their
+        # parameters by pytree path, checkpoints gather to host unchanged
+        tp = int(tech.get("tensor_parallel", 1) or 1)
+        if sp > 1 and tp > 1:
+            raise ValueError(
+                "spatial_sharding and tensor_parallel cannot be combined "
+                "yet: both claim the second mesh axis (a 3-D "
+                "data×spatial×model mesh is the extension point)")
         # the data-axis size must divide the per-step fragment batch size
-        avail = jax.device_count() // sp
+        avail = jax.device_count() // max(sp, tp)
         n_devices = max(d for d in _divisors(bs) if d <= avail)
-        if sp > 1:
+        if tp > 1:
+            from ..parallel import shard_train_state
+            mesh = create_mesh(("data", "model"), shape=(n_devices, tp),
+                               devices=jax.devices()[:n_devices * tp])
+            min_ch = int(tech.get("tensor_parallel_min_channels", 256)
+                         or 256)
+            state = shard_train_state(state, mesh, min_channels=min_ch)
+        elif sp > 1:
             mesh = create_mesh(("data", "spatial"), shape=(n_devices, sp),
                                devices=jax.devices()[:n_devices * sp])
             state = put_replicated(state, mesh)

@@ -59,6 +59,50 @@ def compute_dtype():
     return _COMPUTE_DTYPE[0]
 
 
+_LN_HALF_OUT = [False]
+
+
+def set_ln_half_out(enabled: bool) -> None:
+    """LayerNorms emit compute-dtype outputs (statistics stay f32).
+
+    Under bf16 compute the Swin blocks' default-dtype LayerNorms return
+    f32, which makes the whole residual stream f32: every roll,
+    window-partition transpose and residual add then moves 2x the bytes
+    of the bf16 it could be — and the Swin-224 train step is
+    bandwidth-bound (8.9 flop/byte, CLAUDE.md).  This knob casts each
+    LN's output to the compute dtype *inside the LN's fusion* while the
+    mean/variance math stays in f32 (distinct from the falsified
+    ``dtype=compute_dtype()`` LN A/B, which computed bf16 *statistics*
+    and measured 10% slower).  No effect when no compute dtype is set.
+    Takes effect at module construction time.
+    """
+    _LN_HALF_OUT[0] = bool(enabled)
+
+
+class _HalfOutLayerNorm(nn.LayerNorm):
+    """flax LayerNorm (f32 params + statistics) whose output is cast to
+    the compute dtype.  The cast fuses into the LN's elementwise tail,
+    so the downstream residual stream carries bf16 bytes."""
+
+    def __call__(self, x, *args, **kwargs):
+        y = super().__call__(x, *args, **kwargs)
+        cd = compute_dtype()
+        return y.astype(cd) if cd is not None else y
+
+
+# keep flax's auto-naming prefix "LayerNorm_N": param trees (and torch
+# checkpoint translation) must not depend on the half-out knob
+_HalfOutLayerNorm.__name__ = "LayerNorm"
+
+
+def make_layer_norm(**kwargs) -> nn.Module:
+    """The framework's LayerNorm: flax default, or the half-output
+    variant when :func:`set_ln_half_out` is on."""
+    if _LN_HALF_OUT[0]:
+        return _HalfOutLayerNorm(**kwargs)
+    return nn.LayerNorm(**kwargs)
+
+
 _REMAT = [False]
 
 

@@ -101,7 +101,7 @@ class PatchEmbed(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation), dtype=compute_dtype())(x)
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
-        x = nn.LayerNorm()(x)
+        x = B.make_layer_norm()(x)
         if self.drop_rate:
             x = nn.Dropout(rate=self.drop_rate,
                            deterministic=not train)(x)
@@ -131,7 +131,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm()(x)
+        x = B.make_layer_norm()(x)
         return nn.Dense(2 * c, use_bias=False, dtype=compute_dtype())(x)
 
 
@@ -162,7 +162,7 @@ class PatchExpand(nn.Module):
         # b (h w) (p1 p2 c) -> b (h p1 w p2) c
         x = x.reshape(b, side, side, 2, 2, c_out)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * length, c_out)
-        return nn.LayerNorm()(x)
+        return B.make_layer_norm()(x)
 
 
 @register("segmentation.models.blocks.FinalPatchExpand_X4",
@@ -183,11 +183,11 @@ class FinalPatchExpand_X4(nn.Module):
         s = self.dim_scale
         b, length, c = x.shape
         side = _tokens_hw(length)
-        x = nn.LayerNorm()(x)                       # init_norm
+        x = B.make_layer_norm()(x)                       # init_norm
         x = nn.Dense(s * s * c, use_bias=False, dtype=compute_dtype())(x)  # expand
         x = x.reshape(b, side, side, s, s, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * side * s * side, c)
-        x = nn.LayerNorm()(x)
+        x = B.make_layer_norm()(x)
         x = x.reshape(b, s * side, s * side, c)
         return nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=compute_dtype())(x)
 
@@ -368,12 +368,12 @@ class SwinTransformerBlock(nn.Module):
     def setup(self):
         level, resolution, window, shift = self._geometry()
         heads = list(self.num_heads_layers)[level]
-        self.norm1 = nn.LayerNorm()
+        self.norm1 = B.make_layer_norm()
         self.attn = WindowAttention(
             dim=self.in_channels, window_size=(window, window),
             num_heads=heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop)
-        self.norm2 = nn.LayerNorm()
+        self.norm2 = B.make_layer_norm()
         self.mlp = Mlp(in_features=self.in_channels,
                        hidden_features=int(self.in_channels * self.mlp_ratio),
                        activations=self.activations, drop=self.drop)
@@ -449,7 +449,7 @@ class DoubleSwinTransformerBlock(nn.Module):
         heads = list(self.num_heads_layers)
         self._normalize = self.embed_dim * 2 ** (len(heads) - 1) == out
         if self._normalize:
-            self.last_norm = nn.LayerNorm()
+            self.last_norm = B.make_layer_norm()
 
     def __call__(self, x, train: bool = False):
         for block in self.swin_blocks:

@@ -17,11 +17,20 @@ part of the FLOPs; this ablation separates the other suspects:
                     no_stochdepth; the delta vs no_stochdepth is the rng
                     folding cost alone)
   fwd_only        — value only, no backward (bounds the bwd share)
+  ln_half_out     — LayerNorms keep f32 statistics but emit bf16 outputs
+                    (models/blocks.set_ln_half_out), flipping the whole
+                    residual stream — rolls, window-partition transposes,
+                    residual adds — from f32 to bf16 bytes.  NOT the
+                    falsified bf16-*stats* LN A/B (which measured 327 vs
+                    364 img/s); this one attacks the byte ceiling the
+                    round-2 roofline analysis named (8.9 flop/byte).
 """
 from __future__ import annotations
 
 import functools
 import time
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +38,13 @@ import optax
 
 import sys
 sys.path.insert(0, "/root/repo")
+
+# persistent compile cache: a killed/retried A/B skips the ~minutes-long
+# Swin train-step compile over the tunnel (TPU executables are
+# host-portable, unlike the CPU-mesh case conftest fingerprints)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/mst_jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
 
@@ -41,8 +57,29 @@ def swin_unet(stoch_depth=0.2):
     return bench._swin_module(SIZE, stoch_depth)
 
 
-def run(tag, stoch_depth=0.2, use_rng=True, backward=True):
+def _aot(jitted, *args):
+    """AOT-compile once; return (executable, bytes accessed, flops) —
+    compiling separately for cost analysis would double the (slow) Swin
+    compile, the same pitfall bench._compile_with_flops avoids."""
+    try:
+        compiled = jitted.lower(*args).compile()
+    except Exception:
+        return jitted, None, None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return compiled, float(cost.get("bytes accessed", 0.0)), \
+            float(cost.get("flops", 0.0))
+    except Exception:
+        return compiled, None, None
+
+
+def run(tag, stoch_depth=0.2, use_rng=True, backward=True,
+        ln_half_out=False, report_bytes=False):
+    from medsegpretrainimagenet_tpu.models.blocks import set_ln_half_out
     set_compute_dtype(jnp.bfloat16)
+    set_ln_half_out(ln_half_out)
     module = swin_unet(stoch_depth)
     x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.bfloat16)
     y = jnp.zeros((BATCH, SIZE, SIZE), jnp.float32)
@@ -67,6 +104,12 @@ def run(tag, stoch_depth=0.2, use_rng=True, backward=True):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        if report_bytes:
+            step, nbytes, nflops = _aot(step, params, opt_state, x, y, rng)
+            if nbytes:
+                print(f"{tag:16s} {nbytes / 1e9:8.2f} GB accessed/step, "
+                      f"{nflops / 1e9:8.1f} GF "
+                      f"({nflops / nbytes:.1f} flop/byte)", flush=True)
         params, opt_state, loss = step(params, opt_state, x, y, rng)
         float(loss)
         t0 = time.perf_counter()
@@ -86,7 +129,15 @@ def run(tag, stoch_depth=0.2, use_rng=True, backward=True):
 
 if __name__ == "__main__":
     print("backend:", jax.devices()[0].platform, flush=True)
-    run("baseline")
-    run("no_stochdepth", stoch_depth=0.0)
-    run("no_dropout_rng", stoch_depth=0.0, use_rng=False)
-    run("fwd_only", backward=False)
+    only = os.environ.get("ABLATE", "")
+    variants = {
+        "baseline": lambda: run("baseline", report_bytes=True),
+        "ln_half_out": lambda: run("ln_half_out", ln_half_out=True,
+                                   report_bytes=True),
+        "no_stochdepth": lambda: run("no_stochdepth", stoch_depth=0.0),
+        "no_dropout_rng": lambda: run("no_dropout_rng", stoch_depth=0.0,
+                                      use_rng=False),
+        "fwd_only": lambda: run("fwd_only", backward=False),
+    }
+    for name in (only.split(",") if only else variants):
+        variants[name]()

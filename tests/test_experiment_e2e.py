@@ -296,6 +296,51 @@ def test_mixed_dataset_experiment_end_to_end(covidqu_env):
     assert 0.0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1.0
 
 
+def test_experiment_with_tensor_parallel_matches_unsharded(covidqu_env):
+    """meta/technical/tensor_parallel: 2 runs the full CLI path on a
+    ('data', 'model') mesh with big kernels' output channels sharded
+    (parallel/tp.py, min_channels lowered so the tiny test model really
+    shards) — and the loss trajectory equals the unsharded run's: TP is
+    a layout change, not a numerics change."""
+    import copy
+
+    tmp_path = covidqu_env
+    base = minimal_config(tmp_path, epochs=2)
+
+    def trajectory(cfg_dict, name):
+        cfg_dict = copy.deepcopy(cfg_dict)
+        cfg_dict["meta"]["technical"]["experiment_name"] = name
+        log_data = experiment(ConfigDict(cfg_dict), original=None,
+                              modifiers=[])
+        run_dir = os.path.join(log_data["save_path"], "run_1")
+        with open(os.path.join(run_dir, "epoch_logs.csv")) as fh:
+            rows = list(csv.DictReader(fh))
+        assert len(rows) == 2
+        return [(float(r["dice_loss"]), float(r["val_dice_loss"]),
+                 float(r["metrics/dice_index_threshold_0.5"]))
+                for r in rows]
+
+    ref = trajectory(base, "e2e_dp")
+    tp_cfg = copy.deepcopy(base)
+    tp_cfg["meta"]["technical"]["tensor_parallel"] = 2
+    tp_cfg["meta"]["technical"]["tensor_parallel_min_channels"] = 4
+    got = trajectory(tp_cfg, "e2e_tp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_experiment_rejects_tp_plus_spatial(covidqu_env):
+    tmp_path = covidqu_env
+    cfg_dict = minimal_config(tmp_path, epochs=1)
+    cfg_dict["meta"]["technical"]["tensor_parallel"] = 2
+    cfg_dict["meta"]["technical"]["spatial_sharding"] = 2
+    # the CLI error envelope catches and logs; the run must produce no
+    # epoch logs (the experiment dies before training starts)
+    log_data = experiment(ConfigDict(cfg_dict), original=None, modifiers=[])
+    run_dir = os.path.join(log_data["save_path"], "run_1")
+    assert not os.path.isfile(os.path.join(run_dir, "epoch_logs.csv"))
+
+
 def test_experiment_with_spatial_sharding(covidqu_env):
     """meta/technical/spatial_sharding: 2 drives the full CLI path on a
     ('data', 'spatial') mesh — the image-height dim sharded over two
