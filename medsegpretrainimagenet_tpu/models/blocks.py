@@ -65,16 +65,19 @@ _LN_HALF_OUT = [False]
 def set_ln_half_out(enabled: bool) -> None:
     """LayerNorms emit compute-dtype outputs (statistics stay f32).
 
-    Under bf16 compute the Swin blocks' default-dtype LayerNorms return
-    f32, which makes the whole residual stream f32: every roll,
-    window-partition transpose and residual add then moves 2x the bytes
-    of the bf16 it could be — and the Swin-224 train step is
-    bandwidth-bound (8.9 flop/byte, CLAUDE.md).  This knob casts each
-    LN's output to the compute dtype *inside the LN's fusion* while the
-    mean/variance math stays in f32 (distinct from the falsified
-    ``dtype=compute_dtype()`` LN A/B, which computed bf16 *statistics*
-    and measured 10% slower).  No effect when no compute dtype is set.
-    Takes effect at module construction time.
+    OFF by default — MEASURED SLOWER (v5e, Swin-224 bf16 train, 20-step
+    A/B via ``tests/perf_swin_ablation.py``): 326.1 img/s at 71.41 GB
+    accessed/step vs the default f32-out LNs' 365.3 img/s at 67.91 GB
+    (XLA compiled cost analysis).  The hypothesis was that f32 LN
+    outputs make the residual stream f32 and double the roll/
+    window-partition/residual-add bytes; in practice XLA's fusion
+    already absorbs those f32 islands, and forcing a bf16 cast at every
+    LN *adds* convert nodes (bytes went UP) and breaks fusions.
+    Together with the earlier ``dtype=compute_dtype()`` A/B (bf16
+    *statistics*, 327 img/s), any bf16-out LayerNorm loses ~10% on this
+    step — the Swin byte ceiling is real and LN dtype is not the lever.
+    Kept as the measured A/B knob; no effect when no compute dtype is
+    set.  Takes effect at module construction time.
     """
     _LN_HALF_OUT[0] = bool(enabled)
 

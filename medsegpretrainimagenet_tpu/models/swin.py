@@ -14,7 +14,11 @@ TPU-first design:
   under bf16 compute): an A/B on v5e measured the full 224² bf16 train step
   at 364 img/s with f32 LNs vs 327 img/s with ``dtype=compute_dtype()``
   LNs — XLA fuses the cast/LN/cast sandwich better than a bf16-stats LN,
-  and f32 statistics are numerically safer;
+  and f32 statistics are numerically safer; the round-3 follow-up
+  (f32 stats + bf16 *outputs*, ``blocks.set_ln_half_out``) also measured
+  slower AND byte-heavier (326 img/s, 71.4 vs 67.9 GB accessed/step) —
+  the f32 LN islands are already fusion-absorbed, so LN dtype is a dead
+  end for the bandwidth ceiling;
 * the relative-position index and the shift mask are computed with *numpy at
   module-build time*, so they are compile-time constants (no gathers traced);
 * the attention core routes through ``ops.window_attention`` which fuses
