@@ -899,6 +899,18 @@ def main():
     """
     import subprocess
     if os.environ.get("BENCH_NO_SUBPROC") == "1":
+        # persistent compile cache: a retry after a tunnel drop skips the
+        # minutes-long step compiles (single-chip TPU executables — the
+        # CPU-mesh rendezvous-on-cache-hit hazard does not apply here)
+        try:
+            import jax
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/mst_jax_cache_tpu"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:   # noqa: BLE001 - cache is best-effort
+            pass
         bad = False
         for name in _measurement_order():
             try:
