@@ -1,0 +1,84 @@
+"""bench.py capture-proofing: resume file + metric ordering.
+
+Round 2 lost its headline number to a driver timeout during a tunnel
+outage (VERDICT r2 §weak 1); these tests pin the round-3 fixes without
+touching any device: the headline is measured FIRST and emitted LAST,
+measured lines persist to (and replay from) a resume file, and stale or
+knob-mismatched cache entries are ignored.
+"""
+import importlib
+import json
+import os
+import sys
+
+
+def _fresh_bench(monkeypatch, tmp_path, **env):
+    monkeypatch.setenv("BENCH_RESUME_FILE", str(tmp_path / "resume.json"))
+    for key, value in env.items():
+        monkeypatch.setenv(key, value)
+    sys.modules.pop("bench", None)
+    sys.path.insert(0, "/root/repo")
+    import bench
+    return importlib.reload(bench)
+
+
+def test_measurement_order_headline_first(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    order = bench._measurement_order()
+    assert order[0] == "unet256_train"
+    assert set(order) == set(bench.ALL_METRICS)
+
+
+def test_output_order_headline_last(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    order = bench._output_order()
+    assert order[-1] == "unet256_train"
+    assert set(order) == set(bench.ALL_METRICS)
+
+
+def test_orders_respect_metric_selection(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path,
+                         BENCH_METRICS="swin224_eval,unet256_train")
+    assert bench._measurement_order() == ["unet256_train", "swin224_eval"]
+    assert bench._output_order() == ["swin224_eval", "unet256_train"]
+
+
+def test_resume_roundtrip_with_provenance(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    line = {"metric": "unet256_train_images_per_sec_per_chip",
+            "value": 268.0, "unit": "images/sec/chip", "vs_baseline": 1000.0}
+    bench._record_result("unet256_train", line)
+    got = bench._valid_resume_entries()
+    assert got["unet256_train"]["value"] == 268.0
+    # provenance lands in extras so the artifact is self-describing
+    assert "measured_at" in got["unet256_train"]["extras"]
+
+
+def test_resume_invalidated_by_knob_change(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    bench._record_result("unet256_train", {"metric": "m", "value": 1.0,
+                                           "unit": "u"})
+    assert "unet256_train" in bench._valid_resume_entries()
+    bench = _fresh_bench(monkeypatch, tmp_path, BENCH_BATCH="32")
+    assert bench._valid_resume_entries() == {}
+
+
+def test_resume_invalidated_by_ttl(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    bench._record_result("swin224_train", {"metric": "m", "value": 2.0,
+                                           "unit": "u"})
+    data = json.load(open(os.environ["BENCH_RESUME_FILE"]))
+    data["swin224_train"]["ts"] -= bench.RESUME_TTL_S + 1
+    json.dump(data, open(os.environ["BENCH_RESUME_FILE"], "w"))
+    assert bench._valid_resume_entries() == {}
+
+
+def test_corrupt_resume_file_is_ignored(monkeypatch, tmp_path):
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    with open(os.environ["BENCH_RESUME_FILE"], "w") as fh:
+        fh.write("{not json")
+    assert bench._valid_resume_entries() == {}
+    # and recording over it recovers
+    bench._record_result("swin224_eval", {"metric": "m", "value": 3.0,
+                                          "unit": "u"})
+    assert "swin224_eval" in bench._valid_resume_entries()
