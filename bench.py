@@ -691,11 +691,23 @@ metrics:
             fh.write(config)
         env = {**os.environ, "MST_DATA_DIR": os.path.join(workdir, "data")}
         env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+        cli = [sys.executable,
+               os.path.join(here, "src", "experiment.py"), cfg_path]
+        if os.environ.get("BENCH_CLI_PLATFORM"):
+            # plumbing validation off-TPU (this image's sitecustomize pins
+            # the axon platform, so env vars alone cannot flip it)
+            runner = os.path.join(workdir, "_run_cli.py")
+            with open(runner, "w") as fh:
+                fh.write(
+                    "import jax, sys, runpy\n"
+                    "jax.config.update('jax_platforms', "
+                    f"{os.environ['BENCH_CLI_PLATFORM']!r})\n"
+                    f"sys.argv = ['experiment.py', {cfg_path!r}]\n"
+                    f"runpy.run_path({cli[1]!r}, run_name='__main__')\n")
+            cli = [sys.executable, runner]
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(here, "src", "experiment.py"),
-             cfg_path], env=env, cwd=workdir, capture_output=True,
-            text=True)
+        proc = subprocess.run(cli, env=env, cwd=workdir,
+                              capture_output=True, text=True)
         wall = time.perf_counter() - t0
         if proc.returncode != 0:
             raise RuntimeError(
