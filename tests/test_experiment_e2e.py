@@ -344,10 +344,13 @@ def test_experiment_rejects_tp_plus_spatial(covidqu_env):
 def test_experiment_with_spatial_sharding(covidqu_env):
     """meta/technical/spatial_sharding: 2 drives the full CLI path on a
     ('data', 'spatial') mesh — the image-height dim sharded over two
-    devices with XLA halo exchanges — and still trains/logs normally."""
+    devices with XLA halo exchanges — and still trains/logs normally.
+    Also rides profile: true to pin the profiling artifacts (step_times +
+    the per-epoch train/val/ckpt phase split)."""
     tmp_path = covidqu_env
     cfg_dict = minimal_config(tmp_path, epochs=1)
     cfg_dict["meta"]["technical"]["spatial_sharding"] = 2
+    cfg_dict["meta"]["technical"]["profile"] = True
     cfg = ConfigDict(cfg_dict)
     log_data = experiment(cfg, original=None, modifiers=[])
     run_dir = os.path.join(log_data["save_path"], "run_1")
@@ -356,3 +359,10 @@ def test_experiment_with_spatial_sharding(covidqu_env):
     assert len(rows) == 1
     assert 0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1
     assert float(rows[0]["dice_loss"]) > 0
+    with open(os.path.join(run_dir, "profile", "epoch_times.csv")) as fh:
+        seg_rows = list(csv.DictReader(fh))
+    assert len(seg_rows) == 1
+    for col in ("train_s", "val_s", "ckpt_s", "total_s"):
+        assert float(seg_rows[0][col]) >= 0
+    assert os.path.isfile(os.path.join(run_dir, "profile",
+                                       "step_times.csv"))
