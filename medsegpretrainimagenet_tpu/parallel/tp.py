@@ -19,9 +19,39 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["tensor_parallel_shardings", "shard_train_state"]
+
+
+def _put_tree(tree, shardings):
+    """Place a host pytree with per-leaf shardings.
+
+    Single-process: one batched ``jax.device_put``.  Multi-host, where
+    ``device_put`` refuses non-addressable shardings, every process holds
+    the identical full host value (seeded host-side init — the same
+    contract as :func:`..mesh.put_replicated`), so each leaf is assembled
+    via ``jax.make_array_from_callback`` slicing this process's
+    addressable shards out of the full array (a collective-free
+    placement; works for sharded AND replicated specs alike).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, sh):
+        if isinstance(x, jax.Array) and jax.numpy.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            raw = jax.make_array_from_callback(
+                data.shape, sh, lambda idx: data[idx])
+            return jax.random.wrap_key_data(raw,
+                                            impl=jax.random.key_impl(x))
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def _path_keys(path) -> tuple:
@@ -87,7 +117,7 @@ def shard_train_state(state, mesh: Mesh, axis: str = "model",
     """
     param_sh = tensor_parallel_shardings(state.params, mesh, axis,
                                          min_channels)
-    params = jax.device_put(state.params, param_sh)
+    params = _put_tree(state.params, param_sh)
     repl = NamedSharding(mesh, P())
     by_path = {}
     for (path, sh), (_, p) in zip(
@@ -107,12 +137,15 @@ def shard_train_state(state, mesh: Mesh, axis: str = "model",
         return repl
 
     # build the full sharding pytree FIRST, then batch the transfers into
-    # two device_put calls — per-leaf eager puts cost a host<->device
+    # two placement calls — per-leaf eager puts cost a host<->device
     # round-trip each (ruinous over a remote-TPU tunnel at init)
     opt_sh = jax.tree_util.tree_map_with_path(opt_sharding, state.opt_state)
-    opt_state = jax.device_put(state.opt_state, opt_sh)
-    batch_stats, step, rng_base = jax.device_put(
-        (state.batch_stats, state.step, state.rng_base), repl)
+    opt_state = _put_tree(state.opt_state, opt_sh)
+    batch_stats, step, rng_base = _put_tree(
+        (state.batch_stats, state.step, state.rng_base),
+        jax.tree_util.tree_map(
+            lambda _: repl, (state.batch_stats, state.step,
+                             state.rng_base)))
     return state.replace(
         params=params, opt_state=opt_state,
         batch_stats=batch_stats, step=step, rng_base=rng_base)

@@ -126,6 +126,28 @@ WORKER = textwrap.dedent("""
     np.testing.assert_array_equal(
         ckptio.load_params_file(p2)["w"], host_w)
 
+    # multi-host TENSOR PARALLELISM: shard_train_state must place the
+    # cross-host 'model'-sharded kernels without device_put (which
+    # refuses non-addressable shardings) — each process contributes its
+    # addressable shards of the identical seeded host tree.  The dp2xtp2
+    # step must reproduce the replicated loss exactly.
+    from medsegpretrainimagenet_tpu.parallel import shard_train_state
+    mesh2 = create_mesh(("data", "model"), shape=(2, 2))
+    state_tp = TrainState.create(variables, optimizer.tx.init(
+        variables["params"]), jax.random.key(1))
+    state_tp = shard_train_state(state_tp, mesh2, min_channels=4)
+    any_sharded = any(
+        not leaf.is_fully_addressable
+        for leaf in jax.tree_util.tree_leaves(state_tp.params)
+        if hasattr(leaf, "is_fully_addressable"))
+    assert any_sharded, "TP sharded nothing cross-host"
+    g_tp = shard_batch(batch, mesh2, batch_dim=1)
+    with mesh2:
+        _, _, per_batch_tp = step(state_tp, None, g_tp)
+    tp_loss = float(per_batch_tp["loss"])
+    assert abs(tp_loss - float(per_batch["loss"])) < 1e-6, \
+        (tp_loss, float(per_batch["loss"]))
+
     print("LOSS", repr(float(per_batch["loss"])), flush=True)
 """)
 
