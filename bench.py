@@ -148,6 +148,50 @@ def _knob_sig() -> dict:
             "mp": os.environ.get("BENCH_MP", "1")}
 
 
+#: per-metric env overrides that change the measured value beyond
+#: _knob_sig — a cached entry is only reusable when these match too
+#: (BENCH_CLI_PLATFORM=cpu validation runs must never be replayed as
+#: TPU numbers)
+_EXTRA_KNOB_VARS = {
+    "covidqu256_e2e_breakdown": ("BENCH_E2E_IMGS",),
+    "covidqu256_e2e_measured": ("BENCH_E2E_IMGS", "BENCH_E2E_EPOCHS"),
+    "covidqu256_cli_epoch": ("BENCH_CLI_PLATFORM", "BENCH_CLI_IMGS"),
+}
+
+
+def _extra_knobs(name: str) -> dict:
+    return {v: os.environ.get(v, "")
+            for v in _EXTRA_KNOB_VARS.get(name, ())}
+
+
+@functools.lru_cache(None)
+def _src_hash() -> str:
+    """Content hash of the compute-path sources (the package +
+    entry shims, NOT bench.py itself): a cached number measured on
+    different model/step code must not be replayed as current.
+    bench.py is excluded deliberately — harness-only edits (ordering,
+    resume plumbing) don't change what is measured."""
+    import hashlib
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = [os.path.join(here, "src", "experiment.py"),
+             os.path.join(here, "__graft_entry__.py")]
+    pkg = os.path.join(here, "medsegpretrainimagenet_tpu")
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith((".py", ".cpp", ".so")):
+                paths.append(os.path.join(dirpath, fn))
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                h.update(p.encode())
+                h.update(fh.read())
+        except OSError:
+            continue
+    return h.hexdigest()[:16]
+
+
 def _git_rev() -> str:
     try:
         import subprocess
@@ -174,8 +218,16 @@ def _valid_resume_entries() -> dict:
     out = {}
     for name, entry in _load_resume().items():
         try:
-            if entry["knobs"] == sig and now - entry["ts"] < RESUME_TTL_S:
-                out[name] = entry["line"]
+            if entry["knobs"] != sig or now - entry["ts"] >= RESUME_TTL_S:
+                continue
+            # legacy entries lack the two provenance fields; a missing
+            # field means "measured with no overrides, pre-hash" — only
+            # reusable when the current run also has no overrides
+            if entry.get("extra_knobs", {}) != _extra_knobs(name):
+                continue
+            if entry.get("src_hash", _src_hash()) != _src_hash():
+                continue
+            out[name] = entry["line"]
         except (KeyError, TypeError):
             continue
     return out
@@ -194,7 +246,9 @@ def _record_result(name: str, line: dict) -> None:
         extras.setdefault("code_rev", rev)
     line["extras"] = extras
     data = _load_resume()
-    data[name] = {"line": line, "ts": time.time(), "knobs": _knob_sig()}
+    data[name] = {"line": line, "ts": time.time(), "knobs": _knob_sig(),
+                  "extra_knobs": _extra_knobs(name),
+                  "src_hash": _src_hash()}
     try:
         os.makedirs(os.path.dirname(RESUME_FILE), exist_ok=True)
         tmp = RESUME_FILE + ".tmp"
@@ -694,25 +748,39 @@ metrics:
         cli = [sys.executable,
                os.path.join(here, "src", "experiment.py"), cfg_path]
         if os.environ.get("BENCH_CLI_PLATFORM"):
-            # plumbing validation off-TPU (this image's sitecustomize pins
-            # the axon platform, so env vars alone cannot flip it)
-            runner = os.path.join(workdir, "_run_cli.py")
-            with open(runner, "w") as fh:
-                fh.write(
-                    "import jax, sys, runpy\n"
-                    "jax.config.update('jax_platforms', "
-                    f"{os.environ['BENCH_CLI_PLATFORM']!r})\n"
-                    f"sys.argv = ['experiment.py', {cfg_path!r}]\n"
-                    f"runpy.run_path({cli[1]!r}, run_name='__main__')\n")
-            cli = [sys.executable, runner]
+            # plumbing validation off-TPU: src/experiment.py flips the
+            # platform programmatically when MST_PLATFORM is set (env
+            # vars alone cannot — sitecustomize pins the axon TPU)
+            env["MST_PLATFORM"] = os.environ["BENCH_CLI_PLATFORM"]
+        # own session + hard timeout: when this bench child is itself
+        # killed at BENCH_METRIC_TIMEOUT_S, the experiment.py grandchild
+        # must not linger holding the TPU; we time out 60 s before the
+        # parent would, kill the whole process group, and let the
+        # finally-block clean the workdir
+        cli_timeout = max(
+            120.0,
+            float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200")) - 60.0)
         t0 = time.perf_counter()
-        proc = subprocess.run(cli, env=env, cwd=workdir,
-                              capture_output=True, text=True)
+        proc = subprocess.Popen(cli, env=env, cwd=workdir,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                start_new_session=True)
+        try:
+            out, err = proc.communicate(timeout=cli_timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            raise RuntimeError(
+                f"CLI run exceeded {cli_timeout:.0f}s; process group "
+                "killed")
         wall = time.perf_counter() - t0
         if proc.returncode != 0:
             raise RuntimeError(
-                f"CLI run failed rc={proc.returncode}: "
-                f"{proc.stderr[-500:]}")
+                f"CLI run failed rc={proc.returncode}: {err[-500:]}")
         run_dirs = []
         for dirpath, dirnames, filenames in os.walk(
                 os.path.join(workdir, "logs")):
@@ -720,7 +788,7 @@ metrics:
                 run_dirs.append(dirpath)
         if not run_dirs:
             raise RuntimeError("CLI run produced no epoch_logs.csv; "
-                               f"stderr: {proc.stderr[-500:]}")
+                               f"stderr: {err[-500:]}")
         run_dir = run_dirs[0]
         import csv
         with open(os.path.join(run_dir, "profile",
@@ -871,6 +939,52 @@ def _output_order():
     return sel
 
 
+def _run_child_streaming(cmd, env, cwd, timeout):
+    """Run one metric child: tee its stdout through line-by-line (a later
+    kill cannot lose already-printed metrics) and return
+    ``(rc, last_json_line_or_None)`` so the parent holds an in-memory
+    copy of the measurement even when the resume file is unwritable.
+    On timeout the child's whole PROCESS GROUP is killed — a metric that
+    itself spawns a CLI grandchild must not leave it holding the TPU."""
+    import signal
+    import select
+    import subprocess
+    proc = subprocess.Popen(cmd, env=env, cwd=cwd, text=True,
+                            stdout=subprocess.PIPE,
+                            start_new_session=True)
+    deadline, last_line, rc = time.time() + timeout, None, -1
+    try:
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+            ready, _, _ = select.select([proc.stdout], [], [],
+                                        min(remaining, 5.0))
+            if not ready:
+                continue
+            chunk = proc.stdout.readline()
+            if chunk == "":
+                rc = proc.wait()
+                break
+            print(chunk, end="", flush=True)
+            try:
+                parsed = json.loads(chunk)
+                if isinstance(parsed, dict) and "value" in parsed:
+                    last_line = parsed
+            except ValueError:
+                pass
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        rc = -1
+    finally:
+        proc.stdout.close()
+    return rc, last_line
+
+
 def _probe_device(timeout_s=60) -> bool:
     """True when a device op completes within ``timeout_s`` in a child.
 
@@ -924,15 +1038,23 @@ def main():
         except Exception:   # noqa: BLE001 - cache is best-effort
             pass
         bad = False
-        for name in _measurement_order():
+        headline_line = None
+        order = _measurement_order()
+        for name in order:
             try:
-                run_metric(name)
+                line = run_metric(name)
+                if name == HEADLINE and isinstance(line, dict):
+                    headline_line = line
             except Exception as e:  # one broken metric must not hide others
                 if name == HEADLINE:
                     raise
                 bad = True
                 print(json.dumps({"metric": name, "error": str(e)[:200]}),
                       file=sys.stderr, flush=True)
+        # headline was measured FIRST (kill-safety) — re-emit it LAST so
+        # the in-process mode keeps the last-line-parser contract too
+        if headline_line is not None and len(order) > 1:
+            print(json.dumps(headline_line), flush=True)
         # rc 3 tells the orchestrating parent the metric genuinely
         # errored (vs rc 0 = measured): a swallowed exception must not
         # be recorded as done
@@ -951,7 +1073,7 @@ def main():
         if name in done_lines:
             print(json.dumps(done_lines[name]), flush=True)
 
-    failed = []
+    failed, measured_lines = [], {}
     for name in _measurement_order():
         if name in done_lines:
             continue
@@ -970,16 +1092,16 @@ def main():
             budget = min(per_metric, max(60.0, deadline - time.time()))
             env = {**os.environ, "BENCH_NO_SUBPROC": "1",
                    "BENCH_METRICS": name}
-            # child inherits stdout: metric JSON lines stream out as they
-            # are measured, so a later kill cannot lose earlier metrics;
-            # the child also persists its line to the resume file
-            try:
-                rc = subprocess.run(
-                    [sys.executable, os.path.join(here, "bench.py")],
-                    timeout=budget, env=env, cwd=here).returncode
-            except subprocess.TimeoutExpired:
-                rc = -1
+            # child stdout is teed through as it streams (a later kill
+            # cannot lose earlier metrics); the child also persists its
+            # line to the resume file, and the parent keeps an in-memory
+            # copy in case that file is unwritable
+            rc, line = _run_child_streaming(
+                [sys.executable, os.path.join(here, "bench.py")],
+                env=env, cwd=here, timeout=budget)
             done = rc == 0
+            if done and line is not None:
+                measured_lines[name] = line
             if not done:
                 attempts -= 1
                 print(json.dumps({"note": f"metric attempt failed rc={rc},"
@@ -991,8 +1113,9 @@ def main():
             failed.append(name)
 
     # final pass: every measured line again, canonical order, headline
-    # LAST — the value a last-line parser records
-    final = _valid_resume_entries()
+    # LAST — the value a last-line parser records; in-memory copies fill
+    # in for any resume-file write that silently failed
+    final = {**measured_lines, **_valid_resume_entries()}
     for name in _output_order():
         if name in final:
             print(json.dumps(final[name]), flush=True)

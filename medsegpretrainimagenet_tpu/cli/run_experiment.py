@@ -613,6 +613,11 @@ def run_exp(train_data, val_data, test_data, destination: str,
                 "data×spatial×model mesh is the extension point)")
         # the data-axis size must divide the per-step fragment batch size
         avail = jax.device_count() // max(sp, tp)
+        if avail < 1:
+            knob = "tensor_parallel" if tp > 1 else "spatial_sharding"
+            raise ValueError(
+                f"meta/technical/{knob}: {max(sp, tp)} exceeds the "
+                f"{jax.device_count()} available devices")
         n_devices = max(d for d in _divisors(bs) if d <= avail)
         if tp > 1:
             from ..parallel import shard_train_state

@@ -73,6 +73,47 @@ def test_resume_invalidated_by_ttl(monkeypatch, tmp_path):
     assert bench._valid_resume_entries() == {}
 
 
+def test_resume_invalidated_by_extra_knob_mismatch(monkeypatch, tmp_path):
+    """A BENCH_CLI_PLATFORM=cpu validation run must never be replayed as
+    a TPU number (and vice versa) — the cache-poisoning hole from the
+    round-3 review."""
+    bench = _fresh_bench(monkeypatch, tmp_path, BENCH_CLI_PLATFORM="cpu")
+    bench._record_result("covidqu256_cli_epoch",
+                         {"metric": "m", "value": 4.0, "unit": "u"})
+    assert "covidqu256_cli_epoch" in bench._valid_resume_entries()
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    monkeypatch.delenv("BENCH_CLI_PLATFORM", raising=False)
+    bench = importlib.reload(bench)
+    assert bench._valid_resume_entries() == {}
+
+
+def test_resume_invalidated_by_source_change(monkeypatch, tmp_path):
+    """A compute-path source edit invalidates cached numbers (the old
+    commit's throughput must not be re-emitted as the new commit's)."""
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    bench._record_result("unet256_train", {"metric": "m", "value": 5.0,
+                                           "unit": "u"})
+    data = json.load(open(os.environ["BENCH_RESUME_FILE"]))
+    assert data["unet256_train"]["src_hash"] == bench._src_hash()
+    data["unet256_train"]["src_hash"] = "0" * 16
+    json.dump(data, open(os.environ["BENCH_RESUME_FILE"], "w"))
+    assert bench._valid_resume_entries() == {}
+
+
+def test_legacy_resume_entries_still_accepted(monkeypatch, tmp_path):
+    """Entries written before the provenance fields existed (no
+    src_hash/extra_knobs) stay usable — a mid-round harness upgrade must
+    not throw away an already-captured headline."""
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    bench._record_result("unet256_train", {"metric": "m", "value": 6.0,
+                                           "unit": "u"})
+    data = json.load(open(os.environ["BENCH_RESUME_FILE"]))
+    del data["unet256_train"]["src_hash"]
+    del data["unet256_train"]["extra_knobs"]
+    json.dump(data, open(os.environ["BENCH_RESUME_FILE"], "w"))
+    assert "unet256_train" in bench._valid_resume_entries()
+
+
 def test_corrupt_resume_file_is_ignored(monkeypatch, tmp_path):
     bench = _fresh_bench(monkeypatch, tmp_path)
     with open(os.environ["BENCH_RESUME_FILE"], "w") as fh:
