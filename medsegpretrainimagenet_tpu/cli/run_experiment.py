@@ -607,10 +607,22 @@ def run_exp(train_data, val_data, test_data, destination: str,
         # parameters by pytree path, checkpoints gather to host unchanged
         tp = int(tech.get("tensor_parallel", 1) or 1)
         if sp > 1 and tp > 1:
+            # NOT an arbitrary restriction: jax 0.9.0 MISCOMPILES conv
+            # programs on any mesh with >2 axes when the input is
+            # spatially sharded — gradients come out wrong by O(1) under
+            # BOTH partitioners (Shardy additionally scales conv
+            # *outputs* by the spatial axis size when any operand is
+            # 'model'-sharded), while every 1-/2-axis layout is exact.
+            # Minimal reproducer + strict-xfail canary:
+            # tests/test_parallel.py::test_3axis_mesh_conv_grad_upstream_bug
+            # — when a JAX upgrade fixes it, that test fails loudly and
+            # this combination can be enabled.
             raise ValueError(
                 "spatial_sharding and tensor_parallel cannot be combined "
-                "yet: both claim the second mesh axis (a 3-D "
-                "data×spatial×model mesh is the extension point)")
+                "on this JAX version: 3-axis meshes miscompile conv "
+                "gradients (see tests/test_parallel.py::"
+                "test_3axis_mesh_conv_grad_upstream_bug); use one axis "
+                "plus data parallelism instead")
         # the data-axis size must divide the per-step fragment batch size
         avail = jax.device_count() // max(sp, tp)
         if avail < 1:
@@ -621,10 +633,10 @@ def run_exp(train_data, val_data, test_data, destination: str,
         n_devices = max(d for d in _divisors(bs) if d <= avail)
         if tp > 1:
             from ..parallel import shard_train_state
-            mesh = create_mesh(("data", "model"), shape=(n_devices, tp),
-                               devices=jax.devices()[:n_devices * tp])
             min_ch = int(tech.get("tensor_parallel_min_channels", 256)
                          or 256)
+            mesh = create_mesh(("data", "model"), shape=(n_devices, tp),
+                               devices=jax.devices()[:n_devices * tp])
             state = shard_train_state(state, mesh, min_channels=min_ch)
         elif sp > 1:
             mesh = create_mesh(("data", "spatial"), shape=(n_devices, sp),

@@ -330,6 +330,10 @@ def test_experiment_with_tensor_parallel_matches_unsharded(covidqu_env):
 
 
 def test_experiment_rejects_tp_plus_spatial(covidqu_env):
+    """The 3-D composition is refused because jax 0.9.0 miscompiles conv
+    gradients on >2-axis meshes (test_parallel.py::
+    test_3axis_mesh_conv_grad_upstream_bug is the strict-xfail canary
+    that flags when an upgrade makes it safe to enable)."""
     tmp_path = covidqu_env
     cfg_dict = minimal_config(tmp_path, epochs=1)
     cfg_dict["meta"]["technical"]["tensor_parallel"] = 2

@@ -290,6 +290,49 @@ def test_tensor_parallel_2d_mesh_step():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.xfail(
+    strict=True,
+    reason="jax 0.9.0 miscompiles conv gradients on any mesh with >2 "
+           "axes when the input is spatially sharded (upstream bug). "
+           "When a JAX upgrade makes this PASS, the strict xfail fails "
+           "the suite: re-enable spatial_sharding×tensor_parallel in "
+           "cli/run_experiment.py and turn this into a real parity test.")
+def test_3axis_mesh_conv_grad_upstream_bug():
+    """Canary for the upstream bug that blocks the 3-D
+    data×spatial×model composition (cli/run_experiment.py refuses it).
+
+    Minimal form: grad of sum(tanh(conv)) with the input sharded
+    P('data','spatial').  On any 2-axis mesh the sharded gradient equals
+    the single-device one to fp noise (~1e-5); adding a third — even
+    completely UNUSED — mesh axis makes it wrong by O(1) under BOTH
+    partitioners (measured: 4e-5 → 45.8 max abs diff on this exact
+    program).  Shardy additionally scales conv *outputs* by the spatial
+    axis size when any conv operand is sharded over the third axis —
+    first caught as exactly-2× BatchNorm running means (normalize is
+    scale-invariant, so train losses looked fine)."""
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 8)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 4)), jnp.float32)
+
+    def loss(k, x):
+        y = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.tanh(y))
+
+    gfn = jax.jit(jax.grad(loss))
+    ref = np.asarray(gfn(k, x))
+
+    mesh = create_mesh(("data", "spatial", "model"), shape=(2, 2, 2))
+    ks = jax.device_put(k, replicated(mesh))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    with mesh:
+        got = np.asarray(gfn(ks, xs))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_tp_shards_wide_biases_and_scales():
     """DictKey extraction: bias/scale leaves >= min_channels shard over
     'model' (str(DictKey) is "['bias']" — an exact-name match on it never
