@@ -24,14 +24,19 @@ Composes with the existing axes: ``inputs`` may carry a data-parallel
 sharding on the sample axis — each tick's stage compute then runs
 dp-sharded while ``'pipe'`` carries the stage hand-off.
 
-Memory model: the microbatched input (replicated over ``'pipe'``), the
-output buffer in the scan carry, and the final output broadcast are all
-FULL-batch sized on every pipe device — per-device *activation* memory
-does not shrink with pipeline depth (only per-device *parameter* memory
-does, which is what pipeline parallelism buys).  For inputs too large to
-replicate, shard the sample axis over ``data_axis`` (dp×pp) so each
-device holds ``B/dp`` activations, or slice the output before the final
-broadcast.
+Memory model (default): the microbatched input (replicated over
+``'pipe'``), the output buffer in the scan carry, and the final output
+broadcast are all FULL-batch sized on every pipe device — per-device
+*activation* memory does not shrink with pipeline depth (only
+per-device *parameter* memory does).  Two levers when that matters:
+shard the sample axis over ``data_axis`` (dp×pp, each device holds
+``B/dp``), or pass ``shard_io=True`` — the microbatch dim of the input
+AND output buffers is then sharded over ``'pipe'`` (persistent
+activation memory ``~B/S`` per device, shrinking with depth) and each
+tick routes one microbatch to stage 0 / from the last stage with a
+masked ``psum`` over the pipe axis (two extra one-microbatch
+collectives per tick — the price of static SPMD routing; bandwidth-
+noticeable only when stages are tiny).
 
 Usage::
 
@@ -69,7 +74,8 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
                    mesh: Mesh,
                    axis: str = "pipe",
                    num_microbatches: int | None = None,
-                   data_axis: str | None = None) -> jax.Array:
+                   data_axis: str | None = None,
+                   shard_io: bool = False) -> jax.Array:
     """Run ``num_stages`` sequential stages as a GPipe microbatch pipeline.
 
     ``stage_fn(params_i, x) -> y`` must be shape/dtype-preserving; it is
@@ -98,10 +104,15 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
         each microbatch's sample dim is sharded over it, so every tick's
         stage compute runs dp-sharded while ``axis`` carries the stage
         hand-off (dp×pp on one mesh, one compiled program).
+      shard_io: shard the microbatch dim of the input and output buffers
+        over ``axis`` (see the module docstring's memory model).  ``M``
+        must then divide by ``S``; per tick, stage 0's feed and the last
+        stage's drain each ride one masked one-microbatch ``psum``.
 
     Returns:
       ``(B, ...)`` outputs of the last stage, replicated over ``axis``
-      (and sharded over ``data_axis`` on the sample dim when given).
+      (``shard_io=True``: sharded over it on the microbatch dim) and
+      sharded over ``data_axis`` on the sample dim when given.
     """
     num_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     # shard_map only checks divisibility: 8 stacked stages on a pipe=4
@@ -121,6 +132,10 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
     if batch % m:
         raise ValueError(f"batch {batch} not divisible by "
                          f"num_microbatches {m}")
+    if shard_io and m % num_stages:
+        raise ValueError(f"shard_io needs num_microbatches {m} divisible "
+                         f"by num_stages {num_stages}")
+    per_dev_m = m // num_stages if shard_io else m
     x_mb = inputs.reshape((m, batch // m) + inputs.shape[1:])
     ticks = m + num_stages - 1
     fwd_perm = [(i, i + 1) for i in range(num_stages - 1)]
@@ -133,8 +148,18 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
 
         def tick(carry, t):
             incoming, outputs = carry
-            feed = lax.dynamic_index_in_dim(
-                x, jnp.minimum(t, m - 1), 0, keepdims=False)
+            mb = jnp.minimum(t, m - 1)     # microbatch entering stage 0
+            if shard_io:
+                # microbatch mb lives on its owner device's local slot
+                # mb % per_dev_m; one masked psum routes it to stage 0
+                # (every device pays the collective — static routing)
+                cand = lax.dynamic_index_in_dim(x, mb % per_dev_m, 0,
+                                                keepdims=False)
+                owner = (mb // per_dev_m) == idx
+                feed = lax.psum(
+                    jnp.where(owner, cand, jnp.zeros_like(cand)), axis)
+            else:
+                feed = lax.dynamic_index_in_dim(x, mb, 0, keepdims=False)
             feed = jnp.where(t < m, feed, jnp.zeros_like(feed))
             stage_in = jnp.where(is_first, feed, incoming)
             out = stage_fn(my_params, stage_in)
@@ -142,12 +167,26 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
             # zeros (the fill bubble)
             shifted = lax.ppermute(out, axis, fwd_perm)
             # the last stage drains microbatch t-(S-1) at tick t
-            o_idx = jnp.clip(t - (num_stages - 1), 0, m - 1)
-            valid = jnp.logical_and(t >= num_stages - 1, is_last)
-            cur = lax.dynamic_index_in_dim(outputs, o_idx, 0,
-                                           keepdims=False)
-            outputs = lax.dynamic_update_index_in_dim(
-                outputs, jnp.where(valid, out, cur), o_idx, 0)
+            d = jnp.clip(t - (num_stages - 1), 0, m - 1)
+            draining = t >= num_stages - 1
+            if shard_io:
+                # route the drained microbatch from the last stage to
+                # its owner's local output slot d % per_dev_m
+                drained = lax.psum(
+                    jnp.where(jnp.logical_and(draining, is_last), out,
+                              jnp.zeros_like(out)), axis)
+                write = jnp.logical_and(draining, (d // per_dev_m) == idx)
+                o_idx = d % per_dev_m
+                cur = lax.dynamic_index_in_dim(outputs, o_idx, 0,
+                                               keepdims=False)
+                outputs = lax.dynamic_update_index_in_dim(
+                    outputs, jnp.where(write, drained, cur), o_idx, 0)
+            else:
+                valid = jnp.logical_and(draining, is_last)
+                cur = lax.dynamic_index_in_dim(outputs, d, 0,
+                                               keepdims=False)
+                outputs = lax.dynamic_update_index_in_dim(
+                    outputs, jnp.where(valid, out, cur), d, 0)
             return (shifted, outputs), None
 
         # the carry is device-varying from tick 1 on (each stage holds a
@@ -162,6 +201,9 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
         zero_out = varying(jnp.zeros(x.shape, x.dtype))
         (_, outputs), _ = lax.scan(
             tick, (zero_act, zero_out), jnp.arange(ticks))
+        if shard_io:
+            # outputs already live on their owners, sharded over 'pipe'
+            return outputs
         # only the last stage holds real outputs; one psum replicates
         # them onto every pipe device (callers that keep the result
         # stage-local can instead slice before this broadcast)
@@ -170,7 +212,8 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
         return outputs
 
     in_spec = jax.tree.map(lambda _: P(axis), stacked_params)
-    x_spec = P(None, data_axis) if data_axis else P()
+    mb_axis = axis if shard_io else None
+    x_spec = P(mb_axis, data_axis) if data_axis else P(mb_axis)
     mapped = jax.shard_map(per_device, mesh=mesh,
                            in_specs=(in_spec, x_spec), out_specs=x_spec)
     out = mapped(stacked_params, x_mb)

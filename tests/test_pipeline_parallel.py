@@ -136,6 +136,61 @@ def test_pipeline_real_swin_stages():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_shard_io_matches_sequential():
+    """shard_io=True (microbatch dim of input/output buffers sharded
+    over 'pipe', per-tick masked-psum routing) computes the same
+    function — forward AND gradients — as the replicated-IO schedule
+    and the sequential stack."""
+    stages, stacked = _make_stages(4, seed=8)
+    mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 1, (16, FEAT)), jnp.float32)
+    target = jnp.asarray(rng.normal(0, 1, (16, FEAT)), jnp.float32)
+
+    y = pipeline_apply(_stage_fn, stacked, x, mesh=mesh,
+                       num_microbatches=8, shard_io=True)
+    ref = _sequential(stages, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(stacked_params, shard_io):
+        out = pipeline_apply(_stage_fn, stacked_params, x, mesh=mesh,
+                             num_microbatches=8, shard_io=shard_io)
+        return jnp.mean((out - target) ** 2)
+
+    g_sharded = jax.grad(lambda p: loss(p, True))(stacked)
+    g_repl = jax.grad(lambda p: loss(p, False))(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sharded),
+                    jax.tree_util.tree_leaves(g_repl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_shard_io_composes_with_data_parallel():
+    """dp2 × pipe4 with shard_io: microbatch dim over 'pipe', sample dim
+    over 'data' — persistent activations shrink with BOTH axes."""
+    stages, stacked = _make_stages(4, seed=10)
+    mesh = create_mesh(("data", "pipe"), shape=(2, 4))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (16, FEAT)), jnp.float32)
+
+    y = pipeline_apply(_stage_fn, stacked, x, mesh=mesh,
+                       num_microbatches=4, data_axis="data",
+                       shard_io=True)
+    ref = _sequential(stages, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_shard_io_rejects_indivisible_microbatches():
+    _, stacked = _make_stages(4)
+    mesh = create_mesh(("pipe",), shape=(4,), devices=jax.devices()[:4])
+    x = jnp.zeros((12, FEAT), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by num_stages"):
+        pipeline_apply(_stage_fn, stacked, x, mesh=mesh,
+                       num_microbatches=6, shard_io=True)
+
+
 def test_pipeline_rejects_stage_count_mismatch():
     """8 stacked stages on a pipe=4 mesh must raise, not silently run
     stages 0,2,4,6 (shard_map would accept the divisible shape)."""
