@@ -64,6 +64,17 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # suite-hygiene marker (VERDICT r2 item 8): the five slowest tests
+    # (~7.5 of the ~14 suite minutes — the multichip dryrun subprocess
+    # alone is ~5) carry @pytest.mark.slow, so the edit-test loop can run
+    # `pytest -m "not slow"` (~6.5 min). CI / round checks run the FULL
+    # suite: plain `pytest tests/` includes them.
+    config.addinivalue_line(
+        "markers", "slow: long-running e2e/subprocess tests; deselect "
+                   "with -m 'not slow' for the quick loop")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -54,6 +54,7 @@ def test_export_symbolic_batch_polymorphism(tmp_path, small_unet):
         assert y.shape[0] == b
 
 
+@pytest.mark.slow
 def test_export_swin_unet_symbolic_batch():
     """The Swin family (window partition/shift reshapes) must survive
     shape-polymorphic tracing too."""

@@ -154,6 +154,7 @@ WORKER = textwrap.dedent("""
 
 @pytest.mark.skipif(os.environ.get("MST_SKIP_MULTIPROC") == "1",
                     reason="multi-process run disabled")
+@pytest.mark.slow
 def test_multihost_shard_batch_and_train_step(tmp_path):
     import socket
 

@@ -85,6 +85,7 @@ def test_sharded_batch_layout():
     assert batch_sharding(mesh).spec == P("data")
 
 
+@pytest.mark.slow
 def test_multichip_dryrun_entrypoint():
     """The driver-facing dryrun compiles + executes, in a FRESH process.
 

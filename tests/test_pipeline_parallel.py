@@ -136,6 +136,7 @@ def test_pipeline_real_swin_stages():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_shard_io_matches_sequential():
     """shard_io=True (microbatch dim of input/output buffers sharded
     over 'pipe', per-tick masked-psum routing) computes the same

@@ -277,6 +277,7 @@ def test_swin_unet_forward_train_and_eval():
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_swin_unet_gradients_flow():
     m = UNet(**_swin_unet_kwargs())
     x = jnp.ones((1, 64, 64, 3))
