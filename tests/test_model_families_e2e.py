@@ -68,7 +68,14 @@ def _run_and_check(tmp_path, cd, name):
         rows = list(csv.DictReader(fh))
     assert len(rows) == 1
     dice = float(rows[0]["metrics/dice_index_threshold_0.5"])
-    assert 0.0 <= dice <= 1.0
+    # STRICT bounds: a fully-errored epoch (every batch swallowed by the
+    # catch-log-continue envelope) logs the empty-state means — dice
+    # exactly 1.0 and loss exactly 0.0 — which the old `0 <= dice <= 1`
+    # bound accepted.  That hid a real toy-config bug (ResNet-encoder
+    # decoder one upsample short -> 16x16 output vs 32x32 masks,
+    # TypeError every batch, green test).
+    assert 0.0 < dice < 1.0
+    assert float(rows[0]["dice_loss"]) > 0.0
     assert os.path.isfile(os.path.join(
         run_dir, "run_1", "last_model_state_dict.msgpack"))
 
@@ -120,7 +127,11 @@ def test_resnet_attention_unet_family_e2e(covidqu_env):
             "mixing_block": {
                 "segmentation.models.blocks.AttentionBlock": {}},
             "out_channel_size": 1,
-            "decoder_channels": (8, 4)},
+            # depth+1 decoder ups, like the reference's real config
+            # (5 entries for the depth-4 resnet50 yaml): the extra up
+            # undoes the resnet stem's /2 so the logits match the mask
+            # resolution
+            "decoder_channels": (8, 4, 4)},
         "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
             "nonlinearity": "relu"}}},
     }}

@@ -8,8 +8,12 @@ precision cost in metric terms?  Real datasets are not mounted in this
 environment, so a synthetic trajectory is the obtainable maximum — the
 acceptance proxy is BASELINE.json's "Dice within 0.005".
 
-Three children (one per backend/precision — the JAX platform is
-process-global) run the identical experiment:
+For EACH of the reference's three downstream model families (basic
+U-Net, Swin U-Net — whose tpu/bf16 val pass dispatches to the Pallas
+window-attention kernel — and ResNet-attention U-Net; select via
+``TRAJ_MODELS=unet,swin_unet,resnet_attention_unet``), three children
+(one per backend/precision — the JAX platform is process-global) run
+the identical experiment:
 
 * ``cpu/f32``  — the reference trace (the suite pins this trace equal to
   the actual torch loop's, so it inherits that chain of evidence)
@@ -49,15 +53,66 @@ TBS = 4
 DICE = "metrics/dice_index_threshold_0.5"
 
 
-def _experiment_config(destination: str) -> dict:
+#: model families: toy-scale versions of the reference's three downstream
+#: architectures (config/downstream/covidqu/{unet,swin_unet,
+#: resnet50_attention_unet}.yaml).  swin_unet matters beyond breadth: its
+#: bf16 child's no-grad val forward dispatches to the Pallas
+#: window-attention kernel on TPU (ops/window_attention.py), so that
+#: family's trajectory covers the custom-kernel path inside a full model.
+MODELS = {
+    "unet": (1, {"segmentation.models.UNet": {
+        "architecture": {
+            "in channel size": 1, "out channel size": 1,
+            "channels": (8, 16), "depth": 1,
+            "activation function": {"final": "sigmoid"}},
+        "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
+            "a": 0, "mode": "fan_in", "nonlinearity": "relu"}}}}}),
+    "swin_unet": (3, {"segmentation.models.UNet": {
+        "architecture": {
+            "activation_function": {"final": "sigmoid"},
+            "mixing_block": {
+                "segmentation.models.blocks.ConcatLinearBlock": {
+                    "halve_channels": True, "pass_all_input": True}},
+            "basic_block": {
+                "segmentation.models.blocks.SwinTransformerBlock": {
+                    "img_size": 32, "patch_size": 4, "embed_dim": 8,
+                    "num_heads_layers": (2, 4), "window_size": 4}},
+            "channels": (8, 16), "change_channels_in_block": False,
+            "depth": 1, "width": 2,
+            "downsampling": {
+                "segmentation.models.blocks.PatchMerging": {}},
+            "final_block": {
+                "segmentation.models.blocks.FinalPatchExpand_X4": {
+                    "dim_scale": 4}},
+            "in_channel_size": 3, "out_channel_size": 1,
+            "trainable_downsampling": True,
+            "stem": {"segmentation.models.blocks.PatchEmbed": {
+                "patch_size": 4}},
+            "upsampling": {"segmentation.models.blocks.PatchExpand": {
+                "dim_scale": 2}},
+            "stochastic_depth_rate": 0.1},
+        "weight_init": {"random": {"timm.models.layers.trunc_normal_": {
+            "std": 0.02}}}}}),
+    "resnet_attention_unet": (3, {"segmentation.models.UNet": {
+        "architecture": {
+            "activation_function": {"final": "sigmoid"},
+            "encoder": {"classification.models.DeepResNet": {
+                "version": "v1", "bottleneck": True,
+                "channel_sizes": (8, 16), "widths": (1, 1),
+                "in_channels": 3, "base_channel_size": 4}},
+            "mixing_block": {
+                "segmentation.models.blocks.AttentionBlock": {}},
+            # depth+1 decoder ups (reference real config: 5 entries for
+            # the depth-4 resnet50): the extra up undoes the stem's /2
+            "out_channel_size": 1, "decoder_channels": (8, 4, 4)},
+        "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
+            "nonlinearity": "relu"}}}}}),
+}
+
+
+def _experiment_config(destination: str, model: str) -> dict:
     return {
-        "model": {"segmentation.models.UNet": {
-            "architecture": {
-                "in channel size": 1, "out channel size": 1,
-                "channels": (8, 16), "depth": 1,
-                "activation function": {"final": "sigmoid"}},
-            "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
-                "a": 0, "mode": "fan_in", "nonlinearity": "relu"}}}}},
+        "model": MODELS[model][1],
         "training": {
             "loss": {"segmentation.losses.DiceLoss": {}},
             "optimizer": {"sgd": {
@@ -80,13 +135,13 @@ def _experiment_config(destination: str) -> dict:
     }
 
 
-def _fragments(n: int, rng) -> list:
+def _fragments(n: int, rng, channels: int = 1) -> list:
     """Deterministic host-side fragment list (no loader shuffling): blobby
     masks with enough signal that the model actually learns."""
     import numpy as np
     frags = []
     for i in range(0, n, TBS):
-        x = rng.random((TBS, SIZE, SIZE, 1)).astype(np.float32)
+        x = rng.random((TBS, SIZE, SIZE, channels)).astype(np.float32)
         yy, xx = np.mgrid[:SIZE, :SIZE]
         masks = []
         for _ in range(TBS):
@@ -104,6 +159,8 @@ def _run_child() -> None:
     the epoch rows as one JSON line."""
     backend = os.environ["TRAJ_BACKEND"]
     precision = os.environ["TRAJ_PRECISION"]
+    model_name = os.environ.get("TRAJ_MODEL", "unet")
+    channels = MODELS[model_name][0]
     import jax
 
     if backend == "cpu":
@@ -130,7 +187,7 @@ def _run_child() -> None:
 
     destination = tempfile.mkdtemp(prefix="parity_tpu_") + "/"
     os.makedirs(destination + "run", exist_ok=True)
-    cd = ConfigDict(_experiment_config(destination))
+    cd = ConfigDict(_experiment_config(destination, model_name))
     cd.expand()
     cd.fill_with_defaults(default_experiment_config())
     for key in ("model", "training/loss"):
@@ -141,7 +198,7 @@ def _run_child() -> None:
 
     model = registry.build(cd["model"].trim(), wrapper=Model)
     variables = dict(model.init(
-        jax.random.key(0), {"x": jnp.zeros((1, SIZE, SIZE, 1),
+        jax.random.key(0), {"x": jnp.zeros((1, SIZE, SIZE, channels),
                                            jnp.float32)}))
     variables = model.init_weight(cd["model"].value(), variables,
                                   jax.random.key(1))
@@ -154,8 +211,10 @@ def _run_child() -> None:
     loss = registry.build(cd["training/loss"].trim(), wrapper=Loss)
     calculator = MetricsCalculator(cd, loss=loss)
 
-    train_model(model, _fragments(N_TRAIN, np.random.default_rng(42)),
-                _fragments(N_VAL, np.random.default_rng(77)), None, cd,
+    train_model(model,
+                _fragments(N_TRAIN, np.random.default_rng(42), channels),
+                _fragments(N_VAL, np.random.default_rng(77), channels),
+                None, cd,
                 optimizer, state, loss=loss, metrics_and_loss=calculator,
                 name="run", virtual_batch_size=TBS, true_batch_size=TBS,
                 verbose=False,
@@ -168,15 +227,17 @@ def _run_child() -> None:
         rows = list(csv.DictReader(fh))
     device_kind = jax.devices()[0].device_kind
     print("TRAJ_RESULT " + json.dumps({
-        "backend": backend, "precision": precision,
+        "backend": backend, "precision": precision, "model": model_name,
         "device_kind": device_kind,
         "rows": [{k: float(v) for k, v in row.items()} for row in rows]}),
         flush=True)
 
 
-def _spawn(backend: str, precision: str, timeout_s: float = 900):
+def _spawn(backend: str, precision: str, model: str = "unet",
+           timeout_s: float = 1500):
     env = {**os.environ, "TRAJ_BACKEND": backend,
-           "TRAJ_PRECISION": precision, "TRAJ_CHILD": "1"}
+           "TRAJ_PRECISION": precision, "TRAJ_MODEL": model,
+           "TRAJ_CHILD": "1"}
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
@@ -194,14 +255,14 @@ def _max_delta(rows_a, rows_b, col: str) -> float:
     return max(abs(a[col] - b[col]) for a, b in zip(rows_a, rows_b))
 
 
-def main() -> int:
+def _run_family(model: str) -> dict:
     results = {}
     for backend, precision in (("cpu", "f32"), ("tpu", "f32"),
                                ("tpu", "bf16")):
         key = f"{backend}_{precision}"
-        print(f"running {key} trajectory...", flush=True)
-        results[key] = _spawn(backend, precision)
-        print(f"  {key}: final {DICE} = "
+        print(f"running {model} {key} trajectory...", flush=True)
+        results[key] = _spawn(backend, precision, model)
+        print(f"  {model} {key}: final {DICE} = "
               f"{results[key]['rows'][-1][DICE]:.4f}", flush=True)
 
     cols = ("dice_loss", DICE, "val_dice_loss", "val_" + DICE)
@@ -216,16 +277,8 @@ def main() -> int:
     }
     # the BASELINE.json acceptance proxy: downstream Dice within 0.005
     proxy = deltas["tpu_bf16_vs_tpu_f32"]["val_" + DICE]
-    artifact = {
-        "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    return {
         "device_kind": results["tpu_f32"]["device_kind"],
-        "config": {"epochs": N_EPOCHS, "train_images": N_TRAIN,
-                   "val_images": N_VAL, "image_size": SIZE,
-                   "batch": TBS,
-                   "model": "basic U-Net (8,16)ch depth-1 + BN",
-                   "note": "synthetic trajectories; the CPU/f32 trace is "
-                           "pinned equal to the reference torch loop by "
-                           "tests/test_trajectory_parity.py"},
         "max_abs_epoch_deltas": deltas,
         "bf16_val_dice_delta": proxy,
         "acceptance_proxy": {"metric": "val dice delta, bf16 vs f32 (TPU)",
@@ -233,12 +286,45 @@ def main() -> int:
                              "pass": bool(proxy <= 0.005)},
         "trajectories": {k: v["rows"] for k, v in results.items()},
     }
+
+
+def main() -> int:
+    wanted = [m for m in os.environ.get(
+        "TRAJ_MODELS", ",".join(MODELS)).split(",") if m]
+    families = {m: _run_family(m) for m in wanted}
+    artifact = {
+        "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "config": {"epochs": N_EPOCHS, "train_images": N_TRAIN,
+                   "val_images": N_VAL, "image_size": SIZE,
+                   "batch": TBS,
+                   "note": "synthetic trajectories over all three "
+                           "reference downstream families at toy scale; "
+                           "the CPU/f32 traces inherit the reference-"
+                           "torch-loop chain of evidence via "
+                           "tests/test_trajectory_parity.py; the "
+                           "swin_unet tpu/bf16 val pass exercises the "
+                           "Pallas window-attention dispatch inside the "
+                           "full model"},
+        "families": families,
+    }
+    # backward-compatible top-level fields = the flagship basic U-Net
+    flagship = families.get("unet") or next(iter(families.values()))
+    artifact.update({
+        "device_kind": flagship["device_kind"],
+        "max_abs_epoch_deltas": flagship["max_abs_epoch_deltas"],
+        "bf16_val_dice_delta": flagship["bf16_val_dice_delta"],
+        "acceptance_proxy": flagship["acceptance_proxy"],
+    })
+    all_pass = all(f["acceptance_proxy"]["pass"] for f in families.values())
     out = os.path.join(REPO, "PARITY_TPU.json")
     with open(out, "w") as fh:
         json.dump(artifact, fh, indent=1)
-    print(f"wrote {out}; bf16-vs-f32 val Dice delta = {proxy:.5f} "
-          f"(threshold 0.005)", flush=True)
-    return 0 if proxy <= 0.005 else 1
+    for name, fam in families.items():
+        print(f"{name}: bf16-vs-f32 val Dice delta = "
+              f"{fam['bf16_val_dice_delta']:.5f} (threshold 0.005, "
+              f"pass={fam['acceptance_proxy']['pass']})", flush=True)
+    print(f"wrote {out}", flush=True)
+    return 0 if all_pass else 1
 
 
 if __name__ == "__main__":
