@@ -293,7 +293,10 @@ def test_mixed_dataset_experiment_end_to_end(covidqu_env):
     with open(os.path.join(run_dir, "run_1", "epoch_logs.csv")) as fh:
         rows = list(csv.DictReader(fh))
     assert len(rows) == 1
-    assert 0.0 <= float(rows[0]["metrics/dice_index_threshold_0.5"]) <= 1.0
+    # strict: a fully-errored epoch logs the empty-state means (dice
+    # exactly 1.0, loss exactly 0.0) — [0,1] bounds would accept it
+    assert 0.0 < float(rows[0]["metrics/dice_index_threshold_0.5"]) < 1.0
+    assert float(rows[0]["dice_loss"]) > 0.0
 
 
 def test_experiment_with_tensor_parallel_matches_unsharded(covidqu_env):

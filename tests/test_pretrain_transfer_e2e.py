@@ -153,6 +153,12 @@ def test_pretrain_then_transfer(imagenet_env, tmp_path, monkeypatch, rng):
                not c.startswith("val_")]
     assert acc_col, f"no accuracy column in {list(rows[0])}"
     assert 0.0 <= float(rows[-1][acc_col[0]]) <= 1.0
+    # strict: a fully-errored epoch logs empty-state means (loss exactly
+    # 0.0); a real untrained-CE epoch is strictly positive
+    loss_col = [c for c in rows[0] if c.endswith("cross_entropy_loss")
+                and not c.startswith("val_")]
+    assert loss_col, f"no CE loss column in {list(rows[0])}"
+    assert float(rows[-1][loss_col[0]]) > 0.0
     # exact reference column name (multiclass_metrics.py:549-556): a
     # fuzzy match here previously hid a mean_area_under_roc misnaming
     assert "metrics/area_under_roc" in rows[0], list(rows[0])
