@@ -170,7 +170,9 @@ def _src_hash() -> str:
     entry shims, NOT bench.py itself): a cached number measured on
     different model/step code must not be replayed as current.
     bench.py is excluded deliberately — harness-only edits (ordering,
-    resume plumbing) don't change what is measured."""
+    resume plumbing) don't change what is measured; the workload
+    definitions that DO live in bench.py are pinned per-metric by
+    ``_workload_hash`` instead."""
     import hashlib
     here = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
@@ -189,6 +191,40 @@ def _src_hash() -> str:
                 h.update(fh.read())
         except OSError:
             continue
+    return h.hexdigest()[:16]
+
+
+#: metric name -> the bench.py functions whose SOURCE defines that
+#: metric's workload (model builders, synthetic data, step counts, CLI
+#: config).  _src_hash deliberately excludes bench.py (harness-only
+#: edits must not invalidate the cache), but bench.py also CONTAINS the
+#: workload definitions — so each cache entry additionally pins the
+#: source of the functions that define what it measured.
+_WORKLOAD_FUNCS = {
+    "unet256_train": ("_unet_step_setup", "_measure_unet", "bench_unet256",
+                      "bench_torch_cpu", "_cached_baseline"),
+    "swin224_train": ("_swin_module", "bench_swin224"),
+    "swin224_eval": ("_swin_module", "bench_swin224"),
+    "pretrain224_train": ("bench_pretrain224",),
+    "covidqu256_e2e_breakdown": ("bench_e2e_breakdown",),
+    "covidqu256_e2e_measured": ("bench_e2e_measured",),
+    "covidqu256_cli_epoch": ("bench_cli_epoch",),
+}
+#: measurement helpers shared by every metric
+_WORKLOAD_COMMON = ("_peak_flops", "_compile_with_flops", "_sync",
+                    "_time_steps")
+
+
+@functools.lru_cache(None)
+def _workload_hash(name: str) -> str:
+    import hashlib
+    import inspect
+    h = hashlib.sha256()
+    for fn in _WORKLOAD_FUNCS.get(name, ()) + _WORKLOAD_COMMON:
+        try:
+            h.update(inspect.getsource(globals()[fn]).encode())
+        except (KeyError, OSError, TypeError):
+            h.update(fn.encode())
     return h.hexdigest()[:16]
 
 
@@ -227,6 +263,11 @@ def _valid_resume_entries() -> dict:
                 continue
             if entry.get("src_hash", _src_hash()) != _src_hash():
                 continue
+            # workload pinning (see _WORKLOAD_FUNCS); entries predating
+            # the field were verified unchanged when it was introduced
+            if entry.get("workload_hash",
+                         _workload_hash(name)) != _workload_hash(name):
+                continue
             out[name] = entry["line"]
         except (KeyError, TypeError):
             continue
@@ -248,7 +289,8 @@ def _record_result(name: str, line: dict) -> None:
     data = _load_resume()
     data[name] = {"line": line, "ts": time.time(), "knobs": _knob_sig(),
                   "extra_knobs": _extra_knobs(name),
-                  "src_hash": _src_hash()}
+                  "src_hash": _src_hash(),
+                  "workload_hash": _workload_hash(name)}
     try:
         os.makedirs(os.path.dirname(RESUME_FILE), exist_ok=True)
         tmp = RESUME_FILE + ".tmp"
@@ -752,14 +794,21 @@ metrics:
             # platform programmatically when MST_PLATFORM is set (env
             # vars alone cannot — sitecustomize pins the axon TPU)
             env["MST_PLATFORM"] = os.environ["BENCH_CLI_PLATFORM"]
-        # own session + hard timeout: when this bench child is itself
-        # killed at BENCH_METRIC_TIMEOUT_S, the experiment.py grandchild
-        # must not linger holding the TPU; we time out 60 s before the
-        # parent would, kill the whole process group, and let the
-        # finally-block clean the workdir
-        cli_timeout = max(
-            120.0,
-            float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200")) - 60.0)
+        # Hard timeout: the experiment.py grandchild must never linger
+        # holding the TPU.  Three layers, because the grandchild runs in
+        # its own session (so a killpg aimed at THIS process cannot reach
+        # it): (1) we time out 60 s before our own killer would —
+        # BENCH_ATTEMPT_BUDGET_S is the parent's ACTUAL per-attempt
+        # budget (it can be far under BENCH_METRIC_TIMEOUT_S near the
+        # deadline) — and killpg the grandchild's group; (2) the
+        # grandchild is wrapped in coreutils ``timeout``, so it
+        # self-destructs even if every ancestor is SIGKILLed first;
+        # (3) the finally-block cleans the workdir.
+        budget = min(
+            float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200")),
+            float(os.environ.get("BENCH_ATTEMPT_BUDGET_S", "inf")))
+        cli_timeout = max(120.0, budget - 60.0)
+        cli = ["timeout", "-k", "30", str(int(cli_timeout + 30))] + cli
         t0 = time.perf_counter()
         proc = subprocess.Popen(cli, env=env, cwd=workdir,
                                 stdout=subprocess.PIPE,
@@ -945,34 +994,58 @@ def _run_child_streaming(cmd, env, cwd, timeout):
     ``(rc, last_json_line_or_None)`` so the parent holds an in-memory
     copy of the measurement even when the resume file is unwritable.
     On timeout the child's whole PROCESS GROUP is killed — a metric that
-    itself spawns a CLI grandchild must not leave it holding the TPU."""
+    itself spawns a CLI grandchild must not leave it holding the TPU.
+
+    A reader THREAD pumps the pipe (not select+buffered readline: a
+    burst of lines leaves all but the first sitting in the TextIOWrapper
+    buffer, invisible to select on the drained fd, and a timeout then
+    loses an already-produced metric line); the post-kill drain prints
+    whatever the pump captured before the kill landed."""
+    import queue
     import signal
-    import select
     import subprocess
+    import threading
     proc = subprocess.Popen(cmd, env=env, cwd=cwd, text=True,
                             stdout=subprocess.PIPE,
                             start_new_session=True)
+    lines = queue.Queue()
+
+    def _pump():
+        try:
+            for raw in proc.stdout:
+                lines.put(raw)
+        except ValueError:      # pipe closed under the reader
+            pass
+        finally:
+            lines.put(None)     # EOF sentinel
+
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
     deadline, last_line, rc = time.time() + timeout, None, -1
+
+    def _tee(chunk):
+        nonlocal last_line
+        print(chunk, end="", flush=True)
+        try:
+            parsed = json.loads(chunk)
+            if isinstance(parsed, dict) and "value" in parsed:
+                last_line = parsed
+        except ValueError:
+            pass
+
     try:
         while True:
             remaining = deadline - time.time()
             if remaining <= 0:
                 raise subprocess.TimeoutExpired(cmd, timeout)
-            ready, _, _ = select.select([proc.stdout], [], [],
-                                        min(remaining, 5.0))
-            if not ready:
+            try:
+                chunk = lines.get(timeout=min(remaining, 5.0))
+            except queue.Empty:
                 continue
-            chunk = proc.stdout.readline()
-            if chunk == "":
+            if chunk is None:
                 rc = proc.wait()
                 break
-            print(chunk, end="", flush=True)
-            try:
-                parsed = json.loads(chunk)
-                if isinstance(parsed, dict) and "value" in parsed:
-                    last_line = parsed
-            except ValueError:
-                pass
+            _tee(chunk)
     except subprocess.TimeoutExpired:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
@@ -981,7 +1054,17 @@ def _run_child_streaming(cmd, env, cwd, timeout):
         proc.wait()
         rc = -1
     finally:
-        proc.stdout.close()
+        # let the pump finish flushing the OS pipe buffer (all writers
+        # are dead by now, so EOF is imminent), then drain what it
+        # captured before the kill/EOF
+        pump.join(timeout=5.0)
+        while True:
+            try:
+                chunk = lines.get_nowait()
+            except queue.Empty:
+                break
+            if chunk is not None:
+                _tee(chunk)
     return rc, last_line
 
 
@@ -1090,8 +1173,12 @@ def main():
                 time.sleep(90)
                 continue
             budget = min(per_metric, max(60.0, deadline - time.time()))
+            # the child (and any grandchild it spawns) must know the REAL
+            # budget of this attempt, not just BENCH_METRIC_TIMEOUT_S —
+            # near the deadline the two differ by up to 19 minutes
             env = {**os.environ, "BENCH_NO_SUBPROC": "1",
-                   "BENCH_METRICS": name}
+                   "BENCH_METRICS": name,
+                   "BENCH_ATTEMPT_BUDGET_S": str(budget)}
             # child stdout is teed through as it streams (a later kill
             # cannot lose earlier metrics); the child also persists its
             # line to the resume file, and the parent keeps an in-memory

@@ -123,3 +123,76 @@ def test_corrupt_resume_file_is_ignored(monkeypatch, tmp_path):
     bench._record_result("swin224_eval", {"metric": "m", "value": 3.0,
                                           "unit": "u"})
     assert "swin224_eval" in bench._valid_resume_entries()
+
+
+def test_resume_invalidated_by_workload_change(monkeypatch, tmp_path):
+    """bench.py itself is excluded from _src_hash, but the workload
+    DEFINITIONS live in bench.py — editing a metric's workload function
+    must invalidate that metric's cache entry (and only that one)."""
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    for name in ("unet256_train", "swin224_eval"):
+        bench._record_result(name, {"metric": "m", "value": 5.0,
+                                    "unit": "u"})
+    data = json.load(open(os.environ["BENCH_RESUME_FILE"]))
+    assert (data["unet256_train"]["workload_hash"]
+            == bench._workload_hash("unet256_train"))
+    data["unet256_train"]["workload_hash"] = "0" * 16
+    json.dump(data, open(os.environ["BENCH_RESUME_FILE"], "w"))
+    got = bench._valid_resume_entries()
+    assert "unet256_train" not in got
+    assert "swin224_eval" in got
+
+
+def test_workload_hash_covers_every_metric(monkeypatch, tmp_path):
+    """Each metric must map to real bench.py functions (a renamed
+    function silently degrading to name-only hashing would defeat the
+    pin)."""
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    assert set(bench._WORKLOAD_FUNCS) == set(bench.ALL_METRICS)
+    for fns in bench._WORKLOAD_FUNCS.values():
+        for fn in fns + bench._WORKLOAD_COMMON:
+            assert callable(getattr(bench, fn)), fn
+    # distinct workloads hash distinctly
+    hashes = {bench._workload_hash(m) for m in bench.ALL_METRICS}
+    assert len(hashes) >= len(bench.ALL_METRICS) - 1  # swin train/eval share
+
+
+def test_streaming_capture_survives_burst_then_hang(monkeypatch, tmp_path):
+    """The round-3 review's capture hole: a child that writes several
+    lines in one burst and then hangs must still have ALL burst lines
+    teed + parsed before the timeout kill (buffered readline after
+    select used to strand all but the first)."""
+    bench = _fresh_bench(monkeypatch, tmp_path)
+    child = tmp_path / "burst.py"
+    child.write_text(
+        "import json, sys, time\n"
+        "sys.stdout.write(json.dumps({'note': 'warmup'}) + '\\n')\n"
+        "sys.stdout.write(json.dumps({'metric': 'm', 'value': 42.0,\n"
+        "                             'unit': 'u'}) + '\\n')\n"
+        "sys.stdout.flush()\n"
+        "time.sleep(60)\n")
+    import sys as _sys
+    import time as _time
+    t0 = _time.time()
+    rc, line = bench._run_child_streaming(
+        [_sys.executable, str(child)], env=dict(os.environ),
+        cwd=str(tmp_path), timeout=8.0)
+    assert _time.time() - t0 < 30
+    assert rc != 0          # killed at timeout
+    assert line is not None and line["value"] == 42.0
+
+
+def test_cli_grandchild_budget_env(monkeypatch, tmp_path):
+    """bench_cli_epoch's grandchild timeout honors the parent's ACTUAL
+    per-attempt budget (BENCH_ATTEMPT_BUDGET_S), not just the static
+    BENCH_METRIC_TIMEOUT_S — near the deadline the two differ by up to
+    19 minutes and the grandchild used to outlive its killer."""
+    bench = _fresh_bench(monkeypatch, tmp_path,
+                         BENCH_METRIC_TIMEOUT_S="1200",
+                         BENCH_ATTEMPT_BUDGET_S="300")
+    budget = min(float(os.environ.get("BENCH_METRIC_TIMEOUT_S", "1200")),
+                 float(os.environ.get("BENCH_ATTEMPT_BUDGET_S", "inf")))
+    assert max(120.0, budget - 60.0) == 240.0
+    src = open("/root/repo/bench.py").read()
+    assert "BENCH_ATTEMPT_BUDGET_S" in src
+    assert '"timeout", "-k"' in src  # self-destruct wrapper
