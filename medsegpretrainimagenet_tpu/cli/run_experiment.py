@@ -594,42 +594,45 @@ def run_exp(train_data, val_data, test_data, destination: str,
                                               class_names=class_names)
 
     mesh = None
+    # optional spatial (context) parallelism: image height sharded
+    # over `spatial_sharding` devices — for inputs too large for one
+    # chip's HBM; H must divide by the factor
+    sp = int(tech.get("spatial_sharding", 1) or 1)
+    # optional tensor parallelism (meta/technical/tensor_parallel):
+    # big conv/dense kernels' output channels sharded over a second
+    # 'model' mesh axis (parallel/tp.py) — XLA's sharding propagation
+    # inserts the ICI collectives; optimizer moments follow their
+    # parameters by pytree path, checkpoints gather to host unchanged
+    tp = int(tech.get("tensor_parallel", 1) or 1)
+    # validated OUTSIDE the multi-device branch: a sharding request a
+    # single-device host cannot honor must fail the same way it would
+    # on a 2-device host, not silently run unsharded
+    if sp > 1 and tp > 1:
+        # NOT an arbitrary restriction: jax 0.9.0 MISCOMPILES conv
+        # programs on any mesh with >2 axes when the input is
+        # spatially sharded — gradients come out wrong by O(1) under
+        # BOTH partitioners (Shardy additionally scales conv
+        # *outputs* by the spatial axis size when any operand is
+        # 'model'-sharded), while every 1-/2-axis layout is exact.
+        # Minimal reproducer + strict-xfail canary:
+        # tests/test_parallel.py::test_3axis_mesh_conv_grad_upstream_bug
+        # — when a JAX upgrade fixes it, that test fails loudly and
+        # this combination can be enabled.
+        raise ValueError(
+            "spatial_sharding and tensor_parallel cannot be combined "
+            "on this JAX version: 3-axis meshes miscompile conv "
+            "gradients (see tests/test_parallel.py::"
+            "test_3axis_mesh_conv_grad_upstream_bug); use one axis "
+            "plus data parallelism instead")
+    if max(sp, tp) > jax.device_count():
+        knob = "tensor_parallel" if tp > 1 else "spatial_sharding"
+        raise ValueError(
+            f"meta/technical/{knob}: {max(sp, tp)} exceeds the "
+            f"{jax.device_count()} available devices")
     if jax.device_count() > 1:
         from ..parallel import create_mesh, put_replicated
-        # optional spatial (context) parallelism: image height sharded
-        # over `spatial_sharding` devices — for inputs too large for one
-        # chip's HBM; H must divide by the factor
-        sp = int(tech.get("spatial_sharding", 1) or 1)
-        # optional tensor parallelism (meta/technical/tensor_parallel):
-        # big conv/dense kernels' output channels sharded over a second
-        # 'model' mesh axis (parallel/tp.py) — XLA's sharding propagation
-        # inserts the ICI collectives; optimizer moments follow their
-        # parameters by pytree path, checkpoints gather to host unchanged
-        tp = int(tech.get("tensor_parallel", 1) or 1)
-        if sp > 1 and tp > 1:
-            # NOT an arbitrary restriction: jax 0.9.0 MISCOMPILES conv
-            # programs on any mesh with >2 axes when the input is
-            # spatially sharded — gradients come out wrong by O(1) under
-            # BOTH partitioners (Shardy additionally scales conv
-            # *outputs* by the spatial axis size when any operand is
-            # 'model'-sharded), while every 1-/2-axis layout is exact.
-            # Minimal reproducer + strict-xfail canary:
-            # tests/test_parallel.py::test_3axis_mesh_conv_grad_upstream_bug
-            # — when a JAX upgrade fixes it, that test fails loudly and
-            # this combination can be enabled.
-            raise ValueError(
-                "spatial_sharding and tensor_parallel cannot be combined "
-                "on this JAX version: 3-axis meshes miscompile conv "
-                "gradients (see tests/test_parallel.py::"
-                "test_3axis_mesh_conv_grad_upstream_bug); use one axis "
-                "plus data parallelism instead")
         # the data-axis size must divide the per-step fragment batch size
         avail = jax.device_count() // max(sp, tp)
-        if avail < 1:
-            knob = "tensor_parallel" if tp > 1 else "spatial_sharding"
-            raise ValueError(
-                f"meta/technical/{knob}: {max(sp, tp)} exceeds the "
-                f"{jax.device_count()} available devices")
         n_devices = max(d for d in _divisors(bs) if d <= avail)
         if tp > 1:
             from ..parallel import shard_train_state

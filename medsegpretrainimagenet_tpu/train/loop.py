@@ -384,10 +384,15 @@ def train_model(model, train_data, val_data, test_data,
             row: Dict[str, Any] = {
                 "learning_rate": float(optimizer.lr_at(int(state.step)))}
 
-            # per-epoch phase split (train/val/checkpoint/loggers) under
-            # `meta/technical/profile: true` -> profile/epoch_times.csv:
-            # quantifies where a FULL CLI epoch's wall time goes (on slow
-            # device links the checkpoint D2H, not the step, dominates)
+            # per-epoch phase split (train/cm_export/val/checkpoint/
+            # loggers) under `meta/technical/profile: true` ->
+            # profile/epoch_times.csv: quantifies where a FULL CLI
+            # epoch's wall time goes (on slow device links the
+            # checkpoint D2H, not the step, dominates).  cm_export_s
+            # accumulates the confusion-matrix D2H+export and the
+            # checkpoint host-copy prefetch launches, so val_s and
+            # ckpt_s stay pure — with no val split those inter-phase
+            # costs must not masquerade as checkpoint time
             seg: Dict[str, float] = {}
             seg_t = [time.perf_counter()]
 
@@ -448,6 +453,7 @@ def train_model(model, train_data, val_data, test_data,
                         except Exception:    # noqa: BLE001
                             pass
 
+            _mark("cm_export_s")
             if val_data:
                 metrics_state = _init_metrics()
                 _, metrics_state = run_epoch(
@@ -463,6 +469,7 @@ def train_model(model, train_data, val_data, test_data,
                         _export_confusion_matrix(
                             calculator, metrics_state, destination,
                             epoch + 1, config_dict)
+                _mark("cm_export_s")
 
             if log_to_device:
                 append_csv_row(destination + "epoch_logs.csv", row)

@@ -348,6 +348,18 @@ def test_experiment_rejects_tp_plus_spatial(covidqu_env):
     assert not os.path.isfile(os.path.join(run_dir, "epoch_logs.csv"))
 
 
+def test_experiment_rejects_tp_exceeding_devices(covidqu_env):
+    """A sharding request the host cannot honor is refused up front —
+    validation runs OUTSIDE the multi-device branch, so a 1-device host
+    fails the same way instead of silently running unsharded."""
+    tmp_path = covidqu_env
+    cfg_dict = minimal_config(tmp_path, epochs=1)
+    cfg_dict["meta"]["technical"]["tensor_parallel"] = 16  # mesh has 8
+    log_data = experiment(ConfigDict(cfg_dict), original=None, modifiers=[])
+    run_dir = os.path.join(log_data["save_path"], "run_1")
+    assert not os.path.isfile(os.path.join(run_dir, "epoch_logs.csv"))
+
+
 def test_experiment_with_spatial_sharding(covidqu_env):
     """meta/technical/spatial_sharding: 2 drives the full CLI path on a
     ('data', 'spatial') mesh — the image-height dim sharded over two
@@ -369,7 +381,12 @@ def test_experiment_with_spatial_sharding(covidqu_env):
     with open(os.path.join(run_dir, "profile", "epoch_times.csv")) as fh:
         seg_rows = list(csv.DictReader(fh))
     assert len(seg_rows) == 1
-    for col in ("train_s", "val_s", "ckpt_s", "total_s"):
+    for col in ("train_s", "cm_export_s", "val_s", "ckpt_s", "total_s"):
         assert float(seg_rows[0][col]) >= 0
+    # attribution sanity: total is the sum of the phases
+    phases = [v for k, v in seg_rows[0].items()
+              if k.endswith("_s") and k != "total_s"]
+    assert abs(sum(map(float, phases))
+               - float(seg_rows[0]["total_s"])) < 0.01
     assert os.path.isfile(os.path.join(run_dir, "profile",
                                        "step_times.csv"))
