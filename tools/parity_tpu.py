@@ -98,13 +98,17 @@ MODELS = {
             "activation_function": {"final": "sigmoid"},
             "encoder": {"classification.models.DeepResNet": {
                 "version": "v1", "bottleneck": True,
-                "channel_sizes": (8, 16), "widths": (1, 1),
-                "in_channels": 3, "base_channel_size": 4}},
+                # capacity floor measured on CPU: at (8,16)/base 4 with
+                # decoder (8,4,4) the sigmoid outputs never cross the
+                # 0.5 threshold in 6 epochs (val Dice constant 0.0007 —
+                # a vacuous parity proxy); this sizing reaches ~0.71
+                "channel_sizes": (16, 32), "widths": (1, 1),
+                "in_channels": 3, "base_channel_size": 8}},
             "mixing_block": {
                 "segmentation.models.blocks.AttentionBlock": {}},
             # depth+1 decoder ups (reference real config: 5 entries for
             # the depth-4 resnet50): the extra up undoes the stem's /2
-            "out_channel_size": 1, "decoder_channels": (8, 4, 4)},
+            "out_channel_size": 1, "decoder_channels": (16, 8, 8)},
         "weight_init": {"random": {"torch.nn.init.kaiming_normal_": {
             "nonlinearity": "relu"}}}}}),
 }
@@ -245,7 +249,17 @@ def _spawn(backend: str, precision: str, model: str = "unet",
         capture_output=True, text=True, timeout=timeout_s)
     for line in proc.stdout.splitlines():
         if line.startswith("TRAJ_RESULT "):
-            return json.loads(line[len("TRAJ_RESULT "):])
+            result = json.loads(line[len("TRAJ_RESULT "):])
+            # the training loop's error envelope can swallow an epoch
+            # (rc 0, fewer CSV rows); zip() would then silently compare
+            # mismatched epochs in _summarize
+            if len(result["rows"]) != N_EPOCHS:
+                raise RuntimeError(
+                    f"{backend}/{precision}/{model} logged "
+                    f"{len(result['rows'])} epoch rows, expected "
+                    f"{N_EPOCHS} — an epoch died inside the error "
+                    "envelope; trajectory unusable")
+            return result
     raise RuntimeError(
         f"{backend}/{precision} child failed rc={proc.returncode}: "
         f"{proc.stderr[-800:]}")
@@ -276,6 +290,17 @@ def _summarize(trajectories: dict, device_kind: str) -> dict:
     # whose floor is set by f32-vs-f32 cross-backend kernel numerics, not
     # by bf16 — the f32 floor is recorded alongside for that comparison.
     vcol = "val_" + DICE
+    # degeneracy guard: a proxy on a metric that never moves (e.g. a toy
+    # model whose sigmoid outputs never cross the threshold) passes
+    # vacuously — refuse to produce such an artifact
+    for key, rows in (("cpu_f32", cpu), ("tpu_f32", tpu32),
+                      ("tpu_bf16", tpu16)):
+        vals = [r[vcol] for r in rows]
+        if max(vals) - min(vals) < 1e-4:
+            raise RuntimeError(
+                f"{key} trajectory's {vcol} is constant ({vals[0]:.4f}) "
+                "over training — the acceptance proxy would be vacuous; "
+                "fix the toy config so the model actually learns")
     proxy = abs(tpu16[-1][vcol] - tpu32[-1][vcol])
     f32_floor = abs(tpu32[-1][vcol] - cpu[-1][vcol])
     return {
@@ -320,6 +345,17 @@ def main(rederive: bool = False) -> int:
         wanted = [m for m in os.environ.get(
             "TRAJ_MODELS", ",".join(MODELS)).split(",") if m]
         families = {m: _run_family(m) for m in wanted}
+        if set(wanted) != set(MODELS):
+            # partial re-measure: carry the other families over from the
+            # existing artifact unchanged (re-running one family must
+            # not silently drop the rest)
+            try:
+                with open(os.path.join(REPO, "PARITY_TPU.json")) as fh:
+                    for m, fam in json.load(fh).get("families",
+                                                    {}).items():
+                        families.setdefault(m, fam)
+            except (OSError, ValueError):
+                pass
     artifact = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "config": {"epochs": N_EPOCHS, "train_images": N_TRAIN,
