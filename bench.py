@@ -753,6 +753,7 @@ meta:
     save_destination: {workdir}/logs
     maximum_actual_batch_size: {BATCH}
     mixed_precision: {os.environ.get("BENCH_MP", "1") == "1"}
+    async_checkpointing: {os.environ.get("BENCH_CLI_ASYNC_CKPT", "1") == "1"}
     profile: true
 data:
   data:
@@ -861,9 +862,10 @@ metrics:
                 "train_imgs_per_epoch": n_train, "batch": BATCH,
                 "cli_wall_s_3_epochs": round(wall, 1),
                 "note": "full src/experiment.py epoch (file IO, CSV "
-                        "sinks, val pass, per-epoch ckpt D2H included); "
-                        "profile mode syncs per step, so the overlapped "
-                        "loop bound is covidqu256_e2e_measured"})
+                        "sinks, val pass, per-epoch ckpt D2H included; "
+                        "async_checkpointing drains the ckpt D2H under "
+                        "the next epoch; profiling timer + batch-log "
+                        "readbacks are non-blocking)"})
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -369,9 +369,15 @@ class MetricsCalculator:
         """Host view of one step's metric scalars (for batch_logs.csv),
         including derived CM values computed from the step's counts."""
         # ONE transfer for the whole dict: per-entry device_get costs a
-        # host<->device roundtrip each (ruinous over a remote TPU tunnel)
-        host = {k: np.asarray(v) for k, v in
-                jax.device_get(per_batch).items()}
+        # host<->device roundtrip each (ruinous over a remote TPU tunnel).
+        # The training loop batches further still — it device_gets a whole
+        # window of steps at once and feeds each through batch_values_host.
+        return self.batch_values_host(jax.device_get(per_batch))
+
+    def batch_values_host(self, per_batch: Dict[str, Any]) -> Dict[str, float]:
+        """``batch_values`` over scalars that are ALREADY on the host (the
+        loop's per-epoch batched readback) — no device sync in here."""
+        host = {k: np.asarray(v) for k, v in per_batch.items()}
         values = {}
         for key, value in host.items():
             if value.ndim == 0 and not is_cm_count_name(key):

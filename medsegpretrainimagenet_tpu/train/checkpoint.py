@@ -67,19 +67,31 @@ def save_params_file(path: str, params) -> None:
 class AsyncCheckpointer:
     """Background-thread checkpoint writer (``async_checkpointing: true``).
 
-    The device→host transfer happens on the caller's thread (it must — the
-    arrays are donated/overwritten by the next step), but the msgpack
-    encode + disk write move to one worker thread so the epoch loop keeps
-    dispatching.  Writes to the same path are serialized in submission
-    order (a single worker queue), and atomic via rename, so a reader of
-    ``last_model_state_dict.msgpack`` never sees a torn file.  Call
-    ``wait()`` before reading back or at end of training.
+    The device→host transfer, msgpack encode and disk write ALL move to
+    one worker thread, so the epoch loop keeps dispatching while the
+    checkpoint's D2H drains — on a slow device link the state-sized D2H
+    (not the step) dominates the epoch tail, and pushing it across the
+    epoch boundary overlaps it with the next epoch's compute.  Two
+    requirements on the caller: (1) the submitted device buffers must not
+    be donated to a later jitted call (jax.Arrays are immutable and
+    thread-safe to read, but donation invalidates them — the training
+    loop steps with ``donate=False``); (2) cross-host-sharded leaves are
+    detected and gathered ON the caller's thread (the gather is a
+    collective every process must join; a worker-thread collective would
+    race the step's).  Writes to the same path are serialized in
+    submission order (a single worker queue), and atomic via rename, so a
+    reader of ``last_model_state_dict.msgpack`` never sees a torn file.
+    Call ``wait()`` before reading back or at end of training.
     """
 
     def __init__(self):
         import queue
         import threading
-        self._queue = queue.Queue()
+        # bounded: a worker lagging N epochs behind would otherwise pin N
+        # epochs' device state alive (each queued tree holds jax.Array
+        # refs until written) — a full queue back-pressures the epoch
+        # loop instead, which is the correct failure mode
+        self._queue = queue.Queue(maxsize=8)
         self._errors: list = []
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -90,15 +102,17 @@ class AsyncCheckpointer:
             if item is None:
                 self._queue.task_done()
                 return
-            paths, state_dict = item
+            paths, tree = item
             blob = None
             for path in paths:
                 try:
-                    if blob is None:    # encode ONCE per submission
-                        blob = serialization.msgpack_serialize(state_dict)
+                    if blob is None:    # gather + encode ONCE per
+                        blob = serialization.msgpack_serialize(  # submission
+                            serialization.to_state_dict(_to_host(tree)))
                     write_bytes_atomic(path, blob)
                 except Exception as e:  # surfaced on wait()
                     self._errors.append((path, e))
+            del tree, item  # drop the device refs before the next get()
             self._queue.task_done()
 
     def save(self, path: str, params) -> None:
@@ -106,12 +120,16 @@ class AsyncCheckpointer:
 
     def save_many(self, paths, params) -> None:
         """One submission writing the SAME state to every path in *paths*
-        (an epoch's last/best/epoch-tagged sinks): the worker encodes the
-        tree once and fans the bytes out.  Host transfer + state-dict
-        conversion stay on the caller's thread (the next step may donate
-        the device buffers)."""
-        self._queue.put((list(paths), serialization.to_state_dict(
-            _to_host(params))))
+        (an epoch's last/best/epoch-tagged sinks): the worker gathers and
+        encodes the tree once and fans the bytes out.  Only
+        cross-host-sharded leaves are gathered here on the caller's
+        thread (collective — see the class docstring); fully-addressable
+        device trees ride the queue as-is so their D2H overlaps later
+        epochs."""
+        if any(isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+               for leaf in jax.tree_util.tree_leaves(params)):
+            params = _to_host(params)
+        self._queue.put((list(paths), params))
 
     def wait(self) -> None:
         """Block until all submitted writes hit disk; raise the first

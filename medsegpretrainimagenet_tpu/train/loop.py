@@ -151,10 +151,27 @@ def run_epoch(step_fn, state, metrics_state, loader,
               accumulation_scale: int = 1, train: bool = True,
               mesh=None, log_path: Optional[str] = None,
               calculator=None, on_batch: Optional[Callable] = None,
-              threaded_prefetch=None):
-    """One pass over *loader*.  Returns (state, metrics_state)."""
-    pending = None  # previous step's device scalars, converted one step
-    # late so the host->CSV sync never stalls the dispatch pipeline
+              threaded_prefetch=None, log_flush: int = 512):
+    """One pass over *loader*.  Returns (state, metrics_state).
+
+    Per-step log scalars are NOT read back per step: each blocking
+    ``device_get`` costs a device round-trip (ruinous on a remote-TPU
+    link — measured ~5x on the full CLI epoch, 50 vs 249 img/s).  The
+    step's tiny scalar dict is instead kept on device and a whole window
+    of ``log_flush`` steps is fetched in ONE ``jax.device_get`` (which
+    async-issues every leaf's D2H before blocking, so the window's
+    round-trips overlap into ~one); the same per-step CSV rows are then
+    written in order.  ``log_flush=1`` restores streaming writes."""
+    rows: list = []  # device-side per-step scalar dicts awaiting readback
+
+    def _flush_rows():
+        if not rows:
+            return
+        host = jax.device_get(rows)   # one batched D2H for the window
+        rows.clear()
+        for per_batch in host:
+            append_csv_row(log_path, calculator.batch_values_host(per_batch))
+
     for i, batch_stack in enumerate(_prefetched(
             _virtual_batches(loader, accumulation_scale), mesh,
             threaded=threaded_prefetch)):
@@ -166,17 +183,16 @@ def run_epoch(step_fn, state, metrics_state, loader,
                 metrics_state, per_batch = step_fn(
                     state, metrics_state, batch_stack)
             if log_path is not None and calculator is not None:
-                if pending is not None:
-                    append_csv_row(log_path,
-                                   calculator.batch_values(pending))
-                pending = per_batch
+                rows.append(per_batch)
+                if len(rows) >= max(1, int(log_flush)):
+                    _flush_rows()
             if on_batch is not None:
                 on_batch(i, per_batch)
         except Exception as exc:  # noqa: BLE001 - reference error envelope
             handle_exception(exc, f"Exception occured in batch {i}.")
-    if pending is not None:
-        with swallow("Exception writing the last batch log row."):
-            append_csv_row(log_path, calculator.batch_values(pending))
+    if rows:
+        with swallow("Exception writing the batch log rows."):
+            _flush_rows()
     return state, metrics_state
 
 
@@ -204,6 +220,9 @@ def train_model(model, train_data, val_data, test_data,
     log_batches = bool(log_to_device) and log_to_device != "epoch"
     log_last = tech.get("log_last_model", True)
     log_best = tech.get("log_best_model", True)
+    # batch_logs.csv readback window (steps per batched D2H; 1 = stream a
+    # row per step like the reference — only useful for crash forensics)
+    log_flush = int(tech.get("batch_log_flush", 512) or 512)
     # worker-thread input prefetch (assemble + H2D off the step-dispatch
     # thread); None defers to the MST_PREFETCH_THREAD env default (off)
     threaded_prefetch = tech.get("threaded prefetch", None)
@@ -247,23 +266,53 @@ def train_model(model, train_data, val_data, test_data,
         profile_dir = destination + "profile/"
         os.makedirs(profile_dir, exist_ok=True)
 
+        # NON-BLOCKING per-step timing: the dispatch thread issues the
+        # step's scalar D2H asynchronously and hands the array to a timer
+        # worker; the worker's (sequential, FIFO) blocking readbacks
+        # record when each step's outputs actually LAND on the host.  In
+        # steady state the arrival intervals equal the step durations
+        # (block_until_ready does not sync over the axon tunnel; a scalar
+        # readback does), but the dispatch thread never waits — a
+        # per-step blocking sync caps throughput at one link round-trip
+        # per step (measured 0.225 s/step vs the 0.07 s step on a remote
+        # tunnel), which taxes exactly the runs profiling is meant to
+        # diagnose.
+        import queue as _queue
+        import threading as _threading
+        timer_q: Any = _queue.Queue()
+
+        def _timer_worker():
+            while True:
+                value = timer_q.get()
+                if value is None:
+                    timer_q.task_done()
+                    return
+                try:
+                    float(np.asarray(value).reshape(-1)[0])
+                except Exception:   # noqa: BLE001 - timing is best-effort
+                    pass
+                now = time.perf_counter()
+                if step_times:
+                    step_times.append((now, now - step_times[-1][0]))
+                else:
+                    step_times.append((now, 0.0))
+                timer_q.task_done()
+
+        _timer_thread = _threading.Thread(target=_timer_worker, daemon=True)
+        _timer_thread.start()
+
         def _on_batch_timer(i, per_batch):
-            import time
-            # drain the dispatch queue so the timestamp bounds the real
-            # step, not the async enqueue (block_until_ready does not sync
-            # over the axon tunnel; a scalar readback does) — profiling
-            # mode trades pipelining for honest numbers
             for value in per_batch.values():
                 if hasattr(value, "block_until_ready"):
-                    float(np.asarray(value).reshape(-1)[0])
+                    try:                      # start the D2H now so the
+                        value.copy_to_host_async()  # worker's wait is pure
+                    except Exception:         # noqa: BLE001
+                        pass                  # link latency, not a stall
+                    timer_q.put(value)
                     break
-            now = time.perf_counter()
-            if step_times:
-                step_times.append((now, now - step_times[-1][0]))
-            else:
-                step_times.append((now, 0.0))
 
         def _dump_step_times():
+            timer_q.join()      # all arrivals recorded (epoch boundary)
             if len(step_times) > 1:
                 append_csv_row(profile_dir + "step_times.csv", {
                     "steps": len(step_times) - 1,
@@ -273,10 +322,16 @@ def train_model(model, train_data, val_data, test_data,
                     "max_s": float(np.max([d for _, d in step_times[1:]])),
                 })
             step_times.clear()
+        def _stop_timer():
+            timer_q.put(None)
+            timer_q.join()
     else:
         _on_batch_timer = None
 
         def _dump_step_times():
+            return None
+
+        def _stop_timer():
             return None
 
     @jax.jit
@@ -344,12 +399,16 @@ def train_model(model, train_data, val_data, test_data,
             filenames = [filenames]
         if not filenames:
             return
-        # the gather is a collective over cross-host-sharded leaves
-        # (multi-host TP/spatial state): every process must join it, so it
-        # runs BEFORE the single-writer gate.  Replicated state (all DP
-        # runs) makes it a plain device_get.
-        payload = gather_tree_to_host({"params": state.params,
-                                       "batch_stats": state.batch_stats})
+        payload = {"params": state.params, "batch_stats": state.batch_stats}
+        if async_writer is None or jax.process_count() > 1:
+            # the gather is a collective over cross-host-sharded leaves
+            # (multi-host TP/spatial state): every process must join it,
+            # so it runs BEFORE the single-writer gate.  Replicated state
+            # (all DP runs) makes it a plain device_get.  Single-host
+            # async mode skips it: the worker thread device_gets instead,
+            # so the state-sized D2H drains UNDER the next epoch's
+            # compute rather than stalling this epoch's tail.
+            payload = gather_tree_to_host(payload)
         if not is_main_process():   # one writer is correct; N writers
             return                  # race the same tmp file on shared fs
         if async_writer is not None:
@@ -415,7 +474,8 @@ def train_model(model, train_data, val_data, test_data,
                     log_path=destination + "batch_logs.csv" if log_batches
                     else None, calculator=calculator,
                     on_batch=_on_batch_timer,
-                    threaded_prefetch=threaded_prefetch)
+                    threaded_prefetch=threaded_prefetch,
+                    log_flush=log_flush)
             finally:
                 # stop/flush even when the train pass raises — otherwise
                 # the profiler keeps tracing for the rest of the run and
@@ -433,7 +493,7 @@ def train_model(model, train_data, val_data, test_data,
                         calculator, metrics_state, destination,
                         epoch + 1, config_dict, train=True)
 
-            if log_to_device:
+            if log_to_device and async_writer is None:
                 # start the checkpoint D2H now: copy_to_host_async caches
                 # the host copy inside each jax.Array, so the end-of-epoch
                 # gathers find the bytes already transferred — the copy
@@ -442,6 +502,11 @@ def train_model(model, train_data, val_data, test_data,
                 # train epoch's donation happens after).  Model state is
                 # prefetched only when some model sink will consume it —
                 # the opt state is written every epoch regardless.
+                # SYNC mode only: with async checkpointing the worker
+                # thread drains the D2H under the NEXT epoch's compute —
+                # prefetching here would shove the state-sized transfer
+                # into the val phase for no reason (measured: val_s
+                # absorbs the whole drain on a slow link).
                 prefetch = [state.opt_state]
                 if log_last or log_best or (epoch + 1) in checkpoints:
                     prefetch.append((state.params, state.batch_stats))
@@ -486,15 +551,17 @@ def train_model(model, train_data, val_data, test_data,
                         f"model_state_dict_epoch_{epoch + 1}.msgpack")
                 save_model(model_files)
                 from ..parallel import gather_tree_to_host, is_main_process
-                # collective gather before the single-writer gate, like
-                # save_model: opt-state moments inherit the params'
-                # (possibly cross-host) shardings
-                opt_payload = gather_tree_to_host(
-                    {"opt_state": state.opt_state,
-                     "step": np.asarray(state.step),
-                     "micro_step": np.asarray(
-                         state.micro_step if state.micro_step is not None
-                         else state.step)})
+                opt_payload = {
+                    "opt_state": state.opt_state,
+                    "step": np.asarray(state.step),
+                    "micro_step": np.asarray(
+                        state.micro_step if state.micro_step is not None
+                        else state.step)}
+                if async_writer is None or jax.process_count() > 1:
+                    # collective gather before the single-writer gate,
+                    # like save_model: opt-state moments inherit the
+                    # params' (possibly cross-host) shardings
+                    opt_payload = gather_tree_to_host(opt_payload)
                 if is_main_process():
                     save_state = ckpt.save_state_file \
                         if async_writer is None else async_writer.save
@@ -584,6 +651,7 @@ def train_model(model, train_data, val_data, test_data,
             handle_exception(
                 exc, "Exception occured while evaluating the test data.")
 
+    _stop_timer()               # retire the profiling timer worker
     if async_writer is not None:
         async_writer.close()    # drain pending writes; surface any error
     return state

@@ -651,3 +651,99 @@ def test_epoch_checkpoints_share_one_gather(tmp_path, monkeypatch):
     # exactly 2 gathers for the epoch: one shared model gather (three
     # sinks) + one optimizer-state gather
     assert len(calls) == 2
+
+
+def test_batch_log_flush_batches_readbacks_identically(tmp_path, monkeypatch):
+    """batch_logs.csv per-step rows must be byte-identical whether read
+    back streaming (log_flush=1, one blocking device_get per step — the
+    reference's write-as-you-go shape) or batched (default: the whole
+    window fetched in ONE jax.device_get, ~one tunnel round-trip per
+    epoch instead of one per step — the remote-TPU CLI-epoch lever)."""
+    from medsegpretrainimagenet_tpu.train.loop import run_epoch
+
+    data = synthetic_segmentation_data(n=16)
+
+    def loader():
+        for lo in range(0, 16, 4):
+            yield {k: v[lo:lo + 4] for k, v in data.items()}
+
+    def run(log_flush, log_path):
+        # fresh identical state per run: rows must match across modes
+        model, optimizer, state, loss, calculator, _ = \
+            build_training(tmp_path)
+        step = make_train_step(model, loss, calculator, optimizer,
+                               donate=False)
+        gets = []
+        orig = jax.device_get
+
+        def counting(tree):
+            gets.append(1)
+            return orig(tree)
+
+        monkeypatch.setattr(jax, "device_get", counting)
+        try:
+            run_epoch(step, state, calculator.init_state(), loader(),
+                      train=True, log_path=str(log_path),
+                      calculator=calculator, log_flush=log_flush)
+        finally:
+            monkeypatch.setattr(jax, "device_get", orig)
+        with open(log_path) as fh:
+            return list(csv.DictReader(fh)), len(gets)
+
+    streamed, n_stream = run(1, tmp_path / "stream.csv")
+    batched, n_batch = run(512, tmp_path / "batched.csv")
+    windowed, n_win = run(3, tmp_path / "windowed.csv")
+
+    assert len(streamed) == 4 and streamed == batched == windowed
+    assert float(streamed[0]["dice_loss"]) > 0
+    # streaming: one readback per step; default: ONE for the whole epoch;
+    # a 3-step window over 4 steps: full window + tail flush = 2
+    assert n_stream == 4 and n_batch == 1 and n_win == 2
+
+
+def test_async_checkpoint_d2h_runs_on_worker_thread(tmp_path, monkeypatch):
+    """Single-host async mode must NOT gather on the epoch-loop thread:
+    the device->host transfer (the dominant epoch-tail cost on a slow
+    device link) belongs to the AsyncCheckpointer worker so it drains
+    under the next epoch's compute.  Sync mode keeps the caller-thread
+    gather (and multi-host would too — the gather is a collective)."""
+    import threading
+
+    from medsegpretrainimagenet_tpu import parallel as par
+    from medsegpretrainimagenet_tpu.parallel import mesh as par_mesh
+
+    data = synthetic_segmentation_data(n=8)
+    orig = par_mesh.gather_tree_to_host
+
+    def run(sub, async_ckpt):
+        gather_threads = []
+
+        def recording(tree):
+            if any(isinstance(leaf, jax.Array)
+                   for leaf in jax.tree_util.tree_leaves(tree)):
+                gather_threads.append(threading.current_thread().name)
+            return orig(tree)
+
+        monkeypatch.setattr(par, "gather_tree_to_host", recording)
+        monkeypatch.setattr(par_mesh, "gather_tree_to_host", recording)
+        try:
+            model, optimizer, state, loss, calculator, config = \
+                build_training(tmp_path / sub, epochs=1)
+            config["meta/technical/async_checkpointing"] = async_ckpt
+            train_model(model, make_loader(data), None, None, config,
+                        optimizer, state, loss=loss,
+                        metrics_and_loss=calculator, name="run",
+                        virtual_batch_size=4, true_batch_size=4,
+                        verbose=False)
+        finally:
+            monkeypatch.setattr(par, "gather_tree_to_host", orig)
+            monkeypatch.setattr(par_mesh, "gather_tree_to_host", orig)
+        return gather_threads
+
+    (tmp_path / "sync").mkdir()
+    (tmp_path / "async").mkdir()
+    sync_threads = run("sync", False)
+    async_threads = run("async", True)
+    assert sync_threads and all(t == "MainThread" for t in sync_threads)
+    assert async_threads and not any(t == "MainThread"
+                                     for t in async_threads)
