@@ -205,7 +205,7 @@ _WORKLOAD_FUNCS = {
                       "bench_torch_cpu", "_cached_baseline"),
     "swin224_train": ("_swin_module", "bench_swin224"),
     "swin224_eval": ("_swin_module", "bench_swin224"),
-    "pretrain224_train": ("bench_pretrain224",),
+    "pretrain224_train": ("_pretrain_step_setup", "bench_pretrain224"),
     "covidqu256_e2e_breakdown": ("bench_e2e_breakdown",),
     "covidqu256_e2e_measured": ("bench_e2e_measured",),
     "covidqu256_cli_epoch": ("bench_cli_epoch",),
@@ -497,7 +497,10 @@ def bench_swin224(train: bool):
 # ImageNet-style pretraining step (encoder + head, CE)
 # ---------------------------------------------------------------------------
 
-def bench_pretrain224():
+def _pretrain_step_setup(batch=None):
+    """Build the ImageNet-pretraining train step (uint8 H2D input path).
+    Shared by the bench metric and ``tools/mfu_closure.py`` so the MFU
+    closure analyzes the exact headline workload."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -506,11 +509,13 @@ def bench_pretrain224():
     from medsegpretrainimagenet_tpu.models import UNetEncoder
     from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
 
+    if batch is None:
+        batch = PRETRAIN_BATCH
     if os.environ.get("BENCH_MP", "1") == "1":
         set_compute_dtype(jnp.bfloat16)
     size, n_classes = 224, 1000
     encoder = UNetEncoder(in_channel_size=3, depth=4)
-    x0 = jnp.zeros((PRETRAIN_BATCH, size, size, 3), jnp.float32)
+    x0 = jnp.zeros((batch, size, size, 3), jnp.float32)
     enc_vars = encoder.init(jax.random.key(0), x0, train=True)
     import jax.random as jrandom
     head_w = jrandom.normal(jrandom.key(1), (1024, n_classes),
@@ -523,9 +528,9 @@ def bench_pretrain224():
 
     # uint8 H2D batches (the pretraining input path: quarter the transfer)
     rng = np.random.default_rng(0)
-    x_u8 = jnp.asarray(rng.integers(0, 256, (PRETRAIN_BATCH, size, size, 3),
+    x_u8 = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3),
                                     dtype=np.uint8))
-    labels = jnp.asarray(rng.integers(0, n_classes, (PRETRAIN_BATCH,),
+    labels = jnp.asarray(rng.integers(0, n_classes, (batch,),
                                       dtype=np.int32))
 
     def loss_fn(params, batch_stats, x_u8, labels):
@@ -549,9 +554,13 @@ def bench_pretrain224():
         return (optax.apply_updates(params, updates), batch_stats,
                 opt_state, loss)
 
-    step, flops, _ = _compile_with_flops(step, params, batch_stats,
-                                         opt_state, x_u8, labels)
-    carry = [params, batch_stats, opt_state]
+    return step, [params, batch_stats, opt_state], (x_u8, labels)
+
+
+def bench_pretrain224():
+    step, carry, (x_u8, labels) = _pretrain_step_setup()
+    step, flops, _ = _compile_with_flops(step, carry[0], carry[1],
+                                         carry[2], x_u8, labels)
 
     def run():
         carry[0], carry[1], carry[2], loss = step(carry[0], carry[1],
