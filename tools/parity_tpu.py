@@ -52,6 +52,25 @@ SIZE = 32
 TBS = 4
 DICE = "metrics/dice_index_threshold_0.5"
 
+#: Per-family scale overrides (r4, VERDICT r3 weak-3): the flagship
+#: basic-U-Net family runs at 64² with 64 train images over 8 epochs —
+#: 4× the pixels and data of the toy scale, so the acceptance proxy no
+#: longer leans on the chaos argument alone.  swin_unet stays at 32²
+#: because its block config pins ``img_size: 32`` (window geometry);
+#: resnet_attention stays toy (its capacity floor was tuned there).
+#: ``TRAJ_FORCE_TOY=1`` forces toy scale everywhere (fast smoke).
+FAMILY_SCALE = {
+    "unet": {"epochs": 8, "train": 64, "val": 16, "size": 64, "tbs": 8},
+}
+_TOY_SCALE = {"epochs": N_EPOCHS, "train": N_TRAIN, "val": N_VAL,
+              "size": SIZE, "tbs": TBS}
+
+
+def _scale_for(model: str) -> dict:
+    if os.environ.get("TRAJ_FORCE_TOY") == "1":
+        return dict(_TOY_SCALE)
+    return {**_TOY_SCALE, **FAMILY_SCALE.get(model, {})}
+
 
 #: model families: toy-scale versions of the reference's three downstream
 #: architectures (config/downstream/covidqu/{unet,swin_unet,
@@ -115,6 +134,7 @@ MODELS = {
 
 
 def _experiment_config(destination: str, model: str) -> dict:
+    scale = _scale_for(model)
     return {
         "model": MODELS[model][1],
         "training": {
@@ -129,28 +149,29 @@ def _experiment_config(destination: str, model: str) -> dict:
         "metrics": {"metrics": ("metrics.DiceIndex",),
                     "calculation": {"thresholds": 0.5,
                                     "label_type": "mask"}},
-        "experiment": {"number_of_epochs": N_EPOCHS,
+        "experiment": {"number_of_epochs": scale["epochs"],
                        "number_of_trials": 1},
         "meta": {"technical": {
             "log_to_device": True, "verbose": False,
             "log_best_model": False, "log_last_model": False,
-            "maximum_actual_batch_size": TBS,
+            "maximum_actual_batch_size": scale["tbs"],
             "absolute path": destination, "seed": 0}},
     }
 
 
-def _fragments(n: int, rng, channels: int = 1) -> list:
+def _fragments(n: int, rng, channels: int = 1, size: int = SIZE,
+               tbs: int = TBS) -> list:
     """Deterministic host-side fragment list (no loader shuffling): blobby
     masks with enough signal that the model actually learns."""
     import numpy as np
     frags = []
-    for i in range(0, n, TBS):
-        x = rng.random((TBS, SIZE, SIZE, channels)).astype(np.float32)
-        yy, xx = np.mgrid[:SIZE, :SIZE]
+    for i in range(0, n, tbs):
+        x = rng.random((tbs, size, size, channels)).astype(np.float32)
+        yy, xx = np.mgrid[:size, :size]
         masks = []
-        for _ in range(TBS):
-            cy, cx = rng.integers(SIZE // 4, 3 * SIZE // 4, 2)
-            r = rng.integers(SIZE // 6, SIZE // 3)
+        for _ in range(tbs):
+            cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
+            r = rng.integers(size // 6, size // 3)
             masks.append(((yy - cy) ** 2 + (xx - cx) ** 2 < r * r))
         mask = np.stack(masks).astype(np.int32)
         x[..., 0] += mask * 0.8
@@ -165,6 +186,7 @@ def _run_child() -> None:
     precision = os.environ["TRAJ_PRECISION"]
     model_name = os.environ.get("TRAJ_MODEL", "unet")
     channels = MODELS[model_name][0]
+    scale = _scale_for(model_name)
     import jax
 
     if backend == "cpu":
@@ -202,13 +224,15 @@ def _run_child() -> None:
 
     model = registry.build(cd["model"].trim(), wrapper=Model)
     variables = dict(model.init(
-        jax.random.key(0), {"x": jnp.zeros((1, SIZE, SIZE, channels),
-                                           jnp.float32)}))
+        jax.random.key(0),
+        {"x": jnp.zeros((1, scale["size"], scale["size"], channels),
+                        jnp.float32)}))
     variables = model.init_weight(cd["model"].value(), variables,
                                   jax.random.key(1))
 
-    optimizer = Optimizer(cd["training/optimizer"], num_epochs=N_EPOCHS,
-                          batches_per_epoch=N_TRAIN // TBS)
+    optimizer = Optimizer(cd["training/optimizer"],
+                          num_epochs=scale["epochs"],
+                          batches_per_epoch=scale["train"] // scale["tbs"])
     state = TrainState.create(variables,
                               optimizer.tx.init(variables["params"]),
                               jax.random.key(2))
@@ -216,11 +240,14 @@ def _run_child() -> None:
     calculator = MetricsCalculator(cd, loss=loss)
 
     train_model(model,
-                _fragments(N_TRAIN, np.random.default_rng(42), channels),
-                _fragments(N_VAL, np.random.default_rng(77), channels),
+                _fragments(scale["train"], np.random.default_rng(42),
+                           channels, scale["size"], scale["tbs"]),
+                _fragments(scale["val"], np.random.default_rng(77),
+                           channels, scale["size"], scale["tbs"]),
                 None, cd,
                 optimizer, state, loss=loss, metrics_and_loss=calculator,
-                name="run", virtual_batch_size=TBS, true_batch_size=TBS,
+                name="run", virtual_batch_size=scale["tbs"],
+                true_batch_size=scale["tbs"],
                 verbose=False,
                 grad_clip_value=cd.get(
                     "training/gradient_clipping/max_value"),
@@ -253,11 +280,12 @@ def _spawn(backend: str, precision: str, model: str = "unet",
             # the training loop's error envelope can swallow an epoch
             # (rc 0, fewer CSV rows); zip() would then silently compare
             # mismatched epochs in _summarize
-            if len(result["rows"]) != N_EPOCHS:
+            expected = _scale_for(model)["epochs"]
+            if len(result["rows"]) != expected:
                 raise RuntimeError(
                     f"{backend}/{precision}/{model} logged "
                     f"{len(result['rows'])} epoch rows, expected "
-                    f"{N_EPOCHS} — an epoch died inside the error "
+                    f"{expected} — an epoch died inside the error "
                     "envelope; trajectory unusable")
             return result
     raise RuntimeError(
@@ -358,17 +386,38 @@ def main(rederive: bool = False) -> int:
                 pass
     artifact = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "config": {"epochs": N_EPOCHS, "train_images": N_TRAIN,
-                   "val_images": N_VAL, "image_size": SIZE,
-                   "batch": TBS,
+        "config": {"per_family_scale": {m: _scale_for(m) for m in
+                                        families},
                    "note": "synthetic trajectories over all three "
-                           "reference downstream families at toy scale; "
+                           "reference downstream families (basic U-Net "
+                           "at 64², 64 train images, 8 epochs; swin at "
+                           "32² — its block config pins img_size=32; "
+                           "resnet-attention at its tuned toy scale); "
                            "the CPU/f32 traces inherit the reference-"
                            "torch-loop chain of evidence via "
                            "tests/test_trajectory_parity.py; the "
                            "swin_unet tpu/bf16 val pass exercises the "
                            "Pallas window-attention dispatch inside the "
-                           "full model"},
+                           "full model",
+                   "mid_trajectory_deltas_note":
+                           "max-over-epochs val-column deltas can reach "
+                           "0.1 at these scales WITHOUT indicating a "
+                           "wiring bug: train-mode BN cancels any "
+                           "channel constant, so pre-BN conv biases get "
+                           "mathematically-zero gradients that autodiff "
+                           "realises as ~1e-9 float noise; with momentum "
+                           "the noise integrates into full-lr steps in a "
+                           "backend-dependent direction — measured (tests/"
+                           "test_trajectory_parity.py): all weights match "
+                           "torch to ~1e-7 after an epoch while exactly "
+                           "the pre-BN biases drift 5e-3..1e-2, surfacing "
+                           "through eval-mode running stats as val-metric "
+                           "chaos.  The f32-vs-f32 cross-backend floor "
+                           "recorded per family quantifies it; the "
+                           "acceptance proxy (final-epoch val Dice, the "
+                           "analog of the reference's "
+                           "results/downstream_scores.csv end-of-training "
+                           "surface) is the non-chaotic comparison."},
         "families": families,
     }
     # backward-compatible top-level fields = the flagship basic U-Net
