@@ -73,7 +73,9 @@ def _trace_split(trace_dir: str, steps: int, top_k: int = 15):
         c[0] += ev.get("dur", 0.0)
         c[1] += fl
         c[2] += by
-        o = ops.setdefault(ev["name"], [0.0, cat])
+        # key ops by (name, category): an op name recurring across
+        # categories must not be summed under its first-seen tag
+        o = ops.setdefault((ev["name"], cat), [0.0])
         o[0] += ev.get("dur", 0.0)
     if not cats:
         return None
@@ -95,18 +97,28 @@ def _trace_split(trace_dir: str, steps: int, top_k: int = 15):
         "categories": cat_rows,
         "top_ops": [(name, cat, round(us / steps / 1e3, 3),
                      round(us / total_us, 4))
-                    for name, (us, cat) in top],
+                    for (name, cat), (us,) in top],
     }
 
 
 def _closure(name: str, setup):
     step, carry, inputs = setup()
-    compiled = step.lower(*carry, *inputs).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0))
-    byts = float(cost.get("bytes accessed", 0.0))
+    # same AOT-compile + cost-analysis dance as bench._compile_with_flops
+    # (which doesn't expose bytes), with the same graceful degradation:
+    # a backend that refuses AOT or cost analysis still gets timed
+    flops = byts = 0.0
+    try:
+        compiled = step.lower(*carry, *inputs).compile()
+    except Exception:
+        compiled = step
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        pass
     peak = bench._peak_flops()
     bw = HBM_GBPS * 1e9
 

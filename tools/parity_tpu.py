@@ -353,8 +353,14 @@ def _run_family(model: str) -> dict:
         results[key] = _spawn(backend, precision, model)
         print(f"  {model} {key}: final {DICE} = "
               f"{results[key]['rows'][-1][DICE]:.4f}", flush=True)
-    return _summarize({k: v["rows"] for k, v in results.items()},
-                      results["tpu_f32"]["device_kind"])
+    fam = _summarize({k: v["rows"] for k, v in results.items()},
+                     results["tpu_f32"]["device_kind"])
+    # stamp the scale the trajectories were MEASURED at — the artifact's
+    # config block reads this, so families carried over from an older
+    # artifact (or rederived) keep their true provenance even if
+    # FAMILY_SCALE changes later
+    fam["scale"] = _scale_for(model)
+    return fam
 
 
 def _rederive() -> dict:
@@ -362,8 +368,12 @@ def _rederive() -> dict:
     stored trajectories (no TPU needed)."""
     with open(os.path.join(REPO, "PARITY_TPU.json")) as fh:
         old = json.load(fh)
-    return {m: _summarize(f["trajectories"], f["device_kind"])
-            for m, f in old["families"].items()}
+    out = {}
+    for m, f in old["families"].items():
+        out[m] = _summarize(f["trajectories"], f["device_kind"])
+        if "scale" in f:  # keep measured-at provenance, not current code
+            out[m]["scale"] = f["scale"]
+    return out
 
 
 def main(rederive: bool = False) -> int:
@@ -386,8 +396,11 @@ def main(rederive: bool = False) -> int:
                 pass
     artifact = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "config": {"per_family_scale": {m: _scale_for(m) for m in
-                                        families},
+        # per-family scale comes from each family's measured-at stamp
+        # (families carried over from an older artifact keep theirs);
+        # _scale_for is only the fallback for pre-stamp legacy entries
+        "config": {"per_family_scale": {
+            m: f.get("scale", _scale_for(m)) for m, f in families.items()},
                    "note": "synthetic trajectories over all three "
                            "reference downstream families (basic U-Net "
                            "at 64², 64 train images, 8 epochs; swin at "
