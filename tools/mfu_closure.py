@@ -178,6 +178,61 @@ def _closure(name: str, setup):
     return result
 
 
+def _swin_step_setup(train: bool):
+    """Mirror of bench.bench_swin224's workload (NOT a refactor of it:
+    bench's per-metric workload hashes pin that function's source, and
+    editing it would invalidate captured resume entries).  Keep in sync
+    with bench.py if the swin bench workload ever changes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    size = 224
+    module = bench._swin_module(size)
+    x = jnp.zeros((bench.SWIN_BATCH, size, size, 3), jnp.bfloat16)
+    y = jnp.zeros((bench.SWIN_BATCH, size, size), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+    if not train:
+        @jax.jit
+        def fwd(params, a, b, x, y):
+            del y
+            # carry-compatible wrapper: (params, dummy, dummy, pred) so
+            # _closure's 4-way unpack works; the pred readback at sync
+            # time matches bench_swin224's eval run() semantics
+            return params, a, b, module.apply({"params": params}, x,
+                                              train=False)
+
+        return fwd, [params, jnp.zeros(()), jnp.zeros(())], (x, y)
+
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    rng = jax.random.key(1)
+
+    def loss_fn(params, x, y, rng):
+        pred = module.apply({"params": params}, x, train=True,
+                            rngs={"dropout": rng})
+        pred = pred[..., 0].astype(jnp.float32)
+        eps = 1e-5
+        inter = jnp.sum(pred * y)
+        return 1 - (2 * inter + eps) / (jnp.sum(y) + jnp.sum(pred ** 2)
+                                        + eps)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rngc, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rngc[0])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rngc, loss
+
+    return step, [params, opt_state, (rng,)], (x, y)
+
+
 def main():
     which = [a for a in sys.argv[1:] if not a.startswith("-")] or \
         ["unet", "pretrain"]
@@ -192,7 +247,25 @@ def main():
     if "pretrain" in which:
         out["workloads"]["pretrain224_train"] = _closure(
             "pretrain224_train", bench._pretrain_step_setup)
+    if "swin" in which:
+        out["workloads"]["swin224_train"] = _closure(
+            "swin224_train", lambda: _swin_step_setup(train=True))
+    if "swin_eval" in which:
+        out["workloads"]["swin224_eval"] = _closure(
+            "swin224_eval", lambda: _swin_step_setup(train=False))
     path = os.path.join(HERE, "MFU_CLOSURE.json")
+    # merge: a partial run (e.g. `mfu_closure.py swin`) must not drop
+    # previously measured workloads — their own measured_at survives in
+    # per-workload provenance implicitly via the file history; fresh
+    # runs overwrite their own entries only
+    try:
+        with open(path) as fh:
+            old = json.load(fh)
+        merged = dict(old.get("workloads", {}))
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(out["workloads"])
+    out["workloads"] = merged
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote", path)
