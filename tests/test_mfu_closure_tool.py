@@ -84,3 +84,65 @@ def test_no_trace_returns_none(tmp_path):
 def test_trace_without_op_lane_returns_none(tmp_path):
     events = _meta(3, 1, "Steps") + [_op(3, 1, "step", 10.0, "?")]
     assert _trace_split(_write_trace(tmp_path, events), steps=1) is None
+
+
+def test_swin_mirror_pinned_to_bench_workload():
+    """_swin_step_setup hand-mirrors bench.bench_swin224 (a refactor
+    would invalidate bench's captured resume entries via the per-metric
+    workload hash, so the sources stay separate).  This pin turns the
+    docstring's "keep in sync" into a suite failure: editing EITHER
+    function fails here until the other is re-reviewed and both hashes
+    are refreshed."""
+    import hashlib
+    import inspect
+
+    import bench
+    import mfu_closure
+
+    def h(fn):
+        return hashlib.sha256(inspect.getsource(fn).encode()) \
+            .hexdigest()[:16]
+
+    assert h(bench.bench_swin224) == "e1e0bafd8e22776c", (
+        "bench.bench_swin224 changed: re-sync tools/mfu_closure.py:"
+        "_swin_step_setup (batch/dtype/loss/donation must match), then "
+        "update both pinned hashes here")
+    assert h(mfu_closure._swin_step_setup) == "6cea3f6961fe2831", (
+        "_swin_step_setup changed: verify it still mirrors "
+        "bench.bench_swin224, then update the pinned hash")
+
+
+def test_merge_preserves_per_workload_provenance(tmp_path, monkeypatch):
+    """A partial run must stamp its own workloads with the current
+    rev/device and give carried-over pre-provenance entries THEIR file's
+    top-level stamp — not re-stamp old measurements as current."""
+    import mfu_closure
+
+    old = {"measured_at": "2026-01-01T00:00:00", "code_rev": "oldrev",
+           "device": "TPU v5 lite",
+           "workloads": {"unet256_train": {"mfu": 0.46}}}
+    art = tmp_path / "MFU_CLOSURE.json"
+    art.write_text(json.dumps(old))
+    monkeypatch.setattr(mfu_closure, "HERE", str(tmp_path))
+    monkeypatch.setattr(mfu_closure.bench, "_git_rev", lambda: "newrev")
+    monkeypatch.setattr(
+        mfu_closure, "_closure",
+        lambda name, setup: {"mfu": 0.07})
+
+    class _Dev:
+        device_kind = "FakeTPU"
+
+    import jax
+    monkeypatch.setattr(jax, "devices", lambda *a: [_Dev()])
+    monkeypatch.setattr(sys, "argv", ["mfu_closure.py", "swin"])
+    mfu_closure.main()
+
+    out = json.loads(art.read_text())
+    assert out["code_rev"] == "newrev"
+    swin = out["workloads"]["swin224_train"]
+    assert swin["provenance"]["code_rev"] == "newrev"
+    assert swin["provenance"]["device"] == "FakeTPU"
+    unet = out["workloads"]["unet256_train"]
+    assert unet["provenance"] == {"measured_at": "2026-01-01T00:00:00",
+                                  "code_rev": "oldrev",
+                                  "device": "TPU v5 lite"}

@@ -67,3 +67,17 @@ def test_committed_artifact_has_scale_provenance():
         # trajectories really are at the stamped scale
         for rows in fam["trajectories"].values():
             assert len(rows) == fam["scale"]["epochs"], fam_name
+
+
+def test_artifact_scale_legacy_fallback_is_toy(monkeypatch):
+    """Families carried over from a pre-stamp artifact were by
+    definition measured at toy scale; labelling them with the current
+    _scale_for would write false 642 provenance for 32-pixel
+    trajectories."""
+    monkeypatch.delenv("TRAJ_FORCE_TOY", raising=False)
+    stamped = {"scale": {"epochs": 8, "train": 64, "val": 16,
+                         "size": 64, "tbs": 8}}
+    assert parity_tpu._artifact_scale(stamped) == stamped["scale"]
+    # legacy (no stamp): toy scale, NOT the current flagship scale
+    assert parity_tpu._artifact_scale({}) == parity_tpu._TOY_SCALE
+    assert parity_tpu._artifact_scale({}) != parity_tpu._scale_for("unet")

@@ -253,15 +253,28 @@ def main():
     if "swin_eval" in which:
         out["workloads"]["swin224_eval"] = _closure(
             "swin224_eval", lambda: _swin_step_setup(train=False))
+    # per-workload provenance: a later partial run (different rev/chip)
+    # must not let the top-level stamp misattribute carried-over entries
+    prov = {"measured_at": out["measured_at"], "code_rev": out["code_rev"],
+            "device": out["device"]}
+    for wl in out["workloads"].values():
+        if isinstance(wl, dict):
+            wl["provenance"] = dict(prov)
     path = os.path.join(HERE, "MFU_CLOSURE.json")
     # merge: a partial run (e.g. `mfu_closure.py swin`) must not drop
-    # previously measured workloads — their own measured_at survives in
-    # per-workload provenance implicitly via the file history; fresh
-    # runs overwrite their own entries only
+    # previously measured workloads; entries from pre-provenance files
+    # inherit THEIR OWN file's top-level stamp, not this run's
     try:
         with open(path) as fh:
             old = json.load(fh)
-        merged = dict(old.get("workloads", {}))
+        old_prov = {"measured_at": old.get("measured_at"),
+                    "code_rev": old.get("code_rev"),
+                    "device": old.get("device")}
+        merged = {}
+        for name, wl in old.get("workloads", {}).items():
+            if isinstance(wl, dict) and "provenance" not in wl:
+                wl = {**wl, "provenance": dict(old_prov)}
+            merged[name] = wl
     except (OSError, ValueError):
         merged = {}
     merged.update(out["workloads"])

@@ -363,6 +363,15 @@ def _run_family(model: str) -> dict:
     return fam
 
 
+def _artifact_scale(fam: dict) -> dict:
+    """The scale to LABEL a family with in the artifact's config block:
+    its measured-at ``scale`` stamp.  Pre-stamp legacy entries were all
+    measured before ``FAMILY_SCALE`` existed, i.e. at toy scale —
+    falling back to the CURRENT ``_scale_for(m)`` would claim 64²
+    provenance for 32² trajectories."""
+    return fam.get("scale", dict(_TOY_SCALE))
+
+
 def _rederive() -> dict:
     """Recompute every summary field of the committed artifact from its
     stored trajectories (no TPU needed)."""
@@ -396,11 +405,8 @@ def main(rederive: bool = False) -> int:
                 pass
     artifact = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        # per-family scale comes from each family's measured-at stamp
-        # (families carried over from an older artifact keep theirs);
-        # _scale_for is only the fallback for pre-stamp legacy entries
         "config": {"per_family_scale": {
-            m: f.get("scale", _scale_for(m)) for m, f in families.items()},
+            m: _artifact_scale(f) for m, f in families.items()},
                    "note": "synthetic trajectories over all three "
                            "reference downstream families (basic U-Net "
                            "at 64², 64 train images, 8 epochs; swin at "
