@@ -30,8 +30,24 @@ experiment runs; adoption into models/swin.py is a separate decision
 that costs a full bench re-capture.
 
 Usage:
-    python tools/swin_layout_ab.py parity      # CPU, f32 + interpret
+    python tools/swin_layout_ab.py parity      # CPU, f32
     python tools/swin_layout_ab.py ab          # real-TPU ABBA (eval+train)
+    python tools/swin_layout_ab.py hlo        # optimized-HLO histogram diff
+
+VERDICT (measured 2026-08-21, v5e, code_rev 1a2a53a): **FALSIFIED** —
+do not integrate.  CPU and on-device outputs are bitwise identical
+(max delta 0.0, eval and train), but so is the SPEED: ABBA gains were
+noise (eval -0.4 % / +1.0 %, train +0.1 % / -1.9 %).  The ``hlo`` mode
+explains why: both programs compile to IDENTICAL optimized-HLO fusion
+histograms (26 kCustom / 292 kLoop / 68 kOutput) — XLA's transpose
+folding already canonicalises the stock partition->head-split chain
+into the same minimal copy set the fused source form produces.  The
+25-39 % "data formatting" share in MFU_CLOSURE.json is therefore the
+canonical minimum for this computation AS EXPRESSED IN XLA; removing it
+would require windowing inside a Mosaic kernel's BlockSpec index maps,
+which the lane-tiling rules price at misaligned-relayout cost (c=96,
+3c=288 are not 128-lane multiples at the hot level) — expected to give
+back more than the copies save.
 """
 from __future__ import annotations
 
@@ -364,9 +380,52 @@ def ab(steps: int = 20, reps: int = 2) -> None:
                       "device_parity_eval_max_delta": pd}))
 
 
+def hlo_compare() -> None:
+    """Compile both eval forwards for the real backend and diff the
+    optimized-HLO op-kind histograms — the mechanism test for a
+    measured-noise A/B verdict (XLA transpose folding canonicalizing
+    both programs to the same fusions)."""
+    import collections
+    import re
+
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+    set_compute_dtype(jnp.bfloat16)
+    size, batch = 224, 24
+    stock = _build(size, variant=False)
+    fused = _build(size, variant=True)
+    x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
+    params = stock.init(jax.random.key(0), x, train=False)["params"]
+
+    def histogram(module):
+        def fwd(p, x):
+            return module.apply({"params": p}, x, train=False)
+        txt = jax.jit(fwd).lower(params, x).compile().as_text()
+        ops = collections.Counter()
+        for m in re.finditer(r"^\s*(?:ROOT )?[%\w.-]+ = [\w\[\]{},/ ]* "
+                             r"(\w[\w-]*)\(", txt, re.M):
+            ops[m.group(1)] += 1
+        for m in re.finditer(r'kind=(\w+)', txt):
+            ops[f"fusion:{m.group(1)}"] += 1
+        keep = ("fusion", "copy", "transpose", "bitcast", "reshape",
+                "custom-call", "convolution")
+        return {k: v for k, v in sorted(ops.items())
+                if any(k.startswith(p) for p in keep)}
+
+    hs = histogram(stock)
+    hf = histogram(fused)
+    diff = {k: (hs.get(k, 0), hf.get(k, 0))
+            for k in sorted(set(hs) | set(hf))
+            if hs.get(k, 0) != hf.get(k, 0)}
+    print(json.dumps({"stock": hs, "fused": hf, "diff_stock_vs_fused":
+                      diff, "identical_histograms": not diff}, indent=1))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "parity"
     if mode == "parity":
         parity()
+    elif mode == "hlo":
+        hlo_compare()
     else:
         ab()
