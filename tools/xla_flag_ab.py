@@ -1,22 +1,27 @@
-"""XLA-flag A/B on the headline U-Net-256 train step (real TPU).
+"""XLA compiler-option A/B on the headline U-Net-256 train step (TPU).
 
 The r4 MFU closure (MFU_CLOSURE.json) puts the step at 71.6 % of its
 memory roofline with conv fusions at 65 % of MXU peak; every *model*-side
 lever named by the per-op split has been A/B'd (maxpool VJP, BN kernel,
 LN dtypes — all falsified).  The one untried class is XLA's own TPU
-tuning flags.  This tool measures the EXACT bench workload
-(``bench._unet_step_setup`` — same function object the resume-file
-workload hash pins) under candidate ``XLA_FLAGS`` settings in fresh
-subprocesses, interleaved ABBA to de-noise tunnel drift, and prints a
-JSON verdict per flag.
+tuning knobs.
 
-Usage:  python tools/xla_flag_ab.py            # default candidate set
-        python tools/xla_flag_ab.py --steps 30 --reps 2
-        CHILD mode (internal): XLA_AB_CHILD=1
+Environment finding (2026-08-21): ``XLA_FLAGS``-based TPU flags are a
+dead end over the axon tunnel — the CLIENT's flag parser aborts on any
+``--xla_tpu_*`` flag it doesn't know (``parse_flags_from_env.cc:234
+Unknown flag``), because compilation happens server-side and the local
+jaxlib only knows CPU-ish flags.  The working channel is
+``jit(f).lower(...).compile(compiler_options={...})``, which ships the
+options through PJRT to the server compiler; this tool uses that.
 
-A flag is only worth adopting if it wins by >2 % on both of its ABBA
-reps; adoption means exporting it from the CLI entry point, so the bar
-is deliberately high.
+Measures the EXACT bench workload (``bench._unet_step_setup`` — the
+same function object the resume-file workload hash pins) under each
+candidate option set in fresh subprocesses, interleaved ABBA so tunnel
+drift cancels, and prints a JSON verdict per candidate.  Adoption bar:
+>2 % win on every rep (adoption would mean wiring the option into the
+CLI's jit calls, so the bar is deliberately high).
+
+Usage:  python tools/xla_flag_ab.py [--steps 20] [--reps 2]
 """
 from __future__ import annotations
 
@@ -30,35 +35,36 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-#: candidate XLA_FLAGS values (appended to any inherited flags).  Only
-#: flags that exist on this jaxlib's libtpu are listed — an unknown
-#: --xla_* flag aborts backend init, which the child reports as rc!=0
-#: and the parent records as "invalid" instead of crashing the sweep.
+#: candidate compiler_options dicts (server-side TPU compiler).  An
+#: option the server rejects fails the child with rc!=0 and is recorded
+#: as invalid instead of crashing the sweep.
 CANDIDATES = {
-    "baseline": "",
-    # scoped-VMEM budget for fusion operands/results: larger scoped vmem
-    # lets the conv-fusion tiler keep bigger operand tiles VMEM-resident
-    # (less HBM re-streaming for the memory-bound fusions); too large
-    # starves double-buffering.  v5e default is 64 MiB-class.
-    "scoped_vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "scoped_vmem_48m": "--xla_tpu_scoped_vmem_limit_kib=49152",
+    "baseline": {},
+    # scoped-VMEM budget for fusion operands/results: larger lets the
+    # conv-fusion tiler keep bigger tiles VMEM-resident (less HBM
+    # re-streaming for the memory-bound fusions); too large starves
+    # double-buffering.
+    "scoped_vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "scoped_vmem_48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
 }
 
 
 def _child() -> None:
     import bench
 
+    opts = json.loads(os.environ["XLA_AB_OPTS"]) or None
     step, carry, args = bench._unet_step_setup()
     n = int(os.environ.get("XLA_AB_STEPS", "20"))
+    compiled = step.lower(*carry, *args).compile(compiler_options=opts)
 
     def run():
         nonlocal carry
-        out = step(*carry, *args)
+        out = compiled(*carry, *args)
         carry = list(out[:-1])
         return out[-1]
 
     loss = run()
-    bench._sync(loss)          # warmup + compile
+    bench._sync(loss)          # ensure compile+warmup complete
     t0 = time.time()
     for _ in range(n):
         loss = run()
@@ -75,16 +81,13 @@ def main() -> int:
     reps = int(argv[argv.index("--reps") + 1]) if "--reps" in argv else 2
     names = list(CANDIDATES)
     results: dict[str, list] = {n: [] for n in names}
-    # ABBA: forward order then reversed, `reps` times over
     order = []
     for r in range(reps):
         order += names if r % 2 == 0 else names[::-1]
     for name in order:
         env = dict(os.environ)
-        flags = (env.get("XLA_FLAGS", "") + " " + CANDIDATES[name]).strip()
-        if flags:
-            env["XLA_FLAGS"] = flags
         env["XLA_AB_CHILD"] = "1"
+        env["XLA_AB_OPTS"] = json.dumps(CANDIDATES[name])
         env["XLA_AB_STEPS"] = str(steps)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -97,10 +100,9 @@ def main() -> int:
         except ValueError:
             rec = {"error": f"rc={proc.returncode}",
                    "stderr_tail": proc.stderr[-300:]}
-        rec["flag"] = CANDIDATES[name]
+        rec["options"] = CANDIDATES[name]
         results[name].append(rec)
         print(json.dumps({name: rec}), flush=True)
-    # verdict vs baseline: compare per-rep (ABBA pairs share a window)
     base = [r.get("images_per_sec") for r in results["baseline"]]
     verdict = {}
     for name in names:
