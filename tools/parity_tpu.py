@@ -53,14 +53,15 @@ TBS = 4
 DICE = "metrics/dice_index_threshold_0.5"
 
 #: Per-family scale overrides (r4, VERDICT r3 weak-3): the flagship
-#: basic-U-Net family runs at 64² with 64 train images over 8 epochs —
-#: 4× the pixels and data of the toy scale, so the acceptance proxy no
-#: longer leans on the chaos argument alone.  swin_unet stays at 32²
-#: because its block config pins ``img_size: 32`` (window geometry);
-#: resnet_attention stays toy (its capacity floor was tuned there).
-#: ``TRAJ_FORCE_TOY=1`` forces toy scale everywhere (fast smoke).
+#: basic-U-Net family runs at 128² with 64 train images over 8 epochs —
+#: 16× the pixels and 4× the data of the toy scale (r4 first landed 64²,
+#: then upgraded), so the acceptance proxy no longer leans on the chaos
+#: argument alone.  swin_unet stays at 32² because its block config pins
+#: ``img_size: 32`` (window geometry); resnet_attention stays toy (its
+#: capacity floor was tuned there).  ``TRAJ_FORCE_TOY=1`` forces toy
+#: scale everywhere (fast smoke).
 FAMILY_SCALE = {
-    "unet": {"epochs": 8, "train": 64, "val": 16, "size": 64, "tbs": 8},
+    "unet": {"epochs": 8, "train": 64, "val": 16, "size": 128, "tbs": 8},
 }
 _TOY_SCALE = {"epochs": N_EPOCHS, "train": N_TRAIN, "val": N_VAL,
               "size": SIZE, "tbs": TBS}
@@ -409,7 +410,7 @@ def main(rederive: bool = False) -> int:
             m: _artifact_scale(f) for m, f in families.items()},
                    "note": "synthetic trajectories over all three "
                            "reference downstream families (basic U-Net "
-                           "at 64², 64 train images, 8 epochs; swin at "
+                           "at 128², 64 train images, 8 epochs; swin at "
                            "32² — its block config pins img_size=32; "
                            "resnet-attention at its tuned toy scale); "
                            "the CPU/f32 traces inherit the reference-"
