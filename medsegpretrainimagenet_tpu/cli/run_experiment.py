@@ -85,8 +85,29 @@ def check_for_continued(modifiers: Optional[List[str]],
         while os.path.isdir(os.path.join(absolute_path,
                                          f"run_{run_start + 1}")):
             run_start += 1
-        epoch_start = _count_csv_rows(os.path.join(
-            absolute_path, f"run_{run_start}", "epoch_logs.csv"))
+        run_dir = os.path.join(absolute_path, f"run_{run_start}")
+        epoch_start = _count_csv_rows(
+            os.path.join(run_dir, "epoch_logs.csv"))
+        # durable-epoch stamp (train/loop.py writes it through the same
+        # checkpoint writer, AFTER the epoch's model+optimizer files):
+        # under async checkpointing a crash can leave epoch_logs.csv
+        # ahead of the on-disk state by up to the worker's queue depth,
+        # so the CSV row count alone would resume with stale weights at
+        # the wrong schedule position.  Resume from the oldest of the
+        # two; re-run epochs append duplicate CSV rows, which is the
+        # honest record of what happened.
+        stamp_path = os.path.join(run_dir, "checkpoint_epoch.msgpack")
+        if os.path.exists(stamp_path):
+            try:
+                from ..train import checkpoint as _ckpt
+                stamped = int(_ckpt.load_params_file(stamp_path)["epoch"])
+            except Exception:   # unreadable stamp: trust the CSV
+                stamped = epoch_start
+            if stamped < epoch_start:
+                print(f"--continued: epoch_logs.csv has {epoch_start} "
+                      f"rows but the last durable checkpoint is epoch "
+                      f"{stamped}; resuming from {stamped}.", flush=True)
+                epoch_start = stamped
         if num_epochs == epoch_start:
             run_start += 1
             epoch_start = 0

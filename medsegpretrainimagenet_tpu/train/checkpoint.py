@@ -50,14 +50,30 @@ def encode_state(params) -> bytes:
 
 
 def write_bytes_atomic(path: str, blob: bytes) -> None:
-    """Atomic tmp+rename write: a crash mid-write must not leave a
+    """Atomic tmp+fsync+rename write: a crash mid-write must not leave a
     truncated last_model_state_dict.msgpack that breaks --continued
-    resume."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    resume.  The data fsync BEFORE the rename matters for system (not
+    just process) crashes: journaling filesystems may make the
+    metadata-only rename durable while the data pages are still dirty,
+    which would replace the previous good checkpoint with a
+    zero-length file on power loss.  The directory fsync afterwards
+    makes the rename itself durable."""
+    dirname = os.path.dirname(path) or "."
+    os.makedirs(dirname, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    try:
+        dir_fd = os.open(dirname, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+    except OSError:  # platforms/filesystems without directory fsync
+        pass
 
 
 def save_params_file(path: str, params) -> None:
@@ -106,11 +122,10 @@ class AsyncCheckpointer:
             blob = None
             for path in paths:
                 try:
-                    if blob is None:    # gather + encode ONCE per
-                        blob = serialization.msgpack_serialize(  # submission
-                            serialization.to_state_dict(_to_host(tree)))
+                    if blob is None:    # gather + encode ONCE per submission
+                        blob = encode_state(tree)
                     write_bytes_atomic(path, blob)
-                except Exception as e:  # surfaced on wait()
+                except Exception as e:  # surfaced on poll()/wait()
                     self._errors.append((path, e))
             del tree, item  # drop the device refs before the next get()
             self._queue.task_done()
@@ -131,15 +146,29 @@ class AsyncCheckpointer:
             params = _to_host(params)
         self._queue.put((list(paths), params))
 
+    def _raise_errors(self) -> None:
+        if not self._errors:
+            return
+        errors, self._errors = self._errors, []
+        detail = "; ".join(f"{path}: {err!r}" for path, err in errors)
+        raise RuntimeError(
+            f"{len(errors)} async checkpoint write(s) failed: {detail}"
+        ) from errors[0][1]
+
+    def poll(self) -> None:
+        """Raise any background errors accumulated SO FAR without
+        blocking.  The training loop calls this once per epoch inside
+        its catch-log-continue envelope, so a failing disk surfaces on
+        the next epoch (like a sync-mode write failure would) instead
+        of only as one fatal error after the last epoch."""
+        self._raise_errors()
+
     def wait(self) -> None:
-        """Block until all submitted writes hit disk; raise the first
-        background error, if any."""
+        """Block until all submitted writes hit disk; raise every
+        accumulated background error (aggregated — a second failing
+        path must not be silently dropped)."""
         self._queue.join()
-        if self._errors:
-            path, err = self._errors[0]
-            self._errors.clear()
-            raise RuntimeError(f"async checkpoint write to {path} failed"
-                               ) from err
+        self._raise_errors()
 
     def close(self) -> None:
         self._queue.put(None)

@@ -84,6 +84,27 @@ def append_csv_row(path: str, row: Dict[str, Any]) -> None:
         writer.writerow(row)
 
 
+def _resume_best_value(csv_path: str, metric: str, pick, epoch_start: int):
+    """The best already-achieved *metric* over the first *epoch_start*
+    rows of an existing epoch_logs.csv, or None.  A --continued resume
+    must re-seed its best-model tracking from this: restarting at
+    ±inf would let the first post-resume epoch overwrite
+    best_model_state_dict.msgpack even when it is WORSE than the
+    pre-crash best."""
+    try:
+        with open(csv_path, newline="") as fh:
+            rows = list(csv.DictReader(fh))
+    except OSError:
+        return None
+    values = []
+    for row in rows[:epoch_start]:
+        try:
+            values.append(float(row[metric]))
+        except (KeyError, TypeError, ValueError):
+            continue
+    return pick(values) if values else None
+
+
 def _stack_fragments(fragments):
     """List of equal-shaped fragment dicts -> (n_frag, frag_bs, ...) stack."""
     keys = fragments[0].keys()
@@ -238,6 +259,11 @@ def train_model(model, train_data, val_data, test_data,
             best_value = math.inf if pick is min else -math.inf
         else:
             log_best = False
+    if log_best and epoch_start > 0:
+        resumed = _resume_best_value(destination + "epoch_logs.csv",
+                                     watched_metric, pick, epoch_start)
+        if resumed is not None:
+            best_value = resumed
 
     calculator = metrics_and_loss
     cm_active_epochs, cm_do_last = _cm_log_epochs(config_dict)
@@ -430,228 +456,258 @@ def train_model(model, train_data, val_data, test_data,
         return calculator.finalize_epoch(ms) if calculator is not None \
             else {}
 
-    epochs = range(epoch_start, num_epochs)
-    if verbose:
-        try:
-            from tqdm import tqdm
-            epochs = tqdm(epochs, desc="Training model", unit="epoch")
-        except ImportError:
-            pass
-
-    for epoch in epochs:
-        try:
-            row: Dict[str, Any] = {
-                "learning_rate": float(optimizer.lr_at(int(state.step)))}
-
-            # per-epoch phase split (train/cm_export/val/checkpoint/
-            # loggers) under `meta/technical/profile: true` ->
-            # profile/epoch_times.csv: quantifies where a FULL CLI
-            # epoch's wall time goes (on slow device links the
-            # checkpoint D2H, not the step, dominates).  cm_export_s
-            # accumulates the confusion-matrix D2H+export and the
-            # checkpoint host-copy prefetch launches, so val_s and
-            # ckpt_s stay pure — with no val split those inter-phase
-            # costs must not masquerade as checkpoint time
-            seg: Dict[str, float] = {}
-            seg_t = [time.perf_counter()]
-
-            def _mark(name: str) -> None:
-                if profile_cfg:
-                    now = time.perf_counter()
-                    seg[name] = seg.get(name, 0.0) + now - seg_t[0]
-                    seg_t[0] = now
-
-            trace_ctx = None
-            if profile_cfg and epoch == epoch_start:
-                with swallow("Could not start the profiler trace."):
-                    jax.profiler.start_trace(destination + "profile/trace")
-                    trace_ctx = True
+    try:
+        epochs = range(epoch_start, num_epochs)
+        if verbose:
             try:
-                metrics_state = _init_metrics()
-                state, metrics_state = run_epoch(
-                    train_step, state, metrics_state, train_data,
-                    accumulation_scale, train=True, mesh=mesh,
-                    log_path=destination + "batch_logs.csv" if log_batches
-                    else None, calculator=calculator,
-                    on_batch=_on_batch_timer,
-                    threaded_prefetch=threaded_prefetch,
-                    log_flush=log_flush)
-            finally:
-                # stop/flush even when the train pass raises — otherwise
-                # the profiler keeps tracing for the rest of the run and
-                # step_times mixes epochs into one CSV row
-                if trace_ctx:
-                    with swallow("Could not stop the profiler trace."):
-                        jax.profiler.stop_trace()
-                _dump_step_times()
-            row.update(_finalize(metrics_state))
-            _mark("train_s")
-            if log_to_device and calculator is not None \
-                    and (epoch + 1) in cm_active_epochs:
-                with swallow("Exception logging the confusion matrix."):
-                    _export_confusion_matrix(
-                        calculator, metrics_state, destination,
-                        epoch + 1, config_dict, train=True)
+                from tqdm import tqdm
+                epochs = tqdm(epochs, desc="Training model", unit="epoch")
+            except ImportError:
+                pass
 
-            if log_to_device and async_writer is None:
-                # start the checkpoint D2H now: copy_to_host_async caches
-                # the host copy inside each jax.Array, so the end-of-epoch
-                # gathers find the bytes already transferred — the copy
-                # overlaps the val pass instead of stalling after it
-                # (state buffers stay alive until save_model; the next
-                # train epoch's donation happens after).  Model state is
-                # prefetched only when some model sink will consume it —
-                # the opt state is written every epoch regardless.
-                # SYNC mode only: with async checkpointing the worker
-                # thread drains the D2H under the NEXT epoch's compute —
-                # prefetching here would shove the state-sized transfer
-                # into the val phase for no reason (measured: val_s
-                # absorbs the whole drain on a slow link).
-                prefetch = [state.opt_state]
-                if log_last or log_best or (epoch + 1) in checkpoints:
-                    prefetch.append((state.params, state.batch_stats))
-                for leaf in jax.tree_util.tree_leaves(prefetch):
-                    if isinstance(leaf, jax.Array) \
-                            and leaf.is_fully_addressable:
-                        try:                 # best-effort prefetch only
-                            leaf.copy_to_host_async()
-                        except Exception:    # noqa: BLE001
-                            pass
+        for epoch in epochs:
+            try:
+                row: Dict[str, Any] = {
+                    "learning_rate": float(optimizer.lr_at(int(state.step)))}
 
-            _mark("cm_export_s")
-            if val_data:
-                metrics_state = _init_metrics()
-                _, metrics_state = run_epoch(
-                    eval_step, state, metrics_state, val_data,
-                    accumulation_scale, train=False, mesh=mesh,
-                    threaded_prefetch=threaded_prefetch)
-                row.update({f"val_{k}": v for k, v in
-                            _finalize(metrics_state).items()})
-                _mark("val_s")
+                # per-epoch phase split (train/cm_export/val/checkpoint/
+                # loggers) under `meta/technical/profile: true` ->
+                # profile/epoch_times.csv: quantifies where a FULL CLI
+                # epoch's wall time goes (on slow device links the
+                # checkpoint D2H, not the step, dominates).  cm_export_s
+                # accumulates the confusion-matrix D2H+export and the
+                # checkpoint host-copy prefetch launches, so val_s and
+                # ckpt_s stay pure — with no val split those inter-phase
+                # costs must not masquerade as checkpoint time
+                seg: Dict[str, float] = {}
+                seg_t = [time.perf_counter()]
+
+                def _mark(name: str) -> None:
+                    if profile_cfg:
+                        now = time.perf_counter()
+                        seg[name] = seg.get(name, 0.0) + now - seg_t[0]
+                        seg_t[0] = now
+
+                trace_ctx = None
+                if profile_cfg and epoch == epoch_start:
+                    with swallow("Could not start the profiler trace."):
+                        jax.profiler.start_trace(destination + "profile/trace")
+                        trace_ctx = True
+                try:
+                    metrics_state = _init_metrics()
+                    state, metrics_state = run_epoch(
+                        train_step, state, metrics_state, train_data,
+                        accumulation_scale, train=True, mesh=mesh,
+                        log_path=destination + "batch_logs.csv" if log_batches
+                        else None, calculator=calculator,
+                        on_batch=_on_batch_timer,
+                        threaded_prefetch=threaded_prefetch,
+                        log_flush=log_flush)
+                finally:
+                    # stop/flush even when the train pass raises — otherwise
+                    # the profiler keeps tracing for the rest of the run and
+                    # step_times mixes epochs into one CSV row
+                    if trace_ctx:
+                        with swallow("Could not stop the profiler trace."):
+                            jax.profiler.stop_trace()
+                    _dump_step_times()
+                row.update(_finalize(metrics_state))
+                _mark("train_s")
                 if log_to_device and calculator is not None \
                         and (epoch + 1) in cm_active_epochs:
                     with swallow("Exception logging the confusion matrix."):
                         _export_confusion_matrix(
                             calculator, metrics_state, destination,
-                            epoch + 1, config_dict)
+                            epoch + 1, config_dict, train=True)
+
+                if log_to_device and async_writer is None:
+                    # start the checkpoint D2H now: copy_to_host_async caches
+                    # the host copy inside each jax.Array, so the end-of-epoch
+                    # gathers find the bytes already transferred — the copy
+                    # overlaps the val pass instead of stalling after it
+                    # (state buffers stay alive until save_model; the next
+                    # train epoch's donation happens after).  Model state is
+                    # prefetched only when some model sink will consume it —
+                    # the opt state is written every epoch regardless.
+                    # SYNC mode only: with async checkpointing the worker
+                    # thread drains the D2H under the NEXT epoch's compute —
+                    # prefetching here would shove the state-sized transfer
+                    # into the val phase for no reason (measured: val_s
+                    # absorbs the whole drain on a slow link).
+                    prefetch = [state.opt_state]
+                    if log_last or log_best or (epoch + 1) in checkpoints:
+                        prefetch.append((state.params, state.batch_stats))
+                    for leaf in jax.tree_util.tree_leaves(prefetch):
+                        if isinstance(leaf, jax.Array) \
+                                and leaf.is_fully_addressable:
+                            try:                 # best-effort prefetch only
+                                leaf.copy_to_host_async()
+                            except Exception:    # noqa: BLE001
+                                pass
+
                 _mark("cm_export_s")
+                if val_data:
+                    metrics_state = _init_metrics()
+                    _, metrics_state = run_epoch(
+                        eval_step, state, metrics_state, val_data,
+                        accumulation_scale, train=False, mesh=mesh,
+                        threaded_prefetch=threaded_prefetch)
+                    row.update({f"val_{k}": v for k, v in
+                                _finalize(metrics_state).items()})
+                    _mark("val_s")
+                    if log_to_device and calculator is not None \
+                            and (epoch + 1) in cm_active_epochs:
+                        with swallow("Exception logging the confusion matrix."):
+                            _export_confusion_matrix(
+                                calculator, metrics_state, destination,
+                                epoch + 1, config_dict)
+                    _mark("cm_export_s")
 
-            if log_to_device:
-                append_csv_row(destination + "epoch_logs.csv", row)
-                model_files = []
-                if log_last:
-                    model_files.append("last_model_state_dict.msgpack")
-                if log_best and watched_metric in row:
-                    current = row[watched_metric]
-                    if pick(best_value, current) == current:
-                        best_value = current
-                        model_files.append("best_model_state_dict.msgpack")
-                if (epoch + 1) in checkpoints:
-                    model_files.append(
-                        f"model_state_dict_epoch_{epoch + 1}.msgpack")
-                save_model(model_files)
-                from ..parallel import gather_tree_to_host, is_main_process
-                opt_payload = {
-                    "opt_state": state.opt_state,
-                    "step": np.asarray(state.step),
-                    "micro_step": np.asarray(
-                        state.micro_step if state.micro_step is not None
-                        else state.step)}
-                if async_writer is None or jax.process_count() > 1:
-                    # collective gather before the single-writer gate,
-                    # like save_model: opt-state moments inherit the
-                    # params' (possibly cross-host) shardings
-                    opt_payload = gather_tree_to_host(opt_payload)
-                if is_main_process():
-                    save_state = ckpt.save_state_file \
-                        if async_writer is None else async_writer.save
-                    save_state(
-                        destination + "optimizer_state_dict.msgpack",
-                        opt_payload)
-                    # file-role parity with the reference's
-                    # scheduler_state_dict.pt: our schedules are pure
-                    # functions of the step counter, so the "state" is that
-                    # counter plus the schedule identity (forensics +
-                    # resume sanity)
-                    schedule = getattr(optimizer, "schedule", None)
-                    if schedule is not None:
+                if log_to_device:
+                    append_csv_row(destination + "epoch_logs.csv", row)
+                    model_files = []
+                    if log_last:
+                        model_files.append("last_model_state_dict.msgpack")
+                    if log_best and watched_metric in row:
+                        current = row[watched_metric]
+                        if pick(best_value, current) == current:
+                            best_value = current
+                            model_files.append("best_model_state_dict.msgpack")
+                    if (epoch + 1) in checkpoints:
+                        model_files.append(
+                            f"model_state_dict_epoch_{epoch + 1}.msgpack")
+                    save_model(model_files)
+                    from ..parallel import gather_tree_to_host, is_main_process
+                    opt_payload = {
+                        "opt_state": state.opt_state,
+                        "step": np.asarray(state.step),
+                        "micro_step": np.asarray(
+                            state.micro_step if state.micro_step is not None
+                            else state.step)}
+                    if async_writer is None or jax.process_count() > 1:
+                        # collective gather before the single-writer gate,
+                        # like save_model: opt-state moments inherit the
+                        # params' (possibly cross-host) shardings
+                        opt_payload = gather_tree_to_host(opt_payload)
+                    if is_main_process():
+                        save_state = ckpt.save_state_file \
+                            if async_writer is None else async_writer.save
                         save_state(
-                            destination + "scheduler_state_dict.msgpack",
-                            {"step": np.asarray(state.step),
-                             "unit": schedule.unit,
-                             "base": float(schedule.base)})
-            _mark("ckpt_s")
-            run_host_loggers(epoch + 1)
-            _mark("loggers_s")
-            if profile_cfg:
-                with swallow("Exception writing epoch_times.csv."):
-                    append_csv_row(profile_dir + "epoch_times.csv", {
-                        "epoch": epoch + 1,
-                        **{k: round(v, 4) for k, v in seg.items()},
-                        "total_s": round(sum(seg.values()), 4)})
-            if on_epoch is not None:
-                on_epoch(epoch, row, state)
-        except Exception as exc:  # noqa: BLE001 - reference error envelope
-            handle_exception(exc, f"Exception occured in epoch {epoch}.")
+                            destination + "optimizer_state_dict.msgpack",
+                            opt_payload)
+                        # file-role parity with the reference's
+                        # scheduler_state_dict.pt: our schedules are pure
+                        # functions of the step counter, so the "state" is that
+                        # counter plus the schedule identity (forensics +
+                        # resume sanity)
+                        schedule = getattr(optimizer, "schedule", None)
+                        if schedule is not None:
+                            save_state(
+                                destination + "scheduler_state_dict.msgpack",
+                                {"step": np.asarray(state.step),
+                                 "unit": schedule.unit,
+                                 "base": float(schedule.base)})
+                        # durable-epoch stamp, LAST through the same
+                        # writer: in async mode the worker lags the CSV
+                        # by up to its queue depth, so on a crash
+                        # epoch_logs.csv can be ahead of the on-disk
+                        # state.  FIFO order guarantees the stamp only
+                        # lands after this epoch's model+optimizer
+                        # writes; --continued resumes from
+                        # min(csv_rows, stamp) (check_for_continued).
+                        save_state(
+                            destination + "checkpoint_epoch.msgpack",
+                            {"epoch": int(epoch + 1)})
+                if async_writer is not None:
+                    # surface background write failures on the NEXT
+                    # epoch inside this envelope (sync-mode parity:
+                    # catch-log-continue), not as one fatal error after
+                    # the final epoch
+                    async_writer.poll()
+                _mark("ckpt_s")
+                run_host_loggers(epoch + 1)
+                _mark("loggers_s")
+                if profile_cfg:
+                    with swallow("Exception writing epoch_times.csv."):
+                        append_csv_row(profile_dir + "epoch_times.csv", {
+                            "epoch": epoch + 1,
+                            **{k: round(v, 4) for k, v in seg.items()},
+                            "total_s": round(sum(seg.values()), 4)})
+                if on_epoch is not None:
+                    on_epoch(epoch, row, state)
+            except Exception as exc:  # noqa: BLE001 - reference error envelope
+                handle_exception(exc, f"Exception occured in epoch {epoch}.")
 
-    if any(lg.do_last for lg in host_loggers):
-        run_host_loggers(num_epochs, last=True)
+        if any(lg.do_last for lg in host_loggers):
+            run_host_loggers(num_epochs, last=True)
 
-    if calculator is not None and calculator.requires_last_pass:
-        with swallow("Exception in last pass."):
-            eval_train = train_data if device_augment is None else (
-                {k: np.asarray(v) for k, v in batch.items()}
-                for batch in _augmented_loader(train_data))
-            metrics_state = calculator.init_state()
-            _, metrics_state = run_epoch(eval_step, state, metrics_state,
-                                         eval_train, accumulation_scale,
-                                         train=False, mesh=mesh,
-                                         threaded_prefetch=threaded_prefetch)
-            calculator.finalize_epoch(metrics_state)
-            if log_to_device and cm_do_last:
-                # 'last' CM export over final weights (reference
-                # MultiClassConfusionMatrix.save with last=True)
-                with swallow("Exception logging the confusion matrix."):
-                    _export_confusion_matrix(
-                        calculator, metrics_state, destination,
-                        num_epochs, config_dict, train=True)
-            metrics_state = calculator.init_state()
-            _, metrics_state = run_epoch(eval_step, state, metrics_state,
-                                         val_data, accumulation_scale,
-                                         train=False, mesh=mesh,
-                                         threaded_prefetch=threaded_prefetch)
-            calculator.finalize_epoch(metrics_state)
-            if log_to_device and cm_do_last:
-                with swallow("Exception logging the confusion matrix."):
-                    _export_confusion_matrix(
-                        calculator, metrics_state, destination,
-                        num_epochs, config_dict)
+        if calculator is not None and calculator.requires_last_pass:
+            with swallow("Exception in last pass."):
+                eval_train = train_data if device_augment is None else (
+                    {k: np.asarray(v) for k, v in batch.items()}
+                    for batch in _augmented_loader(train_data))
+                metrics_state = calculator.init_state()
+                _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                             eval_train, accumulation_scale,
+                                             train=False, mesh=mesh,
+                                             threaded_prefetch=threaded_prefetch)
+                calculator.finalize_epoch(metrics_state)
+                if log_to_device and cm_do_last:
+                    # 'last' CM export over final weights (reference
+                    # MultiClassConfusionMatrix.save with last=True)
+                    with swallow("Exception logging the confusion matrix."):
+                        _export_confusion_matrix(
+                            calculator, metrics_state, destination,
+                            num_epochs, config_dict, train=True)
+                metrics_state = calculator.init_state()
+                _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                             val_data, accumulation_scale,
+                                             train=False, mesh=mesh,
+                                             threaded_prefetch=threaded_prefetch)
+                calculator.finalize_epoch(metrics_state)
+                if log_to_device and cm_do_last:
+                    with swallow("Exception logging the confusion matrix."):
+                        _export_confusion_matrix(
+                            calculator, metrics_state, destination,
+                            num_epochs, config_dict)
 
-    if calculator is not None:
-        # reference train_model.py:294: end-of-training metric export hooks
-        # (e.g. the combined classwise-history plots, which read
-        # epoch_logs.csv back from the run directory)
-        with swallow("Exception in the end-of-training metric hooks."):
-            calculator.evaluate_at_end(
-                save_path=destination,
-                extensions=config_dict.get_str_tuple(
-                    "meta/technical/export_plots_as") or ("png",))
+        if calculator is not None:
+            # reference train_model.py:294: end-of-training metric export hooks
+            # (e.g. the combined classwise-history plots, which read
+            # epoch_logs.csv back from the run directory)
+            with swallow("Exception in the end-of-training metric hooks."):
+                calculator.evaluate_at_end(
+                    save_path=destination,
+                    extensions=config_dict.get_str_tuple(
+                        "meta/technical/export_plots_as") or ("png",))
 
-    if test_data:
-        try:
-            metrics_state = _init_metrics()
-            _, metrics_state = run_epoch(eval_step, state, metrics_state,
-                                         test_data, accumulation_scale,
-                                         train=False, mesh=mesh,
-                                         threaded_prefetch=threaded_prefetch)
-            test_row = _finalize(metrics_state)
-            if log_to_device:
-                append_csv_row(destination + "test_logs.csv", test_row)
-        except Exception as exc:  # noqa: BLE001
-            handle_exception(
-                exc, "Exception occured while evaluating the test data.")
+        if test_data:
+            try:
+                metrics_state = _init_metrics()
+                _, metrics_state = run_epoch(eval_step, state, metrics_state,
+                                             test_data, accumulation_scale,
+                                             train=False, mesh=mesh,
+                                             threaded_prefetch=threaded_prefetch)
+                test_row = _finalize(metrics_state)
+                if log_to_device:
+                    append_csv_row(destination + "test_logs.csv", test_row)
+            except Exception as exc:  # noqa: BLE001
+                handle_exception(
+                    exc, "Exception occured while evaluating the test data.")
 
-    _stop_timer()               # retire the profiling timer worker
-    if async_writer is not None:
-        async_writer.close()    # drain pending writes; surface any error
+    finally:
+        # ALWAYS retire the timer worker and drain the checkpoint
+        # queue - an exception unwinding the epoch region (e.g. a
+        # KeyboardInterrupt, which the per-epoch envelope
+        # deliberately does not catch) must not kill the daemon
+        # worker with queued last/best/optimizer writes unwritten,
+        # leaving epoch_logs.csv ahead of the on-disk state.  close()
+        # errors are logged, not raised: raising here would mask the
+        # in-flight exception, and per-epoch poll() already surfaced
+        # persistent write failures inside the reference envelope.
+        _stop_timer()
+        if async_writer is not None:
+            with swallow("Exception draining queued async checkpoint "
+                         "writes."):
+                async_writer.close()
     return state

@@ -747,3 +747,76 @@ def test_async_checkpoint_d2h_runs_on_worker_thread(tmp_path, monkeypatch):
     assert sync_threads and all(t == "MainThread" for t in sync_threads)
     assert async_threads and not any(t == "MainThread"
                                      for t in async_threads)
+
+
+def test_resume_best_value_reseeds_from_csv(tmp_path):
+    """--continued must not let a worse post-resume epoch clobber
+    best_model_state_dict.msgpack: the tracker re-seeds from the
+    already-logged rows instead of restarting at +/-inf."""
+    from medsegpretrainimagenet_tpu.train.loop import _resume_best_value
+
+    path = str(tmp_path / "epoch_logs.csv")
+    with open(path, "w") as fh:
+        fh.write("epoch,val_dice\n1,0.55\n2,0.91\n3,0.70\n")
+    assert _resume_best_value(path, "val_dice", max, 3) == 0.91
+    # only rows BEFORE epoch_start count (rolled-back epochs excluded)
+    assert _resume_best_value(path, "val_dice", max, 2) == 0.91
+    assert _resume_best_value(path, "val_dice", max, 1) == 0.55
+    assert _resume_best_value(path, "val_dice", min, 3) == 0.55
+    assert _resume_best_value(path, "missing_metric", max, 3) is None
+    assert _resume_best_value(str(tmp_path / "nope.csv"),
+                              "val_dice", max, 3) is None
+
+
+def test_async_checkpointer_poll_and_error_aggregation():
+    """poll() surfaces background failures without blocking forever,
+    and wait() reports EVERY failed path (a second failing sink must
+    not be silently dropped)."""
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    writer = ckpt.AsyncCheckpointer()
+    # /dev/null is a file, so these dirs can never be created
+    writer.save("/dev/null/a/x.msgpack", {"w": np.zeros(2)})
+    writer.save("/dev/null/b/y.msgpack", {"w": np.zeros(2)})
+    writer._queue.join()
+    with pytest.raises(RuntimeError) as exc:
+        writer.poll()
+    msg = str(exc.value)
+    assert "/dev/null/a/x.msgpack" in msg and "/dev/null/b/y.msgpack" in msg
+    writer.poll()           # errors were drained; now a no-op
+    writer.close()          # clean shutdown, no further errors
+
+
+def test_checkpoint_epoch_stamp_written_and_resume_uses_min(tmp_path):
+    """The durable-epoch stamp rides the same writer AFTER the epoch's
+    model/optimizer files, and --continued resumes from
+    min(csv_rows, stamp) when a crash left the CSV ahead."""
+    from medsegpretrainimagenet_tpu.cli.run_experiment import \
+        check_for_continued
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=1)
+    config["meta/technical/async_checkpointing"] = True
+    data = synthetic_segmentation_data(n=8)
+    train_model(model, make_loader(data), None, None, config,
+                optimizer, state, loss=loss, metrics_and_loss=calculator,
+                name="run_1", virtual_batch_size=4, true_batch_size=4,
+                verbose=False)
+    stamp_path = tmp_path / "run_1" / "checkpoint_epoch.msgpack"
+    assert stamp_path.exists()
+    assert int(ckpt.load_params_file(str(stamp_path))["epoch"]) == 1
+
+    # simulate an async-mode crash: CSV claims 3 epochs, stamp says 1
+    csv_path = tmp_path / "run_1" / "epoch_logs.csv"
+    with open(csv_path) as fh:
+        header, first = fh.read().splitlines()[:2]
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join([header, first, first, first]) + "\n")
+    resume_cfg = ConfigDict({
+        "meta": {"technical": {"absolute_path": str(tmp_path) + "/"}},
+        "experiment": {"number_of_epochs": 5}})
+    continued, run_start, epoch_start = check_for_continued(
+        ["--continued"], resume_cfg)
+    assert continued and run_start == 1
+    assert epoch_start == 1     # the stamp, not the 3 CSV rows
