@@ -820,3 +820,33 @@ def test_checkpoint_epoch_stamp_written_and_resume_uses_min(tmp_path):
         ["--continued"], resume_cfg)
     assert continued and run_start == 1
     assert epoch_start == 1     # the stamp, not the 3 CSV rows
+
+
+def test_resume_does_not_clobber_better_best_checkpoint(tmp_path):
+    """Integration: with epoch_start>0 and an epoch_logs.csv recording a
+    better pre-crash best, a worse post-resume epoch must NOT overwrite
+    best_model_state_dict.msgpack."""
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=2)
+    config["meta/technical/model_evaluation"] = ConfigDict(
+        {"metric": "val_metrics/dice_index_threshold_0.5", "mode": "max"})
+    dest = tmp_path / "run_1"
+    dest.mkdir()
+    # pre-crash history: epoch 1 scored an unbeatable 0.99
+    with open(dest / "epoch_logs.csv", "w") as fh:
+        fh.write("learning_rate,val_metrics/dice_index_threshold_0.5\n"
+                 "0.1,0.99\n")
+    sentinel = b"pre-crash best checkpoint bytes"
+    (dest / "best_model_state_dict.msgpack").write_bytes(sentinel)
+
+    data = synthetic_segmentation_data(n=8)
+    train_model(model, make_loader(data), make_loader(data), None, config,
+                optimizer, state, loss=loss, metrics_and_loss=calculator,
+                name="run_1", virtual_batch_size=4, true_batch_size=4,
+                verbose=False, epoch_start=1)
+    # the resumed epoch trains a near-random toy net: its val dice is
+    # far below 0.99, so the sentinel must survive
+    assert (dest / "best_model_state_dict.msgpack").read_bytes() \
+        == sentinel
+    # but last_model was rewritten by the resumed epoch
+    assert (dest / "last_model_state_dict.msgpack").stat().st_size > 1000
