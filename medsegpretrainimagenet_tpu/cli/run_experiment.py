@@ -742,7 +742,10 @@ def plot_and_save_history(logs_path: str, destination: str,
     if not is_main_process():   # one writer per shared destination
         return
     logs = _read_csv_columns(logs_path)
-    metric_names = [c for c in logs if not c.startswith("val_")]
+    # "epoch" is the resume-seeding key column (train/loop.py), not a
+    # metric — an epoch-vs-epoch history plot would be noise
+    metric_names = [c for c in logs
+                    if not c.startswith("val_") and c != "epoch"]
     argmixes: Dict[str, Dict[str, int]] = {}
     for metric in metric_names:
         metric_name = metric.split("/")[-1]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import math
 import os
+import sys
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -86,22 +87,48 @@ def append_csv_row(path: str, row: Dict[str, Any]) -> None:
 
 def _resume_best_value(csv_path: str, metric: str, pick, epoch_start: int):
     """The best already-achieved *metric* over the first *epoch_start*
-    rows of an existing epoch_logs.csv, or None.  A --continued resume
+    epochs of an existing epoch_logs.csv, or None.  A --continued resume
     must re-seed its best-model tracking from this: restarting at
     ±inf would let the first post-resume epoch overwrite
     best_model_state_dict.msgpack even when it is WORSE than the
-    pre-crash best."""
+    pre-crash best.
+
+    When the CSV carries an ``epoch`` column (every row this loop writes
+    does), seeding keys on it: the LAST row per epoch number <=
+    *epoch_start* wins.  A crash+resume appends duplicate epoch rows, so
+    after a SECOND resume ``rows[:epoch_start]`` is no longer "the first
+    epoch_start epochs" — positional slicing could seed from a
+    pre-first-crash row whose best-model write never landed.  Rows
+    without the column (pre-upgrade CSVs) fall back to the positional
+    slice.  Non-finite values are skipped either way: max()/min() over a
+    list containing NaN returns NaN, and pick(nan, current) == current
+    is always False — a NaN seed would permanently disable
+    best-checkpoint updates for the resumed run."""
     try:
         with open(csv_path, newline="") as fh:
             rows = list(csv.DictReader(fh))
     except OSError:
         return None
+    if rows and "epoch" in rows[0]:
+        last_per_epoch: Dict[int, Any] = {}
+        for row in rows:
+            try:
+                ep = int(float(row["epoch"]))
+            except (TypeError, ValueError):
+                continue
+            if ep <= epoch_start:
+                last_per_epoch[ep] = row
+        rows = [last_per_epoch[ep] for ep in sorted(last_per_epoch)]
+    else:
+        rows = rows[:epoch_start]
     values = []
-    for row in rows[:epoch_start]:
+    for row in rows:
         try:
-            values.append(float(row[metric]))
+            value = float(row[metric])
         except (KeyError, TypeError, ValueError):
             continue
+        if math.isfinite(value):
+            values.append(value)
     return pick(values) if values else None
 
 
@@ -467,7 +494,12 @@ def train_model(model, train_data, val_data, test_data,
 
         for epoch in epochs:
             try:
+                # "epoch" is an extras column vs the reference schema
+                # (train_model.py:242 writes none): it keys the
+                # duplicate-robust best-value re-seeding in
+                # _resume_best_value after crash+resume appends
                 row: Dict[str, Any] = {
+                    "epoch": epoch + 1,
                     "learning_rate": float(optimizer.lr_at(int(state.step)))}
 
                 # per-epoch phase split (train/cm_export/val/checkpoint/
@@ -701,13 +733,20 @@ def train_model(model, train_data, val_data, test_data,
         # KeyboardInterrupt, which the per-epoch envelope
         # deliberately does not catch) must not kill the daemon
         # worker with queued last/best/optimizer writes unwritten,
-        # leaving epoch_logs.csv ahead of the on-disk state.  close()
-        # errors are logged, not raised: raising here would mask the
-        # in-flight exception, and per-epoch poll() already surfaced
-        # persistent write failures inside the reference envelope.
+        # leaving epoch_logs.csv ahead of the on-disk state.  On a CLEAN
+        # exit close() errors RAISE: the per-epoch poll() runs right
+        # after submission (before the worker drained that epoch), so a
+        # failure in the LAST epoch's last/best/optimizer/stamp writes
+        # is only observable here — swallowing it would report a
+        # successful run whose final checkpoints never landed.  When an
+        # exception is already unwinding, close() errors are logged
+        # instead: raising would mask the in-flight exception.
         _stop_timer()
         if async_writer is not None:
-            with swallow("Exception draining queued async checkpoint "
-                         "writes."):
+            if sys.exc_info()[0] is not None:
+                with swallow("Exception draining queued async checkpoint "
+                             "writes."):
+                    async_writer.close()
+            else:
                 async_writer.close()
     return state

@@ -768,6 +768,61 @@ def test_resume_best_value_reseeds_from_csv(tmp_path):
                               "val_dice", max, 3) is None
 
 
+def test_resume_best_value_skips_nan_and_duplicate_epochs(tmp_path):
+    """Two regression guards on the re-seeding: (1) a NaN metric value
+    must be skipped — max() over a list containing NaN returns NaN, and
+    pick(nan, current) == current is always False, permanently disabling
+    best-checkpoint updates; (2) after crash+resume appends duplicate
+    epoch rows, seeding keys on the epoch column (LAST row per epoch
+    <= epoch_start), not on row position."""
+    from medsegpretrainimagenet_tpu.train.loop import _resume_best_value
+
+    path = str(tmp_path / "epoch_logs.csv")
+    with open(path, "w") as fh:
+        fh.write("epoch,val_dice\n1,nan\n2,0.6\n")
+    assert _resume_best_value(path, "val_dice", max, 2) == 0.6
+    with open(path, "w") as fh:
+        fh.write("epoch,val_dice\n1,nan\n")
+    assert _resume_best_value(path, "val_dice", max, 1) is None
+
+    # crash at epoch 3 (rows 1-3 logged, stamp said 1) -> resume re-ran
+    # epochs 2-3 with worse scores; a 2nd resume from epoch_start=3 must
+    # seed from the RE-RUN rows (whose best writes landed), not the
+    # pre-crash 0.9 whose best_model write never hit disk
+    with open(path, "w") as fh:
+        fh.write("epoch,val_dice\n"
+                 "1,0.5\n2,0.9\n3,0.85\n"     # pre-crash (2,3 rolled back)
+                 "2,0.6\n3,0.7\n")            # post-resume re-runs
+    assert _resume_best_value(path, "val_dice", max, 3) == 0.7
+    # positional fallback still works for pre-upgrade CSVs (no epoch col)
+    with open(path, "w") as fh:
+        fh.write("val_dice\n0.5\n0.9\n0.85\n")
+    assert _resume_best_value(path, "val_dice", max, 2) == 0.9
+
+
+def test_async_close_failure_raises_on_clean_exit(tmp_path, monkeypatch):
+    """A failure in the LAST epoch's async checkpoint writes is only
+    observable at close() (per-epoch poll() runs before the worker
+    drained that epoch) — on a clean exit it must RAISE, not log a
+    successful run whose final checkpoints never landed."""
+    from medsegpretrainimagenet_tpu.train import checkpoint as ckpt
+
+    model, optimizer, state, loss, calculator, config = build_training(
+        tmp_path, epochs=1)
+    config["meta/technical/async_checkpointing"] = True
+    data = synthetic_segmentation_data(n=8)
+
+    def boom(self):
+        raise RuntimeError("final-epoch write failed")
+    monkeypatch.setattr(ckpt.AsyncCheckpointer, "close", boom)
+    with pytest.raises(RuntimeError, match="final-epoch write failed"):
+        train_model(model, make_loader(data), None, None, config,
+                    optimizer, state, loss=loss,
+                    metrics_and_loss=calculator, name="run_1",
+                    virtual_batch_size=4, true_batch_size=4,
+                    verbose=False)
+
+
 def test_async_checkpointer_poll_and_error_aggregation():
     """poll() surfaces background failures without blocking forever,
     and wait() reports EVERY failed path (a second failing sink must

@@ -437,10 +437,13 @@ def test_whole_loop_trajectory_matches_reference_bitwise(tmp_path):
 
     # -- epoch_logs schema: every reference column exists here; extras
     #    are only the documented _pooled AUC columns (none in this set)
+    #    and the "epoch" resume-seeding key (train/loop.py writes it so
+    #    _resume_best_value survives duplicate rows after crash+resume)
     ref_cols = set(ref_rows[0].keys())
     our_cols = set(our_rows[0].keys())
     assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
-    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    extras = {c for c in our_cols - ref_cols
+              if not c.endswith("_pooled") and c != "epoch"}
     assert not extras, f"undocumented extra columns: {extras}"
     assert len(ref_rows) == len(our_rows) == N_EPOCHS
 

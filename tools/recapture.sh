@@ -10,8 +10,8 @@ cd /root/repo
 LOG=/tmp/recapture.log
 RF=/root/.cache/mst_bench_results.json
 SIDE=/tmp/bench_recap.json
-TARGETS="swin224_eval,covidqu256_e2e_breakdown,covidqu256_e2e_measured,covidqu256_cli_epoch"
-DEADLINE=$(( $(date +%s) + 12600 ))
+TARGETS="${RECAP_TARGETS:-swin224_eval,covidqu256_e2e_breakdown,covidqu256_e2e_measured,covidqu256_cli_epoch}"
+DEADLINE=$(( $(date +%s) + ${RECAP_BUDGET_S:-12600} ))
 LAST_ATTEMPT=0
 
 attempt() {
@@ -28,11 +28,28 @@ try:
 except Exception:
     side = {}
 real = json.load(open(real_p))
+# Per-metric merge direction: every bench metric today is
+# throughput-valued (img/s, higher better); a latency-valued metric
+# added later must be listed here or the merge refuses it loudly
+# instead of silently keeping the worse capture.
+LOWER_IS_BETTER = set()          # e.g. {'some_latency_ms'}
+HIGHER_IS_BETTER = {
+    'unet256_train', 'swin224_train', 'swin224_eval',
+    'swin224_eval_device', 'pretrain224_train',
+    'pretrain224_e2e_measured', 'covidqu256_e2e_breakdown',
+    'covidqu256_e2e_measured', 'covidqu256_cli_epoch'}
 merged = []
 for name, entry in side.items():
+    if name in LOWER_IS_BETTER:
+        better = lambda new, old: old == 0 or (new and new < old)
+    elif name in HIGHER_IS_BETTER:
+        better = lambda new, old: new > old
+    else:
+        print(f'REFUSING to merge unknown-direction metric {name!r}')
+        continue
     new_v = entry.get('line', {}).get('value') or 0
     old_v = real.get(name, {}).get('line', {}).get('value') or 0
-    if new_v > old_v:
+    if better(new_v, old_v):
         real[name] = entry
         merged.append((name, old_v, new_v))
 if merged:
