@@ -2,11 +2,13 @@
 
 Capability parity with ``/root/reference/src/utils/framework/plotters.py``:
 ``GeneralPlotter`` (multi-line metric curves with legends, baselines, log
-scale) exporting to json / png / svg / html, ``ScatterPlotter`` and
-``ConfMtxPlotter``.  JSON export writes the full parameter tree (so plots
-can be re-rendered later); png/svg use matplotlib; html uses bokeh when
-available and is skipped with a warning otherwise (bokeh is optional in
-this environment).
+scale), ``ScatterPlotter`` (45° line / jitter / opacity), ``PCAPlotter``
+(+ projector TSV) and ``ConfMtxPlotter`` (annotated heatmap), each
+exporting to json / png / svg / html.  JSON export writes the full
+parameter tree (so plots can be re-rendered later); png/svg use
+matplotlib; html uses bokeh (all four have ``render_bokeh``) when
+available and falls back to png with a warning otherwise (bokeh is
+optional in this environment).
 
 ``export_plot`` fans one plotter out to the configured formats under a
 watchdog timeout, mirroring ``utils/_utils.py:169-182``.
@@ -285,21 +287,110 @@ class GeneralPlotter(BasePlotter):
         save(fig)
 
 
+#: bokeh legend locations -> matplotlib loc strings
+_LEGEND_LOCS = {"top_left": "upper left", "top_right": "upper right",
+                "bottom_left": "lower left", "bottom_right": "lower right"}
+
+
 class ScatterPlotter(BasePlotter):
+    """Scatter plot(s) with the reference's visual content
+    (``plotters.py:480-699``): multi-series ``Xs``/``Ys``, the 45° line
+    (``line45_color``, None disables), per-point x jitter, opacity
+    (reference semantics: point alpha = 1 - opacity), circle size and a
+    placeable legend.  The single-series ``x``/``y`` params are kept for
+    existing callers.  The reference's "heatmap mode" is dead code there
+    (``plotters.py:562`` returns before it) and stays unported
+    (PARITY.md)."""
+
     DEFAULTS = {
-        "x": [], "y": [], "xlabel": "", "ylabel": "", "title": "",
+        "x": [], "y": [], "Xs": None, "Ys": None,
+        "xlabel": "", "ylabel": "", "title": "",
         "dirname": ".", "fname": "scatter", "labels": None,
+        "line45_color": None, "circle_size": 10, "x_jitter": 0,
+        "opacity": 0, "colors": None,
+        "legend": {"labels": [], "location": "bottom_right"},
     }
+
+    def _series(self):
+        """[(x, y), ...] float arrays — one per series."""
+        xs, ys = self.Xs, self.Ys
+        if xs is None or ys is None:
+            xs, ys = [self.x], [self.y]
+        elif len(xs) and np.ndim(xs[0]) == 0:
+            xs, ys = [xs], [ys]
+        return [(np.asarray(x, np.float64), np.asarray(y, np.float64))
+                for x, y in zip(xs, ys)]
+
+    def _labels(self, n: int):
+        labels = (self.legend or {}).get("labels", []) or self.labels or []
+        return [labels[i] if i < len(labels) else None for i in range(n)]
+
+    def _jittered(self, x: np.ndarray, i: int) -> np.ndarray:
+        if not self.x_jitter:
+            return x
+        # deterministic per-series jitter: re-exports must not shimmer
+        rng = np.random.default_rng(i)
+        return x + rng.uniform(-0.5, 0.5, x.shape) * float(self.x_jitter)
+
+    def _x_range(self, series):
+        xs = [x for x, _ in series if len(x)]
+        if not xs:
+            return 0.0, 1.0
+        return (float(min(x.min() for x in xs)),
+                float(max(x.max() for x in xs)))
 
     def render_matplotlib(self, plt):
         fig, ax = plt.subplots(figsize=(7, 6))
-        ax.scatter(self.x, self.y, s=12, alpha=0.8)
+        series = self._series()
+        labels = self._labels(len(series))
+        if self.line45_color:
+            lo, hi = self._x_range(series)
+            ax.plot([lo, hi], [lo, hi], color=self.line45_color, zorder=1)
+        alpha = min(1.0, max(0.05, 1.0 - float(self.opacity or 0)))
+        colors = self.colors or []
+        for i, (x, y) in enumerate(series):
+            ax.scatter(self._jittered(x, i), y, s=self.circle_size,
+                       alpha=alpha, label=labels[i],
+                       color=colors[i] if i < len(colors) else None)
         ax.set_xlabel(self.xlabel)
         ax.set_ylabel(self.ylabel)
         if self.title:
             ax.set_title(self.title)
+        if any(labels):
+            loc = (self.legend or {}).get("location", "bottom_right")
+            ax.legend(loc=_LEGEND_LOCS.get(loc, "best"))
         ax.grid(alpha=0.3)
         return fig
+
+    def render_bokeh(self):
+        """Reference visual content (``plotters.py:575-601``): the 45°
+        line, jittered circles with 1-opacity alpha, placeable legend."""
+        from bokeh.io import output_file, save
+        from bokeh.plotting import figure
+        fig = figure(title=self.title or "", x_axis_label=self.xlabel,
+                     y_axis_label=self.ylabel)
+        series = self._series()
+        labels = self._labels(len(series))
+        if self.line45_color:
+            lo, hi = self._x_range(series)
+            fig.line([lo, hi], [lo, hi], line_color=self.line45_color,
+                     line_width=2)
+        alpha = min(1.0, max(0.05, 1.0 - float(self.opacity or 0)))
+        colors = self.colors or []
+        for i, (x, y) in enumerate(series):
+            kwargs = {}
+            if labels[i]:
+                kwargs["legend_label"] = str(labels[i])
+            if i < len(colors) and colors[i]:
+                kwargs["color"] = colors[i]
+            fig.scatter(list(self._jittered(x, i)), list(y),
+                        size=self.circle_size, alpha=alpha, **kwargs)
+        if any(labels) and fig.legend:
+            loc = (self.legend or {}).get("location", "bottom_right")
+            for legend in fig.legend:
+                legend.location = loc
+        output_file(self._path("html"))
+        save(fig)
 
 
 class ConfMtxPlotter(BasePlotter):
@@ -341,6 +432,66 @@ class ConfMtxPlotter(BasePlotter):
             ax.set_title(self.title)
         return fig
 
+    def _normalised(self) -> np.ndarray:
+        matrix = np.asarray(self.matrix, dtype=np.float64)
+        if self.normalise and matrix.size:
+            rows = matrix.sum(axis=1, keepdims=True)
+            matrix = np.divide(matrix, rows, out=np.zeros_like(matrix),
+                               where=rows > 0)
+        return matrix
+
+    @staticmethod
+    def _blues_hex(frac: float) -> str:
+        """White->blue ramp (stands in for the reference's colorcet
+        palette, ``plotters.py:929``, without the dependency)."""
+        frac = min(1.0, max(0.0, float(frac)))
+        r = int(247 - frac * (247 - 8))
+        g = int(251 - frac * (251 - 48))
+        b = int(255 - frac * (255 - 107))
+        return f"#{r:02x}{g:02x}{b:02x}"
+
+    def render_bokeh(self):
+        """Annotated heatmap (reference ``plotters.py:884+``): one
+        colored rect per cell with its value drawn on top, prediction on
+        x, ground truth on y (row 0 at the top like the matplotlib
+        imshow)."""
+        from bokeh.io import output_file, save
+        from bokeh.plotting import figure
+        matrix = self._normalised()
+        n_rows, n_cols = matrix.shape if matrix.size else (0, 0)
+        labels = self.labels or [str(i) for i in range(max(n_rows,
+                                                          n_cols))]
+        vmax = 1.0 if (self.normalise or not matrix.size) \
+            else float(max(matrix.max(), 1.0))
+        xs, ys, fills, texts = [], [], [], []
+        for i in range(n_rows):
+            for j in range(n_cols):
+                xs.append(j)
+                ys.append(n_rows - 1 - i)     # row 0 on top
+                fills.append(self._blues_hex(matrix[i, j] / vmax))
+                texts.append(f"{matrix[i, j]:.2f}" if self.normalise
+                             else f"{matrix[i, j]:g}")
+        fig = figure(title=self.title or "", x_axis_label="prediction",
+                     y_axis_label="ground truth")
+        fig.rect(x=xs, y=ys, width=1, height=1, fill_color=fills,
+                 line_color="#cccccc")
+        # annotation: dark text on light cells, light on saturated ones
+        colors = ["#000000" if matrix.reshape(-1)[k] / vmax < 0.6
+                  else "#ffffff" for k in range(len(xs))]
+        fig.text(x=xs, y=ys, text=texts, text_color=colors,
+                 text_align="center", text_baseline="middle",
+                 text_font_size="9pt")
+        if n_cols and len(labels) >= n_cols:
+            fig.xaxis.ticker = list(range(n_cols))
+            fig.xaxis.major_label_overrides = {
+                j: str(labels[j]) for j in range(n_cols)}
+        if n_rows and len(labels) >= n_rows:
+            fig.yaxis.ticker = list(range(n_rows))
+            fig.yaxis.major_label_overrides = {
+                n_rows - 1 - i: str(labels[i]) for i in range(n_rows)}
+        output_file(self._path("html"))
+        save(fig)
+
 
 class PCAPlotter(BasePlotter):
     """2-D PCA scatter of one or more vector sets + TensorFlow-projector
@@ -374,18 +525,45 @@ class PCAPlotter(BasePlotter):
     def render_matplotlib(self, plt):
         fig, ax = plt.subplots(figsize=(8, 6))
         labels = (self.legend or {}).get("labels", []) or []
+        # reference opacity semantics (plotters.py:717): alpha = 1 -
+        # opacity (default 0.2 -> 0.8)
+        alpha = min(1.0, max(0.05, 1.0 - float(self.opacity or 0)))
         for i, pts in enumerate(self._project()):
             ax.scatter(pts[:, 0], pts[:, 1], s=self.circle_size,
-                       alpha=max(self.opacity, 0.4),
+                       alpha=alpha,
                        label=labels[i] if i < len(labels) else None)
         ax.set_xlabel(self.xlabel)
         ax.set_ylabel(self.ylabel)
         if self.title:
             ax.set_title(self.title)
         if labels:
-            ax.legend()
+            loc = (self.legend or {}).get("location", "bottom_right")
+            ax.legend(loc=_LEGEND_LOCS.get(loc, "best"))
         ax.grid(alpha=0.3)
         return fig
+
+    def render_bokeh(self):
+        """Reference visual content (``plotters.py:700-883``): one
+        circle glyph per vector group on the shared 2-D PCA projection,
+        1-opacity alpha, legend with a placeable location."""
+        from bokeh.io import output_file, save
+        from bokeh.plotting import figure
+        fig = figure(title=self.title or "", x_axis_label=self.xlabel,
+                     y_axis_label=self.ylabel)
+        labels = (self.legend or {}).get("labels", []) or []
+        alpha = min(1.0, max(0.05, 1.0 - float(self.opacity or 0)))
+        for i, pts in enumerate(self._project()):
+            kwargs = {}
+            if i < len(labels) and labels[i]:
+                kwargs["legend_label"] = str(labels[i])
+            fig.scatter(list(pts[:, 0]), list(pts[:, 1]),
+                        size=self.circle_size, alpha=alpha, **kwargs)
+        if labels and fig.legend:
+            loc = (self.legend or {}).get("location", "bottom_right")
+            for legend in fig.legend:
+                legend.location = loc
+        output_file(self._path("html"))
+        save(fig)
 
     def export_tsv(self):
         """TensorFlow-projector format: vectors.tsv + metadata.tsv."""
