@@ -236,7 +236,13 @@ def _relative_position_index(ws: Tuple[int, int]) -> np.ndarray:
 @register("segmentation.models.blocks.WindowAttention", "window_attention")
 class WindowAttention(nn.Module):
     """Windowed MHSA with relative position bias (reference
-    ``blocks.py:158-224``).  Input: (num_windows * B, N, C)."""
+    ``blocks.py:158-224``).  Input: (num_windows * B, N, C).
+
+    setup-style (not ``nn.compact``) so the windows-layout ``__call__``
+    and the fused image-layout :meth:`attend_image` share the same
+    ``qkv`` / ``proj`` / bias-table parameters (identical param tree,
+    checkpoint-compatible — param init values are keyed by path, not
+    creation order)."""
 
     dim: int = 0
     window_size: Tuple[int, int] = (7, 7)
@@ -246,25 +252,36 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        assert self.dim > 0, "WindowAttention needs dim set"
+        ws = self.window_size
+        self._qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                             name="qkv", dtype=compute_dtype())
+        self._proj = nn.Dense(self.dim, name="proj", dtype=compute_dtype())
+        self._table = self.param(
+            "relative_position_bias_table", _trunc02,
+            ((2 * ws[0] - 1) * (2 * ws[1] - 1), self.num_heads))
+
+    def _bias(self):
+        ws = self.window_size
+        index = _relative_position_index(ws)  # static numpy
+        return self._table[index.reshape(-1)].reshape(
+            ws[0] * ws[1], ws[0] * ws[1], self.num_heads).transpose(2, 0, 1)
+
+    def _scale(self, head_dim: int) -> float:
+        return self.qk_scale or head_dim ** -0.5
+
     def __call__(self, x, mask: Optional[jax.Array] = None,
                  train: bool = False):
         b_, n, c = x.shape
         heads = self.num_heads
         head_dim = c // heads
-        scale = self.qk_scale or head_dim ** -0.5
+        scale = self._scale(head_dim)
+        bias = self._bias()
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv", dtype=compute_dtype())(x)
+        qkv = self._qkv(x)
         qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]     # (B_, H, N, D)
-
-        ws = self.window_size
-        table = self.param(
-            "relative_position_bias_table", _trunc02,
-            ((2 * ws[0] - 1) * (2 * ws[1] - 1), heads))
-        index = _relative_position_index(ws)  # static numpy
-        bias = table[index.reshape(-1)].reshape(
-            ws[0] * ws[1], ws[0] * ws[1], heads).transpose(2, 0, 1)
 
         from ..ops import window_attention_core
         if self.attn_drop and train:
@@ -285,10 +302,34 @@ class WindowAttention(nn.Module):
             x = window_attention_core(q, k, v, bias, mask, scale,
                                       train=train)
         x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        x = nn.Dense(c, name="proj", dtype=compute_dtype())(x)
+        x = self._proj(x)
         if self.proj_drop:
             x = nn.Dropout(rate=self.proj_drop, deterministic=not train)(x)
         return x
+
+    def attend_image(self, x, mask: Optional[jax.Array] = None,
+                     train: bool = False):
+        """Image-layout forward: (B, R, R, C) -> (B, R, R, C).
+
+        The qkv/proj Denses are pointwise over tokens, so they apply in
+        image layout directly; the partition → head split → attention →
+        head merge → reverse pipeline between them runs as ONE Pallas
+        kernel (``ops.fused_image_window_attention``) whose BlockSpec
+        reads window tiles straight from the image layout — no HBM
+        layout copies.  Same params, same math as ``__call__`` on
+        partitioned windows."""
+        from ..ops.window_attention import fused_image_window_attention
+        c = x.shape[-1]
+        window = self.window_size[0]
+        qkv = self._qkv(x)                   # (B, R, R, 3C)
+        out = fused_image_window_attention(
+            qkv, self._bias(), mask, self._scale(c // self.num_heads),
+            window, train=train)
+        out = self._proj(out)
+        if self.proj_drop:
+            out = nn.Dropout(rate=self.proj_drop,
+                             deterministic=not train)(out)
+        return out
 
 
 def _shift_attn_mask(resolution: Tuple[int, int], window_size: int,
@@ -396,10 +437,21 @@ class SwinTransformerBlock(nn.Module):
         x = self.norm1(x).reshape(b, resolution, resolution, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        windows = window_partition(x, window).reshape(-1, window * window, c)
-        attn_windows = self.attn(windows, mask=self._attn_mask, train=train)
-        attn_windows = attn_windows.reshape(-1, window, window, c)
-        x = window_reverse(attn_windows, window, resolution, resolution)
+        from ..ops.window_attention import use_fused_image
+        if use_fused_image(train, compute_dtype()) \
+                and not (self.attn.attn_drop and train):
+            # fused image-layout path: partition/head-split/attention/
+            # head-merge/reverse in one Pallas kernel (no HBM layout
+            # copies); the cyclic shift stays outside as jnp.roll
+            x = self.attn.attend_image(x, mask=self._attn_mask,
+                                       train=train)
+        else:
+            windows = window_partition(x, window).reshape(
+                -1, window * window, c)
+            attn_windows = self.attn(windows, mask=self._attn_mask,
+                                     train=train)
+            attn_windows = attn_windows.reshape(-1, window, window, c)
+            x = window_reverse(attn_windows, window, resolution, resolution)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(b, length, c)

@@ -188,6 +188,191 @@ def _fused_bwd(scale, residuals, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused image-layout path: window partition + head split + attention +
+# head merge + window reverse in ONE kernel (the r4 "Mosaic windowed
+# gathers" lever).  The XLA path materialises the partition / head-split
+# / unsplit / reverse transposes as HBM round-trips — 25 % (train) / 39 %
+# (eval) of Swin device time per MFU_CLOSURE.json; here the BlockSpec
+# index map reads one row-of-windows tile straight from the (B, R, R, 3C)
+# layout and every repack happens in VMEM.
+# ---------------------------------------------------------------------------
+
+def _xla_image_attention(qkv, bias, mask, scale, window: int):
+    """Reference/fallback: the exact op sequence the fused kernel
+    replaces.  qkv: (B, R, R, 3C) -> out: (B, R, R, C)."""
+    b, r, _, c3 = qkv.shape
+    c = c3 // 3
+    heads = bias.shape[0]
+    d = c // heads
+    n = window * window
+    t = qkv.reshape(b, r // window, window, r // window, window, c3)
+    t = t.transpose(0, 1, 3, 2, 4, 5).reshape(-1, n, 3, heads, d)
+    t = t.transpose(2, 0, 3, 1, 4)                    # (3, B_, H, N, D)
+    out = _xla_window_attention(t[0], t[1], t[2], bias, mask, scale)
+    out = out.transpose(0, 2, 1, 3).reshape(
+        b, r // window, r // window, window, window, c)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, r, r, c)
+
+
+def _pallas_image_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *,
+                         scale: float, heads: int, window: int):
+    """One grid step: one row-of-windows, image layout in and out.
+
+    qkv_ref: (1, w, R, 3C) — w image rows covering R//w windows;
+    out_ref: (1, w, R, C).  All partition/head repacks stay in VMEM."""
+    _, w, r, c3 = qkv_ref.shape
+    c = c3 // 3
+    d = c // heads
+    n = w * w
+    n_wc = r // w
+    t = qkv_ref[0]                                   # (w, R, 3C)
+    t = t.reshape(w, n_wc, w * c3)
+    t = t.transpose(1, 0, 2)                         # (nWc, w, w*3C)
+    t = t.reshape(n_wc, n, 3, heads, d)
+    t = t.transpose(2, 0, 3, 1, 4)                   # (3, nWc, H, N, D)
+    qkv = t.reshape(3, n_wc * heads, n, d)
+    q = qkv[0] * jnp.asarray(scale, qkv.dtype)
+    logits = jax.lax.dot_general(
+        q, qkv[1], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(n_wc, heads, n, n)
+    logits = logits + bias_ref[...][None].astype(jnp.float32)
+    if mask_ref is not None:
+        logits = logits + mask_ref[...][:, None].astype(jnp.float32)
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs /= jnp.sum(probs, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(qkv.dtype).reshape(n_wc * heads, n, n), qkv[2],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    out = out.reshape(n_wc, heads, n, d)
+    out = out.transpose(0, 2, 1, 3).reshape(n_wc, w, w * c)
+    out = out.transpose(1, 0, 2).reshape(w, r, c)
+    out_ref[0] = out
+
+
+def _pallas_image_kernel_no_mask(qkv_ref, bias_ref, out_ref, *, scale,
+                                 heads, window):
+    _pallas_image_kernel(qkv_ref, bias_ref, None, out_ref, scale=scale,
+                         heads=heads, window=window)
+
+
+def _pallas_image_attention(qkv, bias, mask, scale, window: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, r, _, c3 = qkv.shape
+    c = c3 // 3
+    heads = bias.shape[0]
+    n = window * window
+    n_wc = r // window
+    grid = (b, n_wc)
+    qkv_spec = pl.BlockSpec((1, window, r, c3), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, window, r, c), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, bias_spec]
+    operands = [qkv, bias]
+    if mask is not None:
+        # window (i, j)'s mask row is i*nWc + j: grid step (b, i) covers
+        # exactly the contiguous slice [i*nWc, (i+1)*nWc)
+        in_specs.append(pl.BlockSpec((n_wc, n, n), lambda bi, i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask)
+        kernel = functools.partial(_pallas_image_kernel, scale=scale,
+                                   heads=heads, window=window)
+    else:
+        kernel = functools.partial(_pallas_image_kernel_no_mask,
+                                   scale=scale, heads=heads, window=window)
+    d = c // heads
+    flops = 2 * 2 * (b * n_wc * n_wc) * heads * n * n * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, r, r, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            transcendentals=b * n_wc * n_wc * heads * n * n,
+            bytes_accessed=(qkv.size + b * r * r * c) * qkv.dtype.itemsize),
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_image(qkv, bias, mask, scale, window):
+    return _pallas_image_attention(qkv, bias, mask, scale, window)
+
+
+def _fused_image_fwd(qkv, bias, mask, scale, window):
+    return _pallas_image_attention(qkv, bias, mask, scale, window), \
+        (qkv, bias, mask)
+
+
+def _fused_image_bwd(scale, window, residuals, g):
+    # backward rides the XLA op sequence (same policy as _fused: under
+    # training the XLA path wins, so grads through the fused path are a
+    # correctness fallback, not a hot path)
+    qkv, bias, mask = residuals
+    if mask is None:
+        _, pull = jax.vjp(
+            lambda a, b2: _xla_image_attention(a, b2, None, scale, window),
+            qkv, bias)
+        dqkv, dbias = pull(g)
+        return dqkv, dbias, None
+    _, pull = jax.vjp(
+        lambda a, b2, m: _xla_image_attention(a, b2, m, scale, window),
+        qkv, bias, mask)
+    return pull(g)
+
+
+_fused_image.defvjp(_fused_image_fwd, _fused_image_bwd)
+
+
+#: model-level dispatch for the fused image path: "off" (default — the
+#: windows-layout XLA pipeline, whose layout copies XLA already folds
+#: optimally per tools/swin_layout_ab.py), "on" (force, A/B tooling),
+#: "auto" (bf16 no-grad forward on TPU, like the windows-layout kernel).
+_FUSED_IMAGE_MODE = "off"
+
+
+def set_fused_image_mode(mode: str) -> None:
+    assert mode in ("auto", "on", "off"), mode
+    global _FUSED_IMAGE_MODE
+    _FUSED_IMAGE_MODE = mode
+
+
+def use_fused_image(train: bool, dtype) -> bool:
+    """Should SwinTransformerBlock route attention through the fused
+    image-layout kernel?  *dtype* is the COMPUTE dtype (the qkv Dense
+    output dtype), not the LN-output dtype."""
+    if _FUSED_IMAGE_MODE == "off":
+        return False
+    if _FUSED_IMAGE_MODE == "on":
+        return True
+    return (not train and dtype == jnp.bfloat16
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def fused_image_window_attention(qkv, bias, mask, scale, window: int,
+                                 force: Optional[str] = None,
+                                 train: bool = False):
+    """Image-layout window attention: qkv (B, R, R, 3C) -> (B, R, R, C).
+
+    Dispatch mirrors :func:`window_attention_core`: the Pallas kernel
+    serves the bf16 no-grad forward on TPU; everything else takes the
+    XLA op sequence (whose transposes XLA optimises freely)."""
+    impl = force or ("pallas" if (not train and qkv.dtype == jnp.bfloat16
+                                  and jax.default_backend()
+                                  in ("tpu", "axon")) else "xla")
+    if impl == "pallas":
+        return _fused_image(qkv, bias, mask, scale, window)
+    return _xla_image_attention(qkv, bias, mask, scale, window)
+
+
 def window_attention_core(q, k, v, bias,
                           mask: Optional[jax.Array], scale: float,
                           force: Optional[str] = None,

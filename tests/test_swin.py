@@ -228,6 +228,70 @@ def test_swin_block_param_count_analytic():
     assert n_params(v) == expected
 
 
+@pytest.mark.parametrize("position", [0, 1])   # W-MSA / masked SW-MSA
+def test_swin_block_fused_image_path_matches_default(position):
+    """The fused image-layout attention (partition + head split +
+    attention + merge + reverse in one Pallas kernel) must produce the
+    SAME block output as the windows-layout pipeline, through the real
+    SwinTransformerBlock with shared params — W-MSA and shifted/masked
+    SW-MSA both."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from medsegpretrainimagenet_tpu.ops import set_fused_image_mode
+
+    blk = SwinTransformerBlock(
+        in_channels=8, img_size=32, patch_size=4, embed_dim=8,
+        num_heads_layers=(2, 4), window_size=4, position=position)
+    rng = np.random.default_rng(3 + position)
+    x = jnp.asarray(rng.standard_normal((2, 64, 8)), jnp.float32)
+    v = blk.init(jax.random.key(0), x)
+    assert (blk._geometry()[3] > 0) == (position == 1)  # shift engaged
+    ref = blk.apply(v, x)
+    try:
+        set_fused_image_mode("on")
+        with pltpu.force_tpu_interpret_mode():
+            out = blk.apply(v, x)
+    finally:
+        set_fused_image_mode("off")
+    np.testing.assert_allclose(np.array(out), np.array(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_image_attention_grads_match_xla():
+    """Differentiating through the fused path (custom VJP -> XLA
+    backward) must match grads of the pure-XLA image pipeline."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from medsegpretrainimagenet_tpu.ops.window_attention import (
+        _xla_image_attention, fused_image_window_attention)
+
+    rng = np.random.default_rng(7)
+    b, r, w, h, d = 2, 8, 4, 2, 8
+    c = h * d
+    n = w * w
+    n_w = (r // w) ** 2
+    qkv = jnp.asarray(rng.standard_normal((b, r, r, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((n_w, n, n)) > 0.5, -100.0, 0.0), jnp.float32)
+    scale = d ** -0.5
+
+    def loss_fused(qkv, bias, mask):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_image_window_attention(
+                qkv, bias, mask, scale, w, force="pallas") ** 2)
+
+    def loss_ref(qkv, bias, mask):
+        return jnp.sum(_xla_image_attention(qkv, bias, mask, scale,
+                                            w) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, bias, mask)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, bias, mask)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.array(a), np.array(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_window_partition_reverse_roundtrip():
     x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
     w = window_partition(x, 4)
