@@ -11,6 +11,13 @@ LAST so a last-line parser records it.
 * ``swin224_train``  — Swin U-Net 224² bf16 train step
 * ``swin224_eval``   — Swin U-Net eval forward (Pallas window-attention
   dispatch path, ``ops/window_attention.py``)
+* ``swin224_eval_device`` — window-invariant eval: N forwards per
+  jitted ``fori_loop`` dispatch, one scalar sync (no per-step host-link
+  round-trips, so the number doesn't swing with tunnel health)
+* ``pretrain224_e2e_measured`` — the classification INPUT path: lazy
+  npy store -> ImageNet reader -> loader workers -> shipped
+  RandAugment/Mixup/OneHot chain -> uint8 H2D -> jitted step via
+  ``run_epoch``, with a host/H2D/step breakdown and the step-bound ratio
 * ``pretrain224_train`` — ImageNet-style pretraining step: U-Net encoder
   + GAP + 1000-way head, CE loss, uint8 H2D batches
 * ``covidqu256_e2e_breakdown`` — host-assemble / H2D / device-step time
@@ -57,7 +64,8 @@ SWIN_BATCH = int(os.environ.get("BENCH_SWIN_BATCH", "24"))
 PRETRAIN_BATCH = int(os.environ.get("BENCH_PRETRAIN_BATCH", "64"))
 #: canonical OUTPUT order (headline last, for last-line parsers); the
 #: MEASUREMENT order puts the headline first — see _measurement_order()
-ALL_METRICS = ("swin224_train", "swin224_eval", "pretrain224_train",
+ALL_METRICS = ("swin224_train", "swin224_eval", "swin224_eval_device",
+               "pretrain224_train", "pretrain224_e2e_measured",
                "covidqu256_e2e_breakdown", "covidqu256_e2e_measured",
                "covidqu256_cli_epoch", "unet256_train")
 HEADLINE = "unet256_train"
@@ -156,6 +164,11 @@ _EXTRA_KNOB_VARS = {
     "covidqu256_e2e_breakdown": ("BENCH_E2E_IMGS",),
     "covidqu256_e2e_measured": ("BENCH_E2E_IMGS", "BENCH_E2E_EPOCHS"),
     "covidqu256_cli_epoch": ("BENCH_CLI_PLATFORM", "BENCH_CLI_IMGS"),
+    "swin224_eval_device": ("BENCH_SWIN_EVAL_INNER",),
+    "pretrain224_e2e_measured": ("BENCH_PRETRAIN_IMGS",
+                                 "BENCH_PRETRAIN_WORKERS",
+                                 "BENCH_PRETRAIN_EPOCHS",
+                                 "BENCH_PRETRAIN_SIZE"),
 }
 
 
@@ -205,7 +218,9 @@ _WORKLOAD_FUNCS = {
                       "bench_torch_cpu", "_cached_baseline"),
     "swin224_train": ("_swin_module", "bench_swin224"),
     "swin224_eval": ("_swin_module", "bench_swin224"),
+    "swin224_eval_device": ("_swin_module", "bench_swin224_eval_device"),
     "pretrain224_train": ("_pretrain_step_setup", "bench_pretrain224"),
+    "pretrain224_e2e_measured": ("bench_pretrain_e2e",),
     "covidqu256_e2e_breakdown": ("bench_e2e_breakdown",),
     "covidqu256_e2e_measured": ("bench_e2e_measured",),
     "covidqu256_cli_epoch": ("bench_cli_epoch",),
@@ -493,6 +508,62 @@ def bench_swin224(train: bool):
                          "flops_per_step": flops, "batch": SWIN_BATCH})
 
 
+def bench_swin224_eval_device():
+    """Window-invariant Swin eval: N forward passes inside ONE jitted
+    fori_loop dispatch, one scalar readback at the end — per-step
+    dispatch RPCs and readbacks never touch the host link, so the number
+    does not swing with tunnel health the way ``swin224_eval`` does
+    (651-922 img/s between captures).  The loop carries a tiny
+    output-dependent perturbation of x (exactly 0 in bf16) so XLA cannot
+    hoist the loop-invariant forward out of the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    size = 224
+    inner = int(os.environ.get("BENCH_SWIN_EVAL_INNER", "8"))
+    module = _swin_module(size)
+    x = jnp.zeros((SWIN_BATCH, size, size, 3), jnp.bfloat16)
+    variables = module.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+
+    @jax.jit
+    def eval_n(params, x):
+        def body(_, carry):
+            acc, xc = carry
+            out = module.apply({"params": params}, xc, train=False)
+            m = out.astype(jnp.float32).mean()
+            # serial dependence: adding m * 1e-24 changes nothing in
+            # bf16 arithmetic but makes iteration i+1 consume i's output
+            xc = xc + (m * jnp.float32(1e-24)).astype(xc.dtype)
+            return acc + m, xc
+        acc, _ = jax.lax.fori_loop(0, inner, body,
+                                   (jnp.float32(0.0), x))
+        return acc
+
+    eval_n, flops, _ = _compile_with_flops(eval_n, params, x)
+
+    def run():
+        return eval_n(params, x)
+
+    _sync(run())                     # warm (AOT: already compiled)
+    sec = _time_steps(run)           # one dispatch = `inner` forwards
+    img_s = inner * SWIN_BATCH / sec
+    mfu = (flops / sec) / _peak_flops() if flops else None
+    return _emit(
+        "swin224_eval_device_images_per_sec_per_chip", img_s,
+        "images/sec/chip", mfu=mfu,
+        extras={"sec_per_dispatch": round(sec, 5),
+                "inner_forwards_per_dispatch": inner,
+                "batch": SWIN_BATCH,
+                "note": "device-only eval: N forwards per dispatch via "
+                        "lax.fori_loop, one scalar sync — invariant to "
+                        "host-link (tunnel) health, unlike swin224_eval"})
+
+
 # ---------------------------------------------------------------------------
 # ImageNet-style pretraining step (encoder + head, CE)
 # ---------------------------------------------------------------------------
@@ -575,6 +646,198 @@ def bench_pretrain224():
                  "images/sec/chip", mfu=mfu,
                  extras={"sec_per_step": round(sec, 5),
                          "flops_per_step": flops, "batch": PRETRAIN_BATCH})
+
+
+# ---------------------------------------------------------------------------
+# Pretraining e2e: lazy npy store -> loader workers -> shipped
+# classification transform chain -> uint8 H2D -> jitted step
+# ---------------------------------------------------------------------------
+
+def bench_pretrain_e2e():
+    """Can the ImageNet host input path feed the ~900 img/s pretraining
+    step?  Synthetic ImageNet-shaped store (per-image CHW uint8 npy +
+    labels.json, the reference's format — ``classification/
+    datasets.py:47``) -> the real ``ImageNet`` reader's lazy uint8 load
+    -> ``BalancedDataLoader`` (worker threads) -> the SHIPPED pretraining
+    train chain (``config/pretraining/unet_encoder/*.yaml``:
+    RandomResizedCrop / flip / RandAugment / OneHot / MixupOrCutMix /
+    RandomErasing — host-side numpy/cv2, ``classification/
+    transforms.py:78-94``) -> uint8 H2D -> the jitted encoder+head train
+    step via ``train/loop.run_epoch``.  Reports the achieved img/s, the
+    ratio to THIS model's bare step bound, and an un-overlapped
+    host/H2D/step breakdown."""
+    import shutil
+    import tempfile
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from medsegpretrainimagenet_tpu.cli.run_experiment import \
+        build_transform_pipelines
+    from medsegpretrainimagenet_tpu.config import ConfigDict
+    from medsegpretrainimagenet_tpu.data.loader import BalancedDataLoader
+    from medsegpretrainimagenet_tpu.data.readers.imagenet import ImageNet
+    from medsegpretrainimagenet_tpu.losses import CrossEntropyLoss, Loss
+    from medsegpretrainimagenet_tpu.models import UNetEncoder
+    from medsegpretrainimagenet_tpu.models.blocks import set_compute_dtype
+    from medsegpretrainimagenet_tpu.optim import Optimizer
+    from medsegpretrainimagenet_tpu.train import (TrainState,
+                                                  make_train_step)
+    from medsegpretrainimagenet_tpu.train.loop import run_epoch
+
+    if os.environ.get("BENCH_MP", "1") == "1":
+        set_compute_dtype(jnp.bfloat16)
+    # BENCH_PRETRAIN_SIZE exists for off-TPU smoke tests: XLA *CPU*
+    # compile of the scan-wrapped 224² encoder grads takes >10 min
+    size = int(os.environ.get("BENCH_PRETRAIN_SIZE", "224"))
+    stored, n_classes = size + 32, 1000
+    batch = PRETRAIN_BATCH
+    n_imgs = int(os.environ.get("BENCH_PRETRAIN_IMGS", str(8 * batch)))
+    workers = int(os.environ.get("BENCH_PRETRAIN_WORKERS", "4"))
+    workdir = tempfile.mkdtemp(prefix="mst_bench_pretrain_")
+    try:
+        rng = np.random.default_rng(0)
+        labels = {}
+        for i in range(n_imgs):
+            name = f"train_{i:05d}.npy"
+            np.save(os.path.join(workdir, name),
+                    rng.integers(0, 256, (3, stored, stored),
+                                 dtype=np.uint8))
+            labels[name] = int(rng.integers(1, n_classes + 1))
+        with open(os.path.join(workdir, "labels.json"), "w") as fh:
+            json.dump(labels, fh)
+
+        ds = ImageNet(ConfigDict({
+            "path": workdir, "use_official_validation": False,
+            "split": 0.0, "uint8_transfer": True, "seed": 0}), seed=0)
+
+        chain_cfg = ConfigDict({
+            "data": {
+                "data": {"classification.datasets.ImageNet": {
+                    "uint8_transfer": True}},
+                "transforms": {"train": (
+                    {"torchvision.transforms.RandomResizedCrop": {
+                        "size": size, "scale": (0.8, 1.0)}},
+                    "torchvision.transforms.RandomHorizontalFlip",
+                    "classification.transforms.RandAugment",
+                    {"classification.transforms.OneHotEncoding": {
+                        "num_classes": n_classes}},
+                    {"classification.transforms.MixupOrCutMix": {
+                        "mixup_params": {"distribution": "uniform",
+                                         "probability": 0.8}}},
+                    {"torchvision.transforms.RandomErasing": {
+                        "p": 0.25}},
+                ), "val": ()}}})
+        pipeline, _, _, datapoints, _ = build_transform_pipelines(
+            chain_cfg, seed=0)
+
+        loader_cfg = ConfigDict({"epoch": {"uniform": {}},
+                                 "batch": {"uniform": {}},
+                                 "relative_size": 1.0, "sort_by": None,
+                                 "pad_with": None})
+
+        def make_loader(n_workers):
+            return BalancedDataLoader(
+                ds.train, loader_cfg, bs=batch, actual_bs=batch,
+                transforms=pipeline,
+                datapoints_per_sample=datapoints["train"],
+                seed=0, drop_last=True, load_function=ds.load_function,
+                num_workers=n_workers)
+
+        loader = make_loader(workers)
+
+        class PretrainNet(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                feats = UNetEncoder(in_channel_size=3, depth=4)(
+                    x, train=train)
+                if isinstance(feats, (tuple, list)):
+                    feats = feats[0]
+                pooled = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
+                return nn.Dense(n_classes, dtype=jnp.float32)(pooled)
+
+        module = PretrainNet()
+        x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+        variables = module.init(jax.random.key(0), x0, train=True)
+        steps_per_epoch = n_imgs // batch
+        optimizer = Optimizer(ConfigDict({"sgd": {
+            "momentum": 0.9, "weight_decay": 0.0,
+            "learning_rate": {"constant": {"base": 0.01}}}}),
+            num_epochs=4, batches_per_epoch=max(1, steps_per_epoch))
+        state = TrainState.create(
+            variables, optimizer.tx.init(variables["params"]),
+            jax.random.key(1))
+        loss = Loss(CrossEntropyLoss,
+                    ConfigDict({"label type": "label",
+                                "label_smoothing": 0.1}))
+        step = make_train_step(module, loss, None, optimizer,
+                               grad_clip_value=1.0, donate=False)
+
+        def epoch():
+            nonlocal state
+            state, _ = run_epoch(step, state, None, loader)
+
+        epoch()                           # warmup: compile + caches
+        _sync(jax.tree_util.tree_leaves(state.params)[0])
+        timed_epochs = int(os.environ.get("BENCH_PRETRAIN_EPOCHS", "2"))
+        t0 = time.perf_counter()
+        for _ in range(timed_epochs):
+            epoch()
+        _sync(jax.tree_util.tree_leaves(state.params)[0])
+        sec = (time.perf_counter() - t0) / timed_epochs
+        img_s = steps_per_epoch * batch / sec
+
+        # un-overlapped breakdown: host chain alone, H2D alone, step alone
+        it = iter(loader)
+        host_batch = next(it)
+        t0 = time.perf_counter()
+        n_host = min(4, steps_per_epoch - 1)
+        for _ in range(n_host):
+            host_batch = next(it)
+        host_ms = (time.perf_counter() - t0) / max(1, n_host) * 1e3
+
+        _sync(jax.device_put(host_batch)["x"][0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            d = jax.device_put(host_batch)
+            _sync(d["x"][0, 0, 0])
+        h2d_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+        # bare step on a fixed on-device fragment stack (n_frag=1), the
+        # same jitted executable the loop runs
+        dev_stack = jax.device_put(
+            {k: np.asarray(v)[None] for k, v in host_batch.items()})
+
+        def bare_step():
+            nonlocal state
+            state, _, per = step(state, None, dev_stack)
+            return per["loss"]
+
+        _sync(bare_step())
+        step_sec = _time_steps(
+            bare_step, n=3 if jax.default_backend() == "cpu" else 10)
+        step_img_s = batch / step_sec
+
+        return _emit(
+            "pretrain224_e2e_measured_images_per_sec", img_s,
+            "images/sec/chip",
+            extras={
+                "sec_per_epoch": round(sec, 3),
+                "steps_per_epoch": steps_per_epoch, "batch": batch,
+                "loader_workers": workers,
+                "step_bound_images_per_sec": round(step_img_s, 1),
+                "fraction_of_step_bound": round(img_s / step_img_s, 3),
+                "host_chain_ms_per_batch": round(host_ms, 1),
+                "h2d_ms_per_batch": round(h2d_ms, 1),
+                "device_step_ms": round(step_sec * 1e3, 1),
+                "note": "lazy npy store -> ImageNet reader -> loader "
+                        "workers -> shipped RandAugment/Mixup chain -> "
+                        "uint8 H2D -> jitted encoder+head step via "
+                        "run_epoch; breakdown measured un-overlapped"})
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -968,7 +1231,9 @@ def run_metric(name):
     runners = {
         "swin224_train": lambda: bench_swin224(train=True),
         "swin224_eval": lambda: bench_swin224(train=False),
+        "swin224_eval_device": bench_swin224_eval_device,
         "pretrain224_train": bench_pretrain224,
+        "pretrain224_e2e_measured": bench_pretrain_e2e,
         "covidqu256_e2e_breakdown": bench_e2e_breakdown,
         "covidqu256_e2e_measured": bench_e2e_measured,
         "covidqu256_cli_epoch": bench_cli_epoch,

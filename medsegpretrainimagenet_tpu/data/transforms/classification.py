@@ -122,6 +122,31 @@ class MixupOrCutMix:
         return self.cutmix(k=k, **data)
 
 
+class _PerDatapointImage:
+    """k-datapoint awareness for x-only image transforms.
+
+    With a ``num_datapoints = 2`` consumer (Mixup/CutMix pair mixing)
+    later in the chain, upstream transforms receive ``x`` as a LIST of
+    images (loader extra_datapoints; same contract as
+    ``core.TransformWrapper``'s per-item replication).  The shipped
+    pretraining chain (``config/pretraining/unet_encoder/*.yaml``) puts
+    RandomResizedCrop / flip / RandAugment BEFORE MixupOrCutMix, so they
+    must apply per element; rng draws happen in list order, keeping the
+    stream deterministic."""
+
+    def _image(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, k: int = 1, **data):
+        x = data["x"]
+        if k > 1 and isinstance(x, list):
+            data["x"] = [self._image(xi) for xi in x]
+        else:
+            data["x"] = self._image(x)
+        data["k"] = k
+        return data
+
+
 # ---------------------------------------------------------------------------
 # RandAugment (native subset of torchvision's op table)
 # ---------------------------------------------------------------------------
@@ -200,7 +225,7 @@ def _equalize(img):
 
 
 @register("classification.transforms.RandAugment")
-class RandAugment:
+class RandAugment(_PerDatapointImage):
     """RandAugment over uint8-scaled images (reference wraps torchvision;
     this is a native numpy/cv2 implementation of the same op table)."""
 
@@ -218,8 +243,8 @@ class RandAugment:
             fill[0] if isinstance(fill, (list, tuple)) else fill)
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, k: int = 1, **data):
-        x = np.asarray(data["x"], dtype=np.float32)
+    def _image(self, x):
+        x = np.asarray(x, dtype=np.float32)
         scale = 1.0
         if x.max() <= 1.0 + 1e-6:  # [0,1]-scaled input: work in 0-255
             x = x * 255.0
@@ -230,9 +255,7 @@ class RandAugment:
         for _ in range(self.num_ops):
             op = ops[names[int(self.rng.integers(0, len(names)))]]
             x = np.clip(op(x), 0, 255)
-        data["x"] = (x / scale).astype(np.float32)
-        data["k"] = k
-        return data
+        return (x / scale).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -240,12 +263,12 @@ class RandAugment:
 # ---------------------------------------------------------------------------
 
 @register("torchvision.transforms.Resize")
-class TVResize:
+class TVResize(_PerDatapointImage):
     def __init__(self, size: int = 224, seed=None, **kwargs):
         self.size = size
 
-    def __call__(self, k: int = 1, **data):
-        x = np.asarray(data["x"], np.float32)
+    def _image(self, x):
+        x = np.asarray(x, np.float32)
         h, w = x.shape[:2]
         # torchvision semantics: resize the SHORTER side to `size`
         if isinstance(self.size, int):
@@ -256,18 +279,16 @@ class TVResize:
         else:
             nh, nw = self.size
         out = cv2.resize(x, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        data["x"] = out if out.ndim == 3 else out[..., None]
-        data["k"] = k
-        return data
+        return out if out.ndim == 3 else out[..., None]
 
 
 @register("torchvision.transforms.CenterCrop")
-class TVCenterCrop:
+class TVCenterCrop(_PerDatapointImage):
     def __init__(self, size: int = 224, seed=None, **kwargs):
         self.size = (size, size) if isinstance(size, int) else tuple(size)
 
-    def __call__(self, k: int = 1, **data):
-        x = np.asarray(data["x"])
+    def _image(self, x):
+        x = np.asarray(x)
         h, w = x.shape[:2]
         th, tw = self.size
         if h < th or w < tw:
@@ -278,26 +299,23 @@ class TVCenterCrop:
             x = np.pad(x, pad)
             h, w = x.shape[:2]
         top, left = (h - th) // 2, (w - tw) // 2
-        data["x"] = x[top:top + th, left:left + tw]
-        data["k"] = k
-        return data
+        return x[top:top + th, left:left + tw]
 
 
 @register("torchvision.transforms.RandomHorizontalFlip")
-class TVRandomHorizontalFlip:
+class TVRandomHorizontalFlip(_PerDatapointImage):
     def __init__(self, p: float = 0.5, seed=None, **kwargs):
         self.p = p
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, k: int = 1, **data):
+    def _image(self, x):
         if self.rng.random() < self.p:
-            data["x"] = np.ascontiguousarray(np.asarray(data["x"])[:, ::-1])
-        data["k"] = k
-        return data
+            return np.ascontiguousarray(np.asarray(x)[:, ::-1])
+        return x
 
 
 @register("torchvision.transforms.RandomResizedCrop")
-class RandomResizedCrop:
+class RandomResizedCrop(_PerDatapointImage):
     def __init__(self, size: int = 224, scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), seed=None, **kwargs):
         self.size = (size, size) if isinstance(size, int) else tuple(size)
@@ -305,8 +323,8 @@ class RandomResizedCrop:
         self.ratio = tuple(ratio)
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, k: int = 1, **data):
-        x = np.asarray(data["x"], np.float32)
+    def _image(self, x):
+        x = np.asarray(x, np.float32)
         h, w = x.shape[:2]
         area = h * w
         for _ in range(10):
@@ -326,13 +344,11 @@ class RandomResizedCrop:
             crop = x[top:top + side, left:left + side]
         out = cv2.resize(crop, (self.size[1], self.size[0]),
                          interpolation=cv2.INTER_LINEAR)
-        data["x"] = out if out.ndim == 3 else out[..., None]
-        data["k"] = k
-        return data
+        return out if out.ndim == 3 else out[..., None]
 
 
 @register("torchvision.transforms.ColorJitter")
-class ColorJitter:
+class ColorJitter(_PerDatapointImage):
     def __init__(self, brightness: float = 0.0, contrast: float = 0.0,
                  saturation: float = 0.0, hue: float = 0.0, seed=None,
                  **kwargs):
@@ -367,14 +383,11 @@ class ColorJitter:
             x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * scale
         return np.clip(x, 0.0, 1.0) if x.max() <= 1.5 else x
 
-    def __call__(self, k: int = 1, **data):
-        data["x"] = self.transform_image(data["x"])
-        data["k"] = k
-        return data
+    _image = transform_image
 
 
 @register("torchvision.transforms.RandomErasing")
-class RandomErasing:
+class RandomErasing(_PerDatapointImage):
     def __init__(self, p: float = 0.5, scale=(0.02, 0.33),
                  ratio=(0.3, 3.3), value: float = 0.0, seed=None, **kwargs):
         self.p = p
@@ -383,8 +396,8 @@ class RandomErasing:
         self.value = value
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, k: int = 1, **data):
-        x = np.asarray(data["x"])
+    def _image(self, x):
+        x = np.asarray(x)
         if self.rng.random() < self.p:
             h, w = x.shape[:2]
             for _ in range(10):
@@ -399,6 +412,4 @@ class RandomErasing:
                     x = np.array(x, copy=True)
                     x[top:top + eh, left:left + ew] = self.value
                     break
-        data["x"] = x
-        data["k"] = k
-        return data
+        return x

@@ -493,7 +493,8 @@ def test_multiclass_trajectory_matches_reference(tmp_path):
     ref_cols = set(ref_rows[0].keys())
     our_cols = set(our_rows[0].keys())
     assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
-    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    extras = {c for c in our_cols - ref_cols
+              if not c.endswith("_pooled") and c != "epoch"}
     assert not extras, f"undocumented extra columns: {extras}"
     assert len(ref_rows) == len(our_rows) == N_EPOCHS
 
@@ -540,7 +541,8 @@ def test_classification_trajectory_matches_reference(tmp_path):
     ref_cols = set(ref_rows[0].keys())
     our_cols = set(our_rows[0].keys())
     assert ref_cols <= our_cols, f"missing columns: {ref_cols - our_cols}"
-    extras = {c for c in our_cols - ref_cols if not c.endswith("_pooled")}
+    extras = {c for c in our_cols - ref_cols
+              if not c.endswith("_pooled") and c != "epoch"}
     assert not extras, f"undocumented extra columns: {extras}"
     assert len(ref_rows) == len(our_rows) == N_EPOCHS
 
