@@ -31,10 +31,19 @@ seed: 0
 """
 from __future__ import annotations
 
+import os
 import sys
 
-import jax
-import numpy as np
+# MST_PLATFORM=cpu forces the platform programmatically (same contract
+# as src/experiment.py — env vars alone cannot override a sitecustomize
+# that pins a plugin backend)
+if os.environ.get("MST_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MST_PLATFORM"])
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 def main(argv=None):
