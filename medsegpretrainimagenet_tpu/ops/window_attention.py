@@ -217,39 +217,44 @@ def _xla_image_attention(qkv, bias, mask, scale, window: int):
 
 def _pallas_image_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *,
                          scale: float, heads: int, window: int):
-    """One grid step: one row-of-windows, image layout in and out.
+    """One grid step: ONE window position across the whole batch,
+    image layout in and out.
 
-    qkv_ref: (1, w, R, 3C) — w image rows covering R//w windows;
-    out_ref: (1, w, R, C).  All partition/head repacks stay in VMEM."""
-    _, w, r, c3 = qkv_ref.shape
+    qkv_ref: (B, w, w, 3C) — the (i, j) window tile of every image,
+    gathered by the BlockSpec index map's strided DMA; out_ref:
+    (B, w, w, C).  Mosaic on this backend rejects minor-dim reshapes
+    (``(B,7,7,288)->(B,49,288)`` is an "unsupported shape cast"), so
+    the token flatten rides a sublane CONCAT of the w row slices, heads
+    ride lane-dim slices (offsets h*D — sub-128, a deliberate
+    misaligned-relayout cost this kernel A/Bs), and the un-flatten is w
+    strided row stores."""
+    b, _, w, _, _, c3 = qkv_ref.shape
     c = c3 // 3
     d = c // heads
-    n = w * w
-    n_wc = r // w
-    t = qkv_ref[0]                                   # (w, R, 3C)
-    t = t.reshape(w, n_wc, w * c3)
-    t = t.transpose(1, 0, 2)                         # (nWc, w, w*3C)
-    t = t.reshape(n_wc, n, 3, heads, d)
-    t = t.transpose(2, 0, 3, 1, 4)                   # (3, nWc, H, N, D)
-    qkv = t.reshape(3, n_wc * heads, n, d)
-    q = qkv[0] * jnp.asarray(scale, qkv.dtype)
-    logits = jax.lax.dot_general(
-        q, qkv[1], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(n_wc, heads, n, n)
-    logits = logits + bias_ref[...][None].astype(jnp.float32)
-    if mask_ref is not None:
-        logits = logits + mask_ref[...][:, None].astype(jnp.float32)
-    logits -= jnp.max(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(logits)
-    probs /= jnp.sum(probs, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        probs.astype(qkv.dtype).reshape(n_wc * heads, n, n), qkv[2],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
-    out = out.reshape(n_wc, heads, n, d)
-    out = out.transpose(0, 2, 1, 3).reshape(n_wc, w, w * c)
-    out = out.transpose(1, 0, 2).reshape(w, r, c)
-    out_ref[0] = out
+    t = qkv_ref[...].reshape(b, w, w, c3)     # squeeze the unit dims
+    t = jnp.concatenate([t[:, a] for a in range(w)], axis=1)  # (B, N, 3C)
+    bias = bias_ref[...]
+    scale_c = jnp.asarray(scale, t.dtype)
+    outs = []
+    for h in range(heads):
+        q = t[:, :, h * d:(h + 1) * d] * scale_c
+        k = t[:, :, c + h * d:c + (h + 1) * d]
+        v = t[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (B, N, N)
+        logits = logits + bias[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[...].astype(jnp.float32)  # (1,N,N)
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs /= jnp.sum(probs, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            probs.astype(t.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype))
+    o = jnp.concatenate(outs, axis=-1)                    # (B, N, C)
+    for a in range(w):
+        out_ref[:, 0, a, 0] = o[:, a * w:(a + 1) * w]
 
 
 def _pallas_image_kernel_no_mask(qkv_ref, bias_ref, out_ref, *, scale,
@@ -267,20 +272,35 @@ def _pallas_image_attention(qkv, bias, mask, scale, window: int):
     heads = bias.shape[0]
     n = window * window
     n_wc = r // window
-    grid = (b, n_wc)
-    qkv_spec = pl.BlockSpec((1, window, r, c3), lambda bi, i: (bi, i, 0, 0),
+    # batch block: whole-B window tiles overflow the ~16 MB VMEM budget
+    # at the deep (fat-C) levels — pick the largest divisor of B whose
+    # double-buffered in+out tiles fit comfortably
+    per_img = window * window * (c3 + c) * qkv.dtype.itemsize
+    b_blk = next((d for d in range(b, 0, -1)
+                  if b % d == 0 and d * per_img * 3 <= 4 * 1024 * 1024), 1)
+    grid = (b // b_blk, n_wc, n_wc)
+    # 6-D windowed VIEW (free row-major reshape): Pallas requires a
+    # block's last two dims to be 8/128-divisible OR equal to the array
+    # dims — a (.., 7, 288) window block of the raw (B, R, R, 3C) image
+    # violates that, but on (B, nWr, w, nWc, w, 3C) the (w, 3C) block
+    # tail EQUALS the array tail, so the per-window strided gather is
+    # legal and the DMA engine does it
+    qkv6 = qkv.reshape(b, n_wc, window, n_wc, window, c3)
+    qkv_spec = pl.BlockSpec((b_blk, 1, window, 1, window, c3),
+                            lambda bi, i, j: (bi, i, 0, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, window, r, c), lambda bi, i: (bi, i, 0, 0),
+    out_spec = pl.BlockSpec((b_blk, 1, window, 1, window, c),
+                            lambda bi, i, j: (bi, i, 0, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0),
+    bias_spec = pl.BlockSpec((heads, n, n), lambda bi, i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [qkv_spec, bias_spec]
     operands = [qkv, bias]
     if mask is not None:
-        # window (i, j)'s mask row is i*nWc + j: grid step (b, i) covers
-        # exactly the contiguous slice [i*nWc, (i+1)*nWc)
-        in_specs.append(pl.BlockSpec((n_wc, n, n), lambda bi, i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        # window (i, j)'s additive mask lives at row i*nWc + j
+        in_specs.append(pl.BlockSpec(
+            (1, n, n), lambda bi, i, j, _n=n_wc: (i * _n + j, 0, 0),
+            memory_space=pltpu.VMEM))
         operands.append(mask)
         kernel = functools.partial(_pallas_image_kernel, scale=scale,
                                    heads=heads, window=window)
@@ -289,17 +309,20 @@ def _pallas_image_attention(qkv, bias, mask, scale, window: int):
                                    scale=scale, heads=heads, window=window)
     d = c // heads
     flops = 2 * 2 * (b * n_wc * n_wc) * heads * n * n * d
-    return pl.pallas_call(
+    operands[0] = qkv6
+    out6 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, r, r, c), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_wc, window, n_wc, window, c), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             transcendentals=b * n_wc * n_wc * heads * n * n,
             bytes_accessed=(qkv.size + b * r * r * c) * qkv.dtype.itemsize),
     )(*operands)
+    return out6.reshape(b, r, r, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

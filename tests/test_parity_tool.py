@@ -15,10 +15,11 @@ import parity_tpu  # noqa: E402
 
 def test_scale_for_flagship_and_default(monkeypatch):
     monkeypatch.delenv("TRAJ_FORCE_TOY", raising=False)
+    # r5: flagship at the deployment resolution, swin unpinned to 64²
     assert parity_tpu._scale_for("unet") == {
-        "epochs": 8, "train": 64, "val": 16, "size": 128, "tbs": 8}
+        "epochs": 6, "train": 32, "val": 8, "size": 256, "tbs": 4}
     assert parity_tpu._scale_for("swin_unet") == {
-        "epochs": 6, "train": 16, "val": 8, "size": 32, "tbs": 4}
+        "epochs": 6, "train": 16, "val": 8, "size": 64, "tbs": 4}
     monkeypatch.setenv("TRAJ_FORCE_TOY", "1")
     assert parity_tpu._scale_for("unet")["size"] == 32
 

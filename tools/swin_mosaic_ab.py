@@ -122,10 +122,16 @@ def _time(fn, n):
     return (time.time() - t0) / n
 
 
-def ab(steps: int = 20, reps: int = 3) -> None:
+def ab(steps: int = 4, reps: int = 3, inner: int = 8) -> None:
     """Real-TPU ABBA of the bench swin224 eval forward, fused-image off
     vs on (the no-grad bf16 forward is where the 39 % formatting share
-    lives; train already dispatches to XLA by measurement)."""
+    lives; train already dispatches to XLA by measurement).
+
+    Timing is WINDOW-INVARIANT: each variant runs ``inner`` forwards
+    inside one jitted fori_loop dispatch with a single scalar sync
+    (same device-loop harness as bench ``swin224_eval_device``), so a
+    degraded tunnel's per-dispatch RTTs cannot compress the off/on
+    difference into fake noise."""
     batch = 24
     module = _swin224()
     x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
@@ -143,12 +149,21 @@ def ab(steps: int = 20, reps: int = 3) -> None:
                                - out.astype(jnp.float32))))
     print(json.dumps({"device_parity_eval_max_delta": pd}), flush=True)
 
+    def eval_n(params, x):
+        def body(_, carry):
+            acc, xc = carry
+            out = module.apply({"params": params}, xc, train=False)
+            m = out.astype(jnp.float32).mean()
+            xc = xc + (m * jnp.float32(1e-24)).astype(xc.dtype)
+            return acc + m, xc
+        acc, _ = jax.lax.fori_loop(0, inner, body, (jnp.float32(0.0), x))
+        return acc
+
     fns = {}
     for mode in ("off", "on"):
         set_fused_image_mode(mode)
         try:
-            fn = _eval_fn(module, params, x)
-            compiled = fn.lower(params, x).compile()
+            compiled = jax.jit(eval_n).lower(params, x).compile()
             fns[mode] = lambda c=compiled: c(params, x)
             _sync(fns[mode]())          # warm
         finally:
@@ -158,7 +173,7 @@ def ab(steps: int = 20, reps: int = 3) -> None:
     for rep in range(reps):
         order = ["off", "on"] if rep % 2 == 0 else ["on", "off"]
         for mode in order:
-            results[mode].append(batch / _time(fns[mode], steps))
+            results[mode].append(inner * batch / _time(fns[mode], steps))
         print(json.dumps({f"rep{rep}": {m: round(v[-1], 1)
                                         for m, v in results.items()
                                         if v}}), flush=True)
@@ -167,6 +182,7 @@ def ab(steps: int = 20, reps: int = 3) -> None:
         "stock_img_s": [round(v, 1) for v in results["off"]],
         "fused_img_s": [round(v, 1) for v in results["on"]],
         "gains": [round(g, 4) for g in gains],
+        "inner_forwards_per_dispatch": inner,
         "adopt": bool(gains) and all(g > 0.02 for g in gains),
         "device_parity_eval_max_delta": pd}}))
 
