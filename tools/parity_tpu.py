@@ -276,8 +276,32 @@ def _run_child() -> None:
         flush=True)
 
 
+def _cache_path(backend: str, precision: str, model: str) -> str:
+    """Per-child trajectory cache: trajectories are deterministic given
+    (model, backend, precision, scale), so a tunnel drop mid-run only
+    costs the children not yet measured — re-runs replay the finished
+    ones (the flaky-tunnel lesson: never re-pay a CPU child's minutes,
+    or a finished TPU child's tunnel window, for a later child's
+    failure).  Keyed additionally by the scale dict so FAMILY_SCALE
+    changes invalidate entries.  TRAJ_NO_CACHE=1 disables."""
+    import hashlib
+    scale = json.dumps(_scale_for(model), sort_keys=True)
+    key = hashlib.sha256(scale.encode()).hexdigest()[:10]
+    return f"/tmp/traj_cache_{model}_{backend}_{precision}_{key}.json"
+
+
 def _spawn(backend: str, precision: str, model: str = "unet",
            timeout_s: float = 1500):
+    cache = _cache_path(backend, precision, model)
+    if os.environ.get("TRAJ_NO_CACHE") != "1":
+        try:
+            with open(cache) as fh:
+                result = json.load(fh)
+            if len(result["rows"]) == _scale_for(model)["epochs"]:
+                print(f"  (cached: {cache})", flush=True)
+                return result
+        except (OSError, ValueError, KeyError):
+            pass
     env = {**os.environ, "TRAJ_BACKEND": backend,
            "TRAJ_PRECISION": precision, "TRAJ_MODEL": model,
            "TRAJ_CHILD": "1"}
@@ -299,6 +323,12 @@ def _spawn(backend: str, precision: str, model: str = "unet",
                     f"{len(result['rows'])} epoch rows, expected "
                     f"{expected} — an epoch died inside the error "
                     "envelope; trajectory unusable")
+            if os.environ.get("TRAJ_NO_CACHE") != "1":
+                try:
+                    with open(cache, "w") as fh:
+                        json.dump(result, fh)
+                except OSError:
+                    pass
             return result
     raise RuntimeError(
         f"{backend}/{precision} child failed rc={proc.returncode}: "

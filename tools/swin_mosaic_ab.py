@@ -18,11 +18,29 @@ Usage:
     python tools/swin_mosaic_ab.py bytes     # XLA cost-analysis bytes diff
     python tools/swin_mosaic_ab.py ab        # real-TPU ABBA (eval fwd)
 
-VERDICT: pending on-device measurement (run ``parity`` then ``bytes``
-then ``ab`` on the real chip; adopt — flip the dispatch default in
-``ops/window_attention.py`` to "auto" — only on an all-reps >2 % ABBA
-win with exact device parity; otherwise record the falsification here
-with the bytes evidence, like the other A/Bs).
+VERDICT (measured 2026-08-21, v5e, code_rev c64e3eb, 3 window-invariant
+ABBA reps of 8-forward fori_loop dispatches): **FALSIFIED for
+adoption** — do not enable.  On-device parity is exact (bf16 max delta
+0.0) and the MECHANISM works precisely as designed: XLA cost analysis
+shows the eval forward's bytes accessed dropping 19.03 -> 13.95 GB
+(-26.7 %) with equal flops, i.e. the kernel really does eliminate the
+layout-copy HBM round-trips.  But wall clock is DEAD EVEN: stock
+964.3-966.1 img/s vs fused 963.8-965.2 (gains +0.03 % / -0.05 % /
+-0.16 % — noise).  The priced misaligned-relayout cost (w=7 sublane
+concats, h*32 lane slices, strided row stores vs the 8x128 native
+grid) consumes in VPU time exactly what the removed copies saved in
+HBM time at this arithmetic intensity.  Conclusion: the 25-39 %
+"data formatting" share is copies running at full HBM rate that
+overlap/neighbor the rest of the pipeline — removing their BYTES does
+not shorten the CRITICAL PATH on this geometry; a win would need
+lane-aligned channels (C a 128-multiple), i.e. a different model
+geometry, not a better kernel.  The dispatch default stays "off"
+(equal speed, simpler battle-tested XLA path); the kernel + probes
+remain as the documented kill of the LAST named Swin lever.  Bonus
+finding: the window-invariant device-loop timing puts the TRUE eval
+forward at ~965 img/s — the old swin224_eval row (651-922, window-
+dependent) was per-dispatch-RTT-bound, which the new
+``swin224_eval_device`` bench metric now captures.
 """
 from __future__ import annotations
 
