@@ -101,8 +101,20 @@ def adapt_channels(imgs, want: Optional[int]):
 
 def _score_cells(rows, ds_name, encoder, views, metrics, margins, levels,
                  pooled) -> None:
+    # encoders differ in depth (the reference CSV has 4 swin levels vs 5
+    # for resnet50/u-net): levels beyond this encoder's
+    # ``[*skips, final]`` list are skipped for it, not an error
+    available = [lv for lv in levels if -len(views[0]) <= lv
+                 < len(views[0])]
+    dropped = [lv for lv in levels if lv not in available]
+    if dropped:
+        import warnings
+        warnings.warn(
+            f"encoder {encoder.get('name', 'encoder')!r} has "
+            f"{len(views[0])} activation levels; skipping requested "
+            f"levels {dropped}", stacklevel=2)
     for metric, margin, level, pool in itertools.product(
-            metrics, margins, levels, pooled):
+            metrics, margins, available, pooled):
         scorer = Robustness(DISTANCES[metric], margin)
         p0, p1 = (pool_spatial(v[level]) if pool else v[level]
                   for v in views)

@@ -5,6 +5,7 @@ import csv
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from medsegpretrainimagenet_tpu.models import UNetEncoder
@@ -181,6 +182,25 @@ def test_run_sweep_and_csv(tmp_path):
     assert list(read[0].keys()) == [
         "dataset", "metric", "margin", "encoder", "pretraining_scheme",
         "pooled", "level", "pretraining_length", "robustness"]
+
+
+def test_run_sweep_skips_levels_beyond_encoder_depth():
+    """Encoders differ in depth (reference CSV: 4 swin levels vs 5 for
+    resnet50/u-net): levels past an encoder's [*skips, final] list are
+    skipped for that encoder with a warning, not an IndexError (r5
+    regression: the 3-family 224² sweep crashed on the depth-3 swin at
+    level 4)."""
+    module, variables = _encoder()      # depth-2: 3 activation levels
+    imgs = np.random.default_rng(0).random((4, 16, 16, 3))
+    with pytest.warns(UserWarning, match="skipping requested levels"):
+        rows = run_sweep(
+            encoders=[{"module": module, "variables": variables,
+                       "name": "shallow"}],
+            datasets={"d": imgs},
+            metrics=("l2",), margins=(0.0,),
+            levels=(1, 4), pooled=(True,), batch_size=2)
+    assert {int(r["level"]) for r in rows} == {1}
+    assert len(rows) == 1
 
 
 def test_run_sweep_same_probe_views_for_every_encoder():

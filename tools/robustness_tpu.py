@@ -154,8 +154,20 @@ def main(out_path: str = os.path.join(REPO, "ROBUSTNESS_TPU.json")) -> int:
     with open(REFERENCE_CSV) as fh:
         ref_header = next(csv.reader(fh))
 
+    # per-encoder level availability (the reference CSV likewise has 4
+    # swin levels vs 5 for resnet50/u-net): an encoder of depth d
+    # exposes [*d skips, final] = d+1 activation entries, so requested
+    # levels clamp at d (u-net depth 4, resnet50 4 stages, swin depth 3
+    # at 224 / 1 at smoke sizes)
+    swin_depth = 3 if size >= 224 else 1
+    expected_levels = {
+        "u-net_encoder": [lv for lv in LEVELS if lv <= 4],
+        "resnet50": [lv for lv in LEVELS if lv <= 4],
+        "swin_transformer": [lv for lv in LEVELS if lv <= swin_depth],
+    }
     expected = (len(cfg["data"]) * len(METRICS) * len(MARGINS)
-                * len(encoders) * len(POOLED) * len(LEVELS))
+                * len(POOLED)
+                * sum(len(v) for v in expected_levels.values()))
     values = [float(r["robustness"]) for r in rows]
     by_encoder = {}
     for r in rows:
@@ -179,7 +191,10 @@ def main(out_path: str = os.path.join(REPO, "ROBUSTNESS_TPU.json")) -> int:
     import jax
     artifact = {
         "ok": (header == ref_header and len(rows) == expected
-               and all(np.isfinite(values))),
+               and all(np.isfinite(values))
+               and {k: sorted(v) for k, v in by_encoder.items()}
+               == expected_levels),
+        "expected_levels_per_encoder": expected_levels,
         "rows": len(rows),
         "rows_expected": expected,
         "schema_equal_to_reference": header == ref_header,
