@@ -168,7 +168,8 @@ _EXTRA_KNOB_VARS = {
     "pretrain224_e2e_measured": ("BENCH_PRETRAIN_IMGS",
                                  "BENCH_PRETRAIN_WORKERS",
                                  "BENCH_PRETRAIN_EPOCHS",
-                                 "BENCH_PRETRAIN_SIZE"),
+                                 "BENCH_PRETRAIN_SIZE",
+                                 "BENCH_PRETRAIN_DEVICE_AUG"),
 }
 
 
@@ -738,11 +739,15 @@ def bench_pretrain_e2e():
                                  "relative_size": 1.0, "sort_by": None,
                                  "pad_with": None})
 
-        def make_loader(n_workers):
+        def make_loader(n_workers, transforms=pipeline,
+                        datapoints_per_sample=None):
+            if datapoints_per_sample is None:
+                datapoints_per_sample = datapoints["train"] \
+                    if transforms is pipeline else 1
             return BalancedDataLoader(
                 ds.train, loader_cfg, bs=batch, actual_bs=batch,
-                transforms=pipeline,
-                datapoints_per_sample=datapoints["train"],
+                transforms=transforms,
+                datapoints_per_sample=datapoints_per_sample,
                 seed=0, drop_last=True, load_function=ds.load_function,
                 num_workers=n_workers)
 
@@ -820,6 +825,49 @@ def bench_pretrain_e2e():
             bare_step, n=3 if jax.default_backend() == "cpu" else 10)
         step_img_s = batch / step_sec
 
+        # the in-repo lever, measured (VERDICT r4 #4): move the chain ON
+        # DEVICE (ops.make_classification_device_augment: crop/flip/
+        # mixup-or-cutmix/one-hot/erasing inside the jitted step;
+        # RandAugment stays host-optional) so the host pipeline reduces
+        # to lazy uint8 loads + stacking of the STORED-size images
+        dev_extras = {}
+        if os.environ.get("BENCH_PRETRAIN_DEVICE_AUG", "1") != "0":
+            from medsegpretrainimagenet_tpu.ops.augment import \
+                make_classification_device_augment
+            raw_loader = make_loader(workers, transforms=None)
+            dev_augment = make_classification_device_augment(
+                out_size=size, n_classes=n_classes,
+                crop_scale=(0.8, 1.0), flip_probability=0.5,
+                mixup_switch_probability=0.5, mixup_probability=0.8,
+                erasing_probability=0.25)
+            state_d = TrainState.create(
+                variables, optimizer.tx.init(variables["params"]),
+                jax.random.key(2))
+            step_d = make_train_step(module, loss, None, optimizer,
+                                     grad_clip_value=1.0, donate=False,
+                                     device_augment=dev_augment)
+
+            def epoch_d():
+                nonlocal state_d
+                state_d, _ = run_epoch(step_d, state_d, None, raw_loader)
+
+            epoch_d()
+            _sync(jax.tree_util.tree_leaves(state_d.params)[0])
+            t0 = time.perf_counter()
+            for _ in range(timed_epochs):
+                epoch_d()
+            _sync(jax.tree_util.tree_leaves(state_d.params)[0])
+            sec_d = (time.perf_counter() - t0) / timed_epochs
+            dev_extras = {
+                "device_aug_images_per_sec": round(
+                    steps_per_epoch * batch / sec_d, 1),
+                "device_aug_fraction_of_step_bound": round(
+                    steps_per_epoch * batch / sec_d / step_img_s, 3),
+                "device_aug_note":
+                    "host = lazy uint8 loads + stacking only; crop/"
+                    "flip/mixup-or-cutmix/one-hot/erase run inside the "
+                    "jitted step (RandAugment excluded — host-optional)"}
+
         return _emit(
             "pretrain224_e2e_measured_images_per_sec", img_s,
             "images/sec/chip",
@@ -832,6 +880,7 @@ def bench_pretrain_e2e():
                 "host_chain_ms_per_batch": round(host_ms, 1),
                 "h2d_ms_per_batch": round(h2d_ms, 1),
                 "device_step_ms": round(step_sec * 1e3, 1),
+                **dev_extras,
                 "note": "lazy npy store -> ImageNet reader -> loader "
                         "workers -> shipped RandAugment/Mixup chain -> "
                         "uint8 H2D -> jitted encoder+head step via "

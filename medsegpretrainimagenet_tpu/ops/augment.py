@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["rotate_batch", "flip_batch", "repeat_channels",
-           "make_device_augment"]
+           "make_device_augment", "random_resized_crop_batch",
+           "erase_batch", "mixup_or_cutmix_batch",
+           "make_classification_device_augment"]
 
 
 def _grid(h: int, w: int, angles_rad: jax.Array):
@@ -182,6 +184,202 @@ def make_device_augment(rotation_limit: Optional[float] = None,
         if channel_repeats:
             x = repeat_channels(x, channel_repeats)
         batch["x"] = x
+        return batch
+
+    return augment
+
+
+# ---------------------------------------------------------------------------
+# classification pretraining chain, on device
+# ---------------------------------------------------------------------------
+#
+# The host chain (config/pretraining/*: RandomResizedCrop -> flip ->
+# RandAugment -> OneHot -> MixupOrCutMix -> RandomErasing, numpy/cv2 in
+# data/transforms/classification.py) measures ~4.6 ms/image on a 1-core
+# host -- a ~215 img/s ceiling against the ~880 img/s pretraining step
+# (bench pretrain224_e2e_measured).  These ops move the chain into the
+# jitted step so the host pipeline reduces to lazy uint8 loads + batch
+# stacking.  Two documented deviations from the host semantics (both
+# jit-shape constraints, not quality regressions):
+#  * RandomResizedCrop draws ONE clamped box per sample instead of
+#    torchvision's 10-attempt rejection loop (differs only for extreme
+#    aspect draws, where the host falls back to a center crop);
+#  * Mixup/CutMix pair each sample with a batch PERMUTATION partner
+#    (timm-style) instead of the loader's independent second datapoint
+#    -- pairs come from the same shuffled epoch either way.
+# RandAugment stays host-side (its 14-op table is data-dependent
+# branch-heavy; lift it only with a measured win).
+
+
+def _bilinear_hw(img, sy, sx):
+    """Bilinear sample img (H, W, C) at float coords sy/sx (h', w'),
+    clamped-edge (boxes are inside the image by construction)."""
+    h, w = img.shape[:2]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    v00 = _gather_hw(img, y0i, x0i)
+    v01 = _gather_hw(img, y0i, x1i)
+    v10 = _gather_hw(img, y1i, x0i)
+    v11 = _gather_hw(img, y1i, x1i)
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def random_resized_crop_batch(rng: jax.Array, images: jax.Array,
+                              out_size: int,
+                              scale=(0.08, 1.0),
+                              ratio=(3 / 4, 4 / 3)) -> jax.Array:
+    """Per-sample RandomResizedCrop to (out_size, out_size), bilinear
+    (torchvision / cv2 half-pixel-center convention)."""
+    n, h, w, _ = images.shape
+    k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
+    area = h * w * jax.random.uniform(
+        k_area, (n,), minval=scale[0], maxval=scale[1])
+    import math
+    log_r = jax.random.uniform(k_ratio, (n,),
+                               minval=math.log(ratio[0]),
+                               maxval=math.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    top = jax.random.uniform(k_top, (n,)) * (h - ch)
+    left = jax.random.uniform(k_left, (n,)) * (w - cw)
+    centers = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    sy = top[:, None] + centers[None] * (ch[:, None] / out_size) - 0.5
+    sx = left[:, None] + centers[None] * (cw[:, None] / out_size) - 0.5
+
+    def one(img, syi, sxi):
+        syg, sxg = jnp.meshgrid(syi, sxi, indexing="ij")
+        return _bilinear_hw(img.astype(jnp.float32), syg, sxg)
+
+    out = jax.vmap(one)(images, sy, sx)
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return jnp.round(out).astype(images.dtype)
+    return out.astype(images.dtype)
+
+
+def erase_batch(rng: jax.Array, images: jax.Array, p: float = 0.5,
+                scale=(0.02, 0.33), ratio=(0.3, 3.3),
+                value: float = 0.0) -> jax.Array:
+    """torchvision RandomErasing: per-sample random rectangle fill."""
+    n, h, w, _ = images.shape
+    import math
+    k_gate, k_area, k_ratio, k_top, k_left = jax.random.split(rng, 5)
+    gate = jax.random.bernoulli(k_gate, p, (n,))
+    area = h * w * jax.random.uniform(
+        k_area, (n,), minval=scale[0], maxval=scale[1])
+    aspect = jnp.exp(jax.random.uniform(
+        k_ratio, (n,), minval=math.log(ratio[0]),
+        maxval=math.log(ratio[1])))
+    eh = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    ew = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    top = jax.random.uniform(k_top, (n,)) * (h - eh)
+    left = jax.random.uniform(k_left, (n,)) * (w - ew)
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    inside = ((yy >= top[:, None, None]) & (yy < (top + eh)[:, None, None])
+              & (xx >= left[:, None, None])
+              & (xx < (left + ew)[:, None, None]))
+    hit = (inside & gate[:, None, None])[..., None]
+    return jnp.where(hit, jnp.asarray(value, images.dtype), images)
+
+
+def mixup_or_cutmix_batch(rng: jax.Array, x: jax.Array,
+                          labels_onehot: jax.Array,
+                          switch_probability: float = 0.5,
+                          mixup_probability: float = 1.0,
+                          mixup_maximum: float = 1.0,
+                          cutmix_probability: float = 1.0,
+                          cutmix_alpha: float = 1.0):
+    """Batch-level MixupOrCutMix over permutation partners.
+
+    Mixup follows the shipped uniform-distribution config
+    (``lam ~ U(0, maximum)``, ``x = (1-lam) x1 + lam x2`` -- host
+    ``transform.Mixup``); CutMix is the classification rectangle variant
+    with beta-sampled area and area-exact label mixing
+    (``classification.transforms.CutMix``)."""
+    n, h, w, _ = x.shape
+    (k_perm, k_switch, k_mgate, k_lam, k_cgate, k_beta, k_rx,
+     k_ry) = jax.random.split(rng, 8)
+    perm = jax.random.permutation(k_perm, n)
+    x2 = x[perm]
+    y2 = labels_onehot[perm]
+    use_mixup = jax.random.bernoulli(k_switch, switch_probability, (n,))
+
+    # mixup arm
+    m_gate = jax.random.bernoulli(k_mgate, mixup_probability, (n,))
+    lam_m = jax.random.uniform(k_lam, (n,),
+                               maxval=mixup_maximum) * m_gate
+    # cutmix arm (reference: beta-sampled lam, half-side = sqrt(1-lam)/2,
+    # box wrapped at the borders is NOT wrapped here -- clamped box with
+    # area-exact label lam)
+    c_gate = jax.random.bernoulli(k_cgate, cutmix_probability, (n,))
+    lam_c = jax.random.beta(k_beta, cutmix_alpha, cutmix_alpha, (n,))
+    half = jnp.sqrt(1 - lam_c) / 2
+    bh = jnp.round(jnp.clip(2 * half * h, 0, h))
+    bw = jnp.round(jnp.clip(2 * half * w, 0, w))
+    ry = jnp.floor(jax.random.uniform(k_ry, (n,)) * (h - bh + 1))
+    rx = jnp.floor(jax.random.uniform(k_rx, (n,)) * (w - bw + 1))
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    in_box = ((yy >= ry[:, None, None]) & (yy < (ry + bh)[:, None, None])
+              & (xx >= rx[:, None, None])
+              & (xx < (rx + bw)[:, None, None]))
+    in_box = in_box & c_gate[:, None, None]
+    mixed_frac = (in_box.sum(axis=(1, 2)) / (h * w)).astype(jnp.float32)
+
+    x_mix = ((1 - lam_m)[:, None, None, None] * x.astype(jnp.float32)
+             + lam_m[:, None, None, None] * x2.astype(jnp.float32))
+    x_cut = jnp.where(in_box[..., None], x2.astype(jnp.float32),
+                      x.astype(jnp.float32))
+    x_out = jnp.where(use_mixup[:, None, None, None], x_mix, x_cut)
+    lam_label = jnp.where(use_mixup, lam_m, mixed_frac)
+    y_out = ((1 - lam_label)[:, None] * labels_onehot
+             + lam_label[:, None] * y2)
+    return x_out.astype(jnp.float32), y_out
+
+
+def make_classification_device_augment(
+        out_size: int, n_classes: int,
+        crop_scale=(0.08, 1.0), crop_ratio=(3 / 4, 4 / 3),
+        flip_probability: float = 0.5,
+        mixup_switch_probability: float = 0.5,
+        mixup_probability: float = 0.8,
+        mixup_maximum: float = 1.0,
+        cutmix_probability: float = 1.0,
+        erasing_probability: float = 0.25) -> Callable:
+    """The pretraining train chain as one jitted ``(rng, batch) -> batch``:
+    RandomResizedCrop -> horizontal flip -> OneHot -> MixupOrCutMix ->
+    RandomErasing, on the already-transferred uint8 (dequantized) batch.
+    Labels come in as class indices and leave one-hot/soft."""
+
+    def augment(rng: jax.Array, batch: Dict[str, jax.Array]):
+        batch = dict(batch)
+        x = batch["x"]
+        n = x.shape[0]
+        k_crop, k_flip, k_mix, k_erase = jax.random.split(rng, 4)
+        x = random_resized_crop_batch(k_crop, x, out_size,
+                                      scale=crop_scale, ratio=crop_ratio)
+        fh = jax.random.bernoulli(k_flip, flip_probability, (n,))
+        x = flip_batch(x, jnp.zeros((n,), bool), fh)
+        label = batch["label"]
+        if label.ndim == 1:
+            label = jax.nn.one_hot(label, n_classes, dtype=jnp.float32)
+        x, label = mixup_or_cutmix_batch(
+            k_mix, x, label,
+            switch_probability=mixup_switch_probability,
+            mixup_probability=mixup_probability,
+            mixup_maximum=mixup_maximum,
+            cutmix_probability=cutmix_probability)
+        x = erase_batch(k_erase, x, p=erasing_probability)
+        batch["x"] = x
+        batch["label"] = label
         return batch
 
     return augment
