@@ -553,12 +553,15 @@ def bench_swin224_eval_device():
     _sync(run())                     # warm (AOT: already compiled)
     sec = _time_steps(run)           # one dispatch = `inner` forwards
     img_s = inner * SWIN_BATCH / sec
-    mfu = (flops / sec) / _peak_flops() if flops else None
+    # XLA cost analysis counts a while/fori body ONCE, so `flops` is one
+    # forward's worth; the dispatch runs `inner` of them
+    mfu = (flops * inner / sec) / _peak_flops() if flops else None
     return _emit(
         "swin224_eval_device_images_per_sec_per_chip", img_s,
         "images/sec/chip", mfu=mfu,
         extras={"sec_per_dispatch": round(sec, 5),
                 "inner_forwards_per_dispatch": inner,
+                "flops_per_forward": flops,
                 "batch": SWIN_BATCH,
                 "note": "device-only eval: N forwards per dispatch via "
                         "lax.fori_loop, one scalar sync — invariant to "
