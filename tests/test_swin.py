@@ -228,6 +228,26 @@ def test_swin_block_param_count_analytic():
     assert n_params(v) == expected
 
 
+def test_fused_image_dispatch_policy():
+    """The fused image path is OFF by default (measured: equal speed to
+    the stock path — tools/swin_mosaic_ab.py falsification — so the
+    simpler XLA pipeline stays); "on" forces it, "auto" gates on
+    no-grad bf16 TPU like the windows-layout kernel."""
+    from medsegpretrainimagenet_tpu.ops import (set_fused_image_mode,
+                                                use_fused_image)
+    assert use_fused_image(False, jnp.bfloat16) is False   # default off
+    try:
+        set_fused_image_mode("on")
+        assert use_fused_image(True, jnp.float32) is True
+        set_fused_image_mode("auto")
+        # CPU backend in tests -> auto never picks pallas here
+        assert use_fused_image(False, jnp.bfloat16) is False
+    finally:
+        set_fused_image_mode("off")
+    with pytest.raises(AssertionError):
+        set_fused_image_mode("bogus")
+
+
 @pytest.mark.parametrize("position", [0, 1])   # W-MSA / masked SW-MSA
 def test_swin_block_fused_image_path_matches_default(position):
     """The fused image-layout attention (partition + head split +
