@@ -79,7 +79,7 @@ EOF
     SATISFIED*) echo "$(date -u +%FT%T) cli_epoch healthy - done" >> "$LOG"; break ;;
     HEALTHY*) attempt ;;
     DEGRADED*)
-      if [ $(( $(date +%s) - LAST_ATTEMPT )) -ge 2700 ]; then
+      if [ $(( $(date +%s) - LAST_ATTEMPT )) -ge ${RECAP_FORCE_S:-2700} ]; then
         echo "$(date -u +%FT%T) forced degraded-window attempt" >> "$LOG"
         attempt
       else
